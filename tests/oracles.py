@@ -1,0 +1,375 @@
+"""NumPy oracles: independent single-machine transliterations of the
+reference semantics, used to verify the Spark engine on small graphs.
+
+Each function cites the reference lines whose behavior it reproduces
+(/root/reference). These are *re-derivations from the observed semantics*,
+not code copies — dense NumPy instead of Giraph messages/aggregators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# graph helpers — edges is a list of (src, dst, weight); ids dense [0, n)
+# ---------------------------------------------------------------------------
+
+
+def adj_matrix(edges, n):
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[s, d] = w
+    return W
+
+
+def weighted_in_degrees(edges, n):
+    """DMID superstep 1 (DMIDComputation.java:177-206)."""
+    w_in = np.zeros(n)
+    for _, d, w in edges:
+        w_in[d] += w
+    return w_in
+
+
+def out_degrees(edges, n):
+    od = np.zeros(n, dtype=np.int64)
+    for s, _, _ in edges:
+        od[s] += 1
+    return od
+
+
+# ---------------------------------------------------------------------------
+# DMID phase 1: disassortativity matrix + random walk + leadership
+# ---------------------------------------------------------------------------
+
+
+def dis_matrix(edges, n, norm_axis="dst", weighted=True):
+    """T[u, v] = normalized |w_in(v) − w_in(u)| for each edge u→v.
+
+    norm_axis='dst': Giraph semantics — each column v (in-edges of v) is
+    L1-normalized (DMIDComputation.java:214-264); zero column sum stays zero.
+    norm_axis='src': RAWLPA semantics — normalize over each source's
+    out-edges (RandomWalkLabelPropagationAlgorithm.java:94-124, which also
+    uses *unweighted* in-degree per its TODO at :107 — pass weighted=False).
+    """
+    deg = weighted_in_degrees(edges, n) if weighted else in_degrees_unweighted(edges, n)
+    T = np.zeros((n, n))
+    for s, d, _ in edges:
+        T[s, d] = abs(deg[d] - deg[s])
+    axis = 0 if norm_axis == "dst" else 1
+    sums = T.sum(axis=axis, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Tn = np.where(sums != 0, T / np.where(sums == 0, 1.0, sums), 0.0)
+    return Tn
+
+
+def in_degrees_unweighted(edges, n):
+    d = np.zeros(n)
+    for _, t, _ in edges:
+        d[t] += 1
+    return d
+
+
+def random_walk(T, tol=1e-6, max_iter=1000):
+    """DA ← DA·T from uniform start until L1 delta < tol
+    (DMIDComputation.java:270-292 with the BASELINE.json convergence rule
+    replacing the fixed RW_ITERATIONBOUND)."""
+    n = T.shape[0]
+    x = np.full(n, 1.0 / n)
+    for i in range(1, max_iter + 1):
+        x_new = x @ T
+        delta = np.abs(x_new - x).sum()
+        x = x_new
+        if delta < tol:
+            return x, i, True
+    return x, max_iter, False
+
+
+def random_walk_fixed(T, iters):
+    """Reference fixed-bound walk (Giraph runs supersteps 3..13 = 11 steps)."""
+    n = T.shape[0]
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        x = x @ T
+    return x
+
+
+def leadership(edges, n, da, weighted=True):
+    """LS_v = w_in(v) · DA_v (DMIDComputation.java:298-311)."""
+    deg = weighted_in_degrees(edges, n) if weighted else in_degrees_unweighted(edges, n)
+    return deg * da
+
+
+# ---------------------------------------------------------------------------
+# DMID phase 2: influence → follower degrees → global leaders
+# ---------------------------------------------------------------------------
+
+
+def influences(edges, n, ls):
+    """Pairwise influence filter (DMIDComputation.java:321-371).
+
+    For each edge u→v, candidate v exerts influence w(u,v)·LS_v on follower
+    u; the message survives unless the reverse edge v→u exists AND
+    w(u,v)·LS_v <= w(v,u)·LS_u. Returns rows (follower, candidate, inf).
+    """
+    W = adj_matrix(edges, n)
+    out = []
+    for u, v, w in edges:
+        inf = w * ls[v]
+        if W[v, u] != 0 and not (inf > W[v, u] * ls[u]):
+            continue
+        out.append((u, v, inf))
+    return out
+
+
+def follower_degrees(inf_rows, n):
+    """Local-leader argmax with ties kept; each of the k argmax leaders gets
+    FD += 1/k (DMIDComputation.java:379-417). maxInfValue starts at 0 and
+    the >= / > logic keeps exact float ties."""
+    by_follower: dict[int, list[tuple[int, float]]] = {}
+    for u, v, inf in inf_rows:
+        by_follower.setdefault(u, []).append((v, inf))
+    fd = np.zeros(n)
+    for _, cands in by_follower.items():
+        mx = 0.0
+        leader_set: list[int] = []
+        for v, inf in cands:
+            if inf >= mx:
+                if inf > mx:
+                    leader_set = []
+                    mx = inf
+                leader_set.append(v)
+        k = len(leader_set)
+        for v in leader_set:
+            fd[v] += 1.0 / k
+    return fd
+
+
+def global_leaders(fd, strict=True):
+    """GL = {i : FD_i > avg} with avg = ΣFD / #nonzero
+    (DMIDMasterCompute.java:166-205). RAWLPA uses >= (strict=False,
+    RandomWalkLabelPropagationAlgorithm.java:277)."""
+    nonzero = np.count_nonzero(fd)
+    if nonzero == 0:
+        return set()
+    avg = fd.sum() / nonzero
+    if strict:
+        return {int(i) for i in np.nonzero(fd > avg)[0]}
+    return {int(i) for i in np.nonzero((fd >= avg) & (fd != 0))[0]}
+
+
+# ---------------------------------------------------------------------------
+# DMID phase 3: cascading behavior (Basic + Leadership variants)
+# ---------------------------------------------------------------------------
+
+
+def cascade(
+    edges,
+    n,
+    leaders,
+    variant="basic",
+    ls=None,
+    delta=0.3,
+    max_rounds=10_000,
+):
+    """The 3-superstep cascade game with master restart logic.
+
+    Transliterates the interleave of DMIDMasterCompute.java:64-130 with
+    BasicDMIDComputation.java:20-86 / LeadershipDMIDComputation.java:26-88:
+
+    - PROFITABILITY starts 0.5, RESTART_COUNTER starts 1; at cascade start
+      the master's restart check fires immediately (flags were just set to
+      notAllAssigned=true/newMember=false at RW+8), so the first effective
+      threshold is 1 − 0.3·2 = 0.4 and restart_count becomes 2.
+    - On each stalled round start: threshold = 1 − Δ·(restart+1), restart++,
+      iteration counter resets, and every vertex re-initializes memDeg
+      (DMIDComputation.java:437-445, initilaizeMemDeg :524-559) — wiping
+      prior joins.
+    - Joiners in round r (since last restart) get memDeg 1/r²
+      (BasicDMIDComputation.java:56-65: 1/(it/3)² with integer division).
+    - basic: global threshold; leadership: per-vertex LS_v − restart·Δ
+      (LeadershipDMIDComputation.java:56-66).
+    - Engine guard (the reference would superstep forever): if a restart is
+      due but the threshold is already < 0, stop — a full cascade at
+      negative threshold already assigned everything assignable.
+
+    Returns (memdeg: dict[node][leader] -> degree>0, unassigned: set).
+    """
+    leaders = set(int(x) for x in leaders)
+    out_nbrs: dict[int, list[int]] = {}
+    for s, d, _ in edges:
+        out_nbrs.setdefault(s, []).append(d)
+    od = out_degrees(edges, n)
+    non_leaders = [v for v in range(n) if v not in leaders]
+
+    threshold = 0.5
+    restart_count = 1
+    new_member = False
+    not_all_assigned = True
+    it = 0
+    memdeg: dict[int, dict[int, float]] = {}
+
+    def init_memdeg():
+        md: dict[int, dict[int, float]] = {}
+        for v in range(n):
+            md[v] = {L: (1.0 if v == L else 0.0) for L in leaders}
+        return md
+
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # --- phase-1 master: restart / termination checks ---
+        if not_all_assigned and not new_member:
+            if threshold < 0:
+                break  # engine guard, see docstring
+            threshold = 1 - delta * (restart_count + 1)
+            restart_count += 1
+            it = 0
+            memdeg = init_memdeg()
+        if not not_all_assigned:
+            break
+        it += 3
+        r = it // 3
+        # --- phases 1-3: request / echo / adopt (synchronous) ---
+        joins = []
+        for v in non_leaders:
+            if od[v] == 0:
+                continue
+            cands = [L for L in leaders if memdeg[v][L] == 0.0]
+            if not cands:
+                continue
+            counts: dict[int, int] = {}
+            for s in out_nbrs.get(v, []):
+                for L in cands:
+                    if memdeg[s].get(L, 0.0) != 0.0:
+                        counts[L] = counts.get(L, 0) + 1
+            th = threshold if variant == "basic" else ls[v] - restart_count * delta
+            for L, c in counts.items():
+                if c / od[v] > th:
+                    joins.append((v, L, 1.0 / r**2))
+        for v, L, val in joins:
+            memdeg[v][L] = val
+        new_member = len(joins) > 0
+        not_all_assigned = any(
+            all(d == 0.0 for d in memdeg[v].values()) for v in non_leaders
+        )
+
+    cover = {
+        v: {L: d for L, d in md.items() if d != 0.0} for v, md in memdeg.items()
+    }
+    cover = {v: md for v, md in cover.items() if md}
+    unassigned = {v for v in range(n) if v not in cover}
+    return cover, unassigned
+
+
+def dmid(edges, n, variant="basic", tol=1e-6, max_iter=1000, strict_gl=True):
+    """Full DMID: phase 1 (RW) → phase 2 (leaders) → phase 3 (cascade)."""
+    T = dis_matrix(edges, n, norm_axis="dst", weighted=True)
+    da, iters, converged = random_walk(T, tol=tol, max_iter=max_iter)
+    ls = leadership(edges, n, da)
+    inf = influences(edges, n, ls)
+    fd = follower_degrees(inf, n)
+    gl = global_leaders(fd, strict=strict_gl)
+    cover, unassigned = cascade(edges, n, gl, variant=variant, ls=ls)
+    return {
+        "da": da,
+        "ls": ls,
+        "fd": fd,
+        "leaders": gl,
+        "cover": cover,
+        "unassigned": unassigned,
+        "rw_iterations": iters,
+        "rw_converged": converged,
+    }
+
+
+# ---------------------------------------------------------------------------
+# standard algorithms (BASELINE.json §2.6)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(edges, n, d=0.85, tol=1e-6, max_iter=1000, weighted=False):
+    """pr' = (1−d)/N + d·(Σ_{u→v} pr_u·P(u,v) + dangling_mass/N), iterated
+    to L1 delta < tol. P = 1/outdeg (unweighted) or weight/Σ out-weights."""
+    P = np.zeros((n, n))
+    outw = np.zeros(n)
+    for s, t, w in edges:
+        outw[s] += w if weighted else 1.0
+    for s, t, w in edges:
+        P[s, t] = (w if weighted else 1.0) / outw[s]
+    dangling = outw == 0
+    pr = np.full(n, 1.0 / n)
+    for i in range(1, max_iter + 1):
+        dm = pr[dangling].sum()
+        new = (1 - d) / n + d * (pr @ P + dm / n)
+        delta = np.abs(new - pr).sum()
+        pr = new
+        if delta < tol:
+            return pr, i, True
+    return pr, max_iter, False
+
+
+def connected_components(edges, n):
+    """Undirected CC, min-id labeling (union-find oracle)."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t, _ in edges:
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            parent[max(rs, rt)] = min(rs, rt)
+    # compress to component-minimum labels
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return np.array([comp_min[find(v)] for v in range(n)], dtype=np.int64)
+
+
+def lpa(edges, n, iters=10):
+    """Synchronous LPA over in-neighbors: label ← mode of neighbor labels,
+    min-label tiebreak; vertices with no in-neighbors keep their label."""
+    in_nbrs: dict[int, list[int]] = {}
+    for s, t, _ in edges:
+        in_nbrs.setdefault(t, []).append(s)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        new = labels.copy()
+        for v in range(n):
+            nbrs = in_nbrs.get(v)
+            if not nbrs:
+                continue
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        if (new == labels).all():
+            labels = new
+            break
+        labels = new
+    return labels
+
+
+def triangle_counts(edges, n):
+    """Per-vertex triangle counts on the undirected simple graph."""
+    nbrs = [set() for _ in range(n)]
+    for s, t, _ in edges:
+        if s != t:
+            nbrs[s].add(t)
+            nbrs[t].add(s)
+    counts = np.zeros(n, dtype=np.int64)
+    for v in range(n):
+        for u in nbrs[v]:
+            if u > v:
+                common = nbrs[v] & nbrs[u]
+                for w in common:
+                    if w > u:
+                        counts[v] += 1
+                        counts[u] += 1
+                        counts[w] += 1
+    return counts

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import numpy as np
+
+import oracles as O
+from fixtures import GOLDEN_EDGES, GOLDEN_N, random_graph, sparse_ids_graph
+from dmid_spark import graph as G
+
+
+def vec_from_df(df, n, key="id", val="w_in", default=0.0):
+    out = np.full(n, default)
+    for r in df.collect():
+        out[r[key]] = r[val]
+    return out
+
+
+def test_weighted_in_degrees_golden(spark):
+    edges = G.edges_from_rows(spark, GOLDEN_EDGES)
+    got = vec_from_df(G.weighted_in_degrees(edges), GOLDEN_N)
+    exp = O.weighted_in_degrees(GOLDEN_EDGES, GOLDEN_N)
+    # FIXTURES.md golden values
+    assert np.allclose(exp, [4, 4, 6, 8, 8])
+    assert np.allclose(got, exp)
+
+
+def test_weighted_in_degrees_random(spark):
+    rows, n = random_graph(n=100, seed=3)
+    edges = G.edges_from_rows(spark, rows)
+    got = vec_from_df(G.weighted_in_degrees(edges), n)
+    assert np.allclose(got, O.weighted_in_degrees(rows, n))
+
+
+def test_out_degrees(spark):
+    rows, n = random_graph(n=80, seed=5)
+    edges = G.edges_from_rows(spark, rows)
+    got = vec_from_df(G.out_degrees(edges), n, val="out_deg")
+    assert np.array_equal(got.astype(int), O.out_degrees(rows, n))
+
+
+def test_densify_ids(spark):
+    rows = sparse_ids_graph()
+    edges = G.edges_from_rows(spark, rows)
+    dense, id_map = G.densify_ids(edges)
+    mapping = {r["orig_id"]: r["dense_id"] for r in id_map.collect()}
+    # deterministic: ascending original-id order
+    assert mapping == {3: 0, 17: 1, 42: 2, 1000000007: 3}
+    got = sorted((r.src, r.dst, r.weight) for r in dense.collect())
+    exp = sorted((mapping[s], mapping[d], w) for s, d, w in rows)
+    assert got == exp
+
+
+def test_symmetrize_and_self_loops(spark):
+    rows = [(0, 1, 2.0), (1, 0, 1.0), (2, 2, 5.0), (1, 2, 3.0)]
+    edges = G.edges_from_rows(spark, rows)
+    sym = G.symmetrize(G.drop_self_loops(edges))
+    got = sorted((r.src, r.dst, r.weight) for r in sym.collect())
+    assert got == [(0, 1, 2.0), (1, 0, 2.0), (1, 2, 3.0), (2, 1, 3.0)]
