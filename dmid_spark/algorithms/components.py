@@ -1,0 +1,107 @@
+"""Connected components via alternating small-star / large-star
+(SURVEY.md §2.6 X2; Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — the published semantics BASELINE.json mandates).
+
+Works on the undirected view of the edge table; converges in O(log n)
+rounds, each round two join+aggregate passes over the (shrinking) edge set —
+no state ever centralizes, so this is the 100 TB-safe formulation (vs naive
+min-label propagation whose round count is the graph diameter).
+
+Output: ``labels(id, component)`` with component = minimum vertex id in the
+component (exact min-id labeling, matching the oracle).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import graph as G
+from .. import kernel as K
+
+
+@dataclass
+class CCStats:
+    rounds: int = 0
+    converged: bool = False
+    wall_sec: float = 0.0
+    edge_counts: list[int] = field(default_factory=list)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    m = min(Γ(u) ∪ {u})."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least(F.col("mn"), F.col("src")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Canonicalize each edge to (hi, lo); for each hi, connect all its
+    lo-neighbors and hi itself to m = min of them."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+    ).filter(F.col("hi") != F.col("lo")).distinct()
+    mins = canon.groupBy("hi").agg(F.min("lo").alias("m"))
+    joined = canon.join(mins, "hi")
+    to_min = joined.select(F.col("lo").alias("src"), F.col("m").alias("dst"))
+    self_edge = mins.select(F.col("hi").alias("src"), F.col("m").alias("dst"))
+    return (
+        to_min.unionByName(self_edge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # bounded per-row hash so the sum can't overflow ANSI long arithmetic
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, CCStats]:
+    """Returns (labels(id, component), stats)."""
+    t0 = time.time()
+    stats = CCStats()
+    verts = K.materialize(G.vertices(edges))
+    cur = K.materialize(
+        G.drop_self_loops(edges.select("src", "dst")).distinct()
+    )
+    prev_sum = None
+    for r in range(1, max_rounds + 1):
+        cur = K.materialize(_small_star(_large_star(cur)))
+        chk = _checksum(cur)
+        stats.rounds = r
+        stats.edge_counts.append(chk[0])
+        if chk == prev_sum:
+            stats.converged = True
+            break
+        prev_sum = chk
+    # at fixpoint every surviving edge points a node at its component min
+    comp = cur.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("component"))
+    labels = (
+        verts.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    stats.wall_sec = time.time() - t0
+    return labels, stats

@@ -1,0 +1,385 @@
+"""DMID — Disassortativity degree Mixing and Information Diffusion —
+overlapping community detection as pure DataFrame computations.
+
+Reference: the Giraph BSP implementation in /root/reference/DMID
+(DMIDComputation.java + DMIDMasterCompute.java + Basic/Leadership variants).
+The 18-superstep dispatch-on-superstep-number becomes ordinary sequential
+driver code; every message exchange is a join + aggregation; Giraph's O(N)
+dense master aggregators (DMIDMasterCompute.java:30-33 — the reference's
+scalability ceiling) become DataFrames (join mode) or a broadcast NumPy
+vector fed to per-partition CSR Arrow UDFs (csr mode).
+
+Phase semantics (with reference citations):
+
+1. **Random-walk leader identification** — weighted in-degree
+   (DMIDComputation.java:177-206), per-dst L1-normalized disassortativity
+   column |w_in(v)−w_in(u)| (:214-264), iterative SpMV DA' = DA·T
+   (:270-292) run to L1 delta < tol (BASELINE.json rule superseding the
+   fixed RW_ITERATIONBOUND=10; ``rw_fixed_iters`` reproduces the fixed
+   bound, which is 11 steps — supersteps 3..13), leadership LS = w_in·DA
+   (:298-311).
+
+2. **Local-leader selection** — pairwise influence filter (:321-371):
+   candidate v's influence on follower u along edge u→v is w(u,v)·LS_v,
+   surviving unless the reverse edge exists and w(u,v)·LS_v ≤ w(v,u)·LS_u;
+   per-follower argmax with exact float-tie keeping (:379-417), each of the
+   k argmax leaders gaining follower-degree 1/k; global leaders are those
+   with FD strictly above the mean over nonzero FDs
+   (DMIDMasterCompute.java:166-205; RAWLPA uses ≥,
+   RandomWalkLabelPropagationAlgorithm.java:277 — ``strict_global_leaders``).
+
+3. **Cascading membership** — the 3-superstep request/echo/adopt game with
+   master restart logic (DMIDMasterCompute.java:64-130,
+   BasicDMIDComputation.java:20-86, LeadershipDMIDComputation.java:26-88).
+   Faithful details: PROFITABILITY starts 0.5 but the master's restart
+   check fires immediately at cascade start (flags were just initialized),
+   so the first effective threshold is 1−Δ·2 = 0.4 and the restart counter
+   begins at 2; every restart wipes non-leader memberships
+   (initilaizeMemDeg, DMIDComputation.java:524-559); round-r joiners get
+   membership degree 1/r² (integer division of the iteration counter);
+   leadership variant thresholds per-vertex at LS_v − restarts·Δ. Engine
+   guard: if a restart is due while the threshold is already negative, the
+   cascade stops (the reference would superstep forever on unassignable
+   vertices, e.g. sinks).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import graph as G
+from .. import kernel as K
+from ..checkpoint import CheckpointManager
+
+COVER_SCHEMA = "node long, community long, degree double"
+
+
+@dataclass
+class DmidParams:
+    variant: str = "basic"  # 'basic' | 'leadership'
+    tol: float = 1e-6
+    rw_max_iter: int = 1000
+    rw_fixed_iters: int | None = None  # Giraph parity: 11 (supersteps 3..13)
+    strict_global_leaders: bool = True  # Giraph '>'; RAWLPA '>='
+    profitability_delta: float = 0.3  # RAWLPA uses 0.1
+    norm_axis: str = "dst"  # Giraph per-in-edges; RAWLPA 'src' (out-edges)
+    weighted_degrees: bool = True  # RAWLPA uses unweighted in-degree
+    max_rounds: int = 10_000
+    mode: str = "join"  # random-walk SpMV mode: 'join' | 'csr'
+
+
+@dataclass
+class DmidResult:
+    cover: DataFrame  # (node, community, degree)
+    leaders: list[int]
+    da: DataFrame  # (id, value)
+    ls: DataFrame  # (id, value)
+    fd: DataFrame  # (id, value)
+    unassigned: int
+    stats: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# phase 1
+# ---------------------------------------------------------------------------
+def disassortativity_edges(
+    edges: DataFrame, w_in: DataFrame, norm_axis: str = "dst"
+) -> DataFrame:
+    """Edge-relational form of the reference's per-vertex sparse
+    disassortativity columns: ``dis_norm(u,v) = |w_in(v)−w_in(u)| /
+    Σ_{u'→v} |w_in(v)−w_in(u')|`` (zero sum ⇒ zeros)."""
+    ws = w_in.select(F.col("id").alias("_s"), F.col("w_in").alias("w_src"))
+    wd = w_in.select(F.col("id").alias("_d"), F.col("w_in").alias("w_dst"))
+    dis = (
+        edges.join(ws, edges.src == F.col("_s"))
+        .join(wd, edges.dst == F.col("_d"))
+        .select("src", "dst", F.abs(F.col("w_dst") - F.col("w_src")).alias("dis"))
+    )
+    key = "dst" if norm_axis == "dst" else "src"
+    sums = dis.groupBy(F.col(key).alias("_k")).agg(F.sum("dis").alias("dis_sum"))
+    return (
+        dis.join(sums, dis[key] == F.col("_k"))
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("dis_sum") != 0, F.col("dis") / F.col("dis_sum"))
+            .otherwise(F.lit(0.0))
+            .alias("weight"),
+        )
+    )
+
+
+def random_walk(
+    dis_edges: DataFrame,
+    verts: DataFrame,
+    n: int,
+    params: DmidParams,
+    ckpt: CheckpointManager | None = None,
+) -> tuple[DataFrame, K.IterationStats]:
+    """DA ← DA·T from uniform start to L1 convergence (or fixed bound)."""
+    tol = -1.0 if params.rw_fixed_iters else params.tol
+    max_iter = params.rw_fixed_iters or params.rw_max_iter
+    if params.mode == "csr":
+        buckets = K.build_csr_buckets(dis_edges, n)
+        x = np.full(n, 1.0 / n)
+        stats = K.IterationStats()
+        t0 = time.time()
+        for i in range(1, max_iter + 1):
+            y = K.spmv_csr_collect(buckets, x)
+            delta = float(np.abs(y - x).sum())
+            stats.deltas.append(delta)
+            stats.iterations = i
+            x = y
+            if tol >= 0 and delta < tol:
+                stats.converged = True
+                break
+        stats.wall_sec = time.time() - t0
+        buckets.bucketed.unpersist()
+        spark = dis_edges.sparkSession
+        da = spark.createDataFrame(
+            [(int(j), float(v)) for j, v in enumerate(x)], K.STATE_SCHEMA
+        )
+        return K.materialize(da), stats
+
+    def step(xdf: DataFrame, i: int) -> DataFrame:
+        return K.complete_vector(K.spmv_join_step(dis_edges, xdf), verts)
+
+    x0 = verts.select("id", F.lit(1.0 / n).alias("value"))
+    return K.iterate(
+        x0, step, tol=tol, max_iter=max_iter, ckpt=ckpt, name="dmid_rw"
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase 2
+# ---------------------------------------------------------------------------
+def influence_rows(edges: DataFrame, ls: DataFrame) -> DataFrame:
+    """Surviving influence messages: (follower, candidate, influence)."""
+    ls_v = ls.select(F.col("id").alias("_v"), F.col("value").alias("ls_v"))
+    ls_u = ls.select(F.col("id").alias("_u"), F.col("value").alias("ls_u"))
+    rev = edges.select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("rdst"), F.col("weight").alias("w_rev")
+    )
+    return (
+        edges.join(ls_v, edges.dst == F.col("_v"))
+        .join(ls_u, edges.src == F.col("_u"))
+        .join(
+            rev,
+            (edges.src == rev.rdst) & (edges.dst == rev.rsrc),
+            "left",
+        )
+        .select(
+            F.col("src").alias("follower"),
+            F.col("dst").alias("candidate"),
+            (F.col("weight") * F.col("ls_v")).alias("influence"),
+            F.col("w_rev"),
+            F.col("ls_u"),
+        )
+        .filter(
+            F.col("w_rev").isNull()
+            | (F.col("influence") > F.col("w_rev") * F.col("ls_u"))
+        )
+        .select("follower", "candidate", "influence")
+    )
+
+
+def follower_degrees(inf: DataFrame) -> DataFrame:
+    """Per-follower argmax (ties kept, exact float equality — reference
+    semantics DMIDComputation.java:390-405) → FD(id, value) = Σ 1/k."""
+    mx = inf.groupBy(F.col("follower").alias("_f")).agg(
+        F.max("influence").alias("mx")
+    )
+    winners = inf.join(
+        mx, (inf.follower == F.col("_f")) & (inf.influence == F.col("mx"))
+    ).select("follower", "candidate")
+    ks = winners.groupBy(F.col("follower").alias("_f2")).agg(
+        F.count("*").alias("k")
+    )
+    return (
+        winners.join(ks, winners.follower == F.col("_f2"))
+        .groupBy(F.col("candidate").alias("id"))
+        .agg(F.sum(F.lit(1.0) / F.col("k")).alias("value"))
+    )
+
+
+def global_leaders(fd: DataFrame, strict: bool = True) -> DataFrame:
+    """avg = ΣFD / #nonzero; leaders = FD > avg (strict) or ≥ avg."""
+    row = fd.filter(F.col("value") != 0).agg(
+        F.sum("value").alias("s"), F.count("*").alias("c")
+    ).first()
+    if not row or not row["c"]:
+        return fd.sparkSession.createDataFrame([], "id long")
+    avg = row["s"] / row["c"]
+    cond = F.col("value") > avg if strict else (F.col("value") >= avg) & (F.col("value") != 0)
+    return fd.filter(cond).select("id")
+
+
+# ---------------------------------------------------------------------------
+# phase 3
+# ---------------------------------------------------------------------------
+def cascade(
+    edges: DataFrame,
+    leaders: DataFrame,
+    verts: DataFrame,
+    params: DmidParams,
+    ls: DataFrame | None = None,
+    ckpt: CheckpointManager | None = None,
+) -> tuple[DataFrame, dict]:
+    """The cascading-behavior driver loop. Returns (cover, stats)."""
+    spark = edges.sparkSession
+    leaders = K.materialize(leaders)
+    n_leaders = leaders.count()
+    stats: dict = {"rounds": 0, "restarts": 0, "thresholds": []}
+    if n_leaders == 0:
+        empty = spark.createDataFrame([], COVER_SCHEMA)
+        stats["unassigned"] = verts.count()
+        return empty, stats
+
+    out_deg = K.materialize(
+        G.out_degrees(edges).withColumnRenamed("id", "node")
+    )
+    non_leader_verts = K.materialize(
+        verts.join(leaders, "id", "left_anti").select(F.col("id").alias("node"))
+    )
+    if params.variant == "leadership":
+        ls_req = ls.select(F.col("id").alias("node"), F.col("value").alias("ls_v"))
+
+    def init_members() -> DataFrame:
+        return K.materialize(
+            leaders.select(
+                F.col("id").alias("node"),
+                F.col("id").alias("community"),
+                F.lit(1.0).alias("degree"),
+            )
+        )
+
+    delta = params.profitability_delta
+    threshold = 0.5
+    restart_count = 1
+    new_member = False
+    not_all_assigned = True
+    r = 0
+    members = init_members()
+
+    while stats["rounds"] < params.max_rounds:
+        # --- phase-1 master: restart / termination (DMIDMasterCompute:93-117)
+        if not_all_assigned and not new_member:
+            if threshold < 0:
+                break  # engine guard (see module docstring)
+            threshold = 1 - delta * (restart_count + 1)
+            restart_count += 1
+            r = 0
+            members = init_members()
+            stats["restarts"] += 1
+            stats["thresholds"].append(threshold)
+        if not not_all_assigned:
+            break
+        stats["rounds"] += 1
+        r += 1
+        # --- request/echo/adopt: count, per requester v and community L,
+        # the out-neighbors of v that are members of L
+        mem = members.select(
+            F.col("node").alias("m_node"), F.col("community").alias("community")
+        )
+        counts = (
+            edges.join(mem, edges.dst == F.col("m_node"))
+            .groupBy(F.col("src").alias("node"), "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # only non-leader requesters, only communities not yet joined
+        counts = counts.join(non_leader_verts, "node", "left_semi").join(
+            members.select("node", "community"), ["node", "community"], "left_anti"
+        )
+        counts = counts.join(out_deg, "node")
+        if params.variant == "leadership":
+            counts = counts.join(ls_req, "node")
+            cond = (F.col("cnt") / F.col("out_deg")) > (
+                F.col("ls_v") - F.lit(restart_count * delta)
+            )
+        else:
+            cond = (F.col("cnt") / F.col("out_deg")) > F.lit(threshold)
+        joins = K.materialize(
+            counts.filter(cond).select(
+                "node", "community", F.lit(1.0 / r**2).alias("degree")
+            )
+        )
+        n_joins = joins.count()
+        members = K.materialize(members.unionByName(joins))
+        unassigned = non_leader_verts.join(
+            members, "node", "left_anti"
+        ).count()
+        new_member = n_joins > 0
+        not_all_assigned = unassigned > 0
+        if ckpt is not None:
+            members = ckpt.save(
+                members,
+                "dmid_cover",
+                stats["rounds"],
+                {
+                    "round": stats["rounds"],
+                    "threshold": threshold,
+                    "restart_count": restart_count,
+                    "new_members": n_joins,
+                    "unassigned": unassigned,
+                },
+            )
+    stats["unassigned"] = int(
+        non_leader_verts.join(members, "node", "left_anti").count()
+    )
+    return members, stats
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+def dmid(
+    edges: DataFrame,
+    params: DmidParams | None = None,
+    ckpt: CheckpointManager | None = None,
+) -> DmidResult:
+    params = params or DmidParams()
+    t0 = time.time()
+    edges = K.materialize(edges)
+    verts = K.materialize(G.vertices(edges))
+    n = verts.count()
+    w_in = K.materialize(
+        G.weighted_in_degrees(edges)
+        if params.weighted_degrees
+        else edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.count("*").cast("double").alias("w_in"))
+        .join(verts, "id", "right")
+        .select("id", F.coalesce("w_in", F.lit(0.0)).alias("w_in"))
+    )
+    dis = K.materialize(disassortativity_edges(edges, w_in, params.norm_axis))
+    da, rw_stats = random_walk(dis, verts, n, params, ckpt=ckpt)
+    ls = K.materialize(
+        w_in.join(da, "id").select("id", (F.col("w_in") * F.col("value")).alias("value"))
+    )
+    inf = influence_rows(edges, ls)
+    fd = K.materialize(follower_degrees(inf))
+    leaders_df = global_leaders(fd, strict=params.strict_global_leaders)
+    cover, cascade_stats = cascade(
+        edges, leaders_df, verts, params, ls=ls, ckpt=ckpt
+    )
+    leaders = sorted(r["id"] for r in leaders_df.collect())
+    return DmidResult(
+        cover=cover,
+        leaders=leaders,
+        da=da,
+        ls=ls,
+        fd=fd,
+        unassigned=cascade_stats.get("unassigned", 0),
+        stats={
+            "n_vertices": n,
+            "rw_iterations": rw_stats.iterations,
+            "rw_converged": rw_stats.converged,
+            "rw_deltas": rw_stats.deltas[-3:],
+            "cascade": cascade_stats,
+            "wall_sec": time.time() - t0,
+        },
+    )

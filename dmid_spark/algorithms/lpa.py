@@ -1,0 +1,74 @@
+"""Synchronous label propagation (SURVEY.md §2.6 X3).
+
+Deterministic published semantics: every vertex starts with its own id as
+label; each round a vertex adopts the most frequent label among its
+in-neighbors, breaking ties toward the smallest label; vertices without
+in-neighbors keep their label. Runs a fixed number of rounds or until a
+fixpoint. (Run on a symmetrized edge table for the usual undirected LPA.)
+
+Each round is edges⋈labels → groupBy(dst,label).count → per-dst argmax —
+all map-side-combinable hash aggregates; the argmax is a groupBy max over a
+(count, -label) struct rather than a window, so skewed high-degree vertices
+pre-aggregate instead of sorting one giant window partition.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import graph as G
+from .. import kernel as K
+
+
+@dataclass
+class LpaStats:
+    rounds: int = 0
+    converged: bool = False
+    wall_sec: float = 0.0
+
+
+def label_propagation(
+    edges: DataFrame, max_iter: int = 20, until_fixpoint: bool = True
+) -> tuple[DataFrame, LpaStats]:
+    """Returns (labels(id, label), stats)."""
+    t0 = time.time()
+    stats = LpaStats()
+    verts = K.materialize(G.vertices(edges))
+    labels = K.materialize(verts.select("id", F.col("id").alias("label")))
+    e = edges.select("src", "dst")
+    for r in range(1, max_iter + 1):
+        counts = (
+            e.join(labels, e.src == labels.id)
+            .groupBy(e.dst.alias("v"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            counts.groupBy("v")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b"))
+            .select("v", (-F.col("b.nl")).alias("new_label"))
+        )
+        new_labels = K.materialize(
+            labels.join(best, labels.id == best.v, "left").select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+        stats.rounds = r
+        if until_fixpoint:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                stats.converged = True
+                break
+        else:
+            labels = new_labels
+    stats.wall_sec = time.time() - t0
+    return labels, stats

@@ -1,0 +1,96 @@
+"""Triangle counting (SURVEY.md §2.6 X4).
+
+Degree-ordered orientation + wedge join + closing-edge semi-join: the
+O(m^1.5) plan. Vertices are re-ranked by (degree, id); every undirected edge
+is oriented low-rank → high-rank, so each wedge is generated exactly once at
+its lowest-rank vertex and no vertex fans out more than O(√m) oriented
+out-edges even under power-law skew — the orientation IS the skew handling.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import graph as G
+from .. import kernel as K
+
+
+@dataclass
+class TriangleStats:
+    total: int = 0
+    wall_sec: float = 0.0
+
+
+def _oriented(edges: DataFrame, degree_ordered: bool) -> tuple[DataFrame, DataFrame]:
+    """Undirected simple edges oriented by rank; returns (oriented(a, b),
+    rank_map(id, rank)) with rank dense. a, b are ranks with a < b."""
+    und = (
+        G.drop_self_loops(edges)
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    verts = G.vertices(edges)
+    if degree_ordered:
+        deg = (
+            und.select(F.col("u").alias("id"))
+            .unionByName(und.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        ranked = verts.join(deg, "id", "left").select(
+            "id", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        rank_map = ranked.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("deg", "id")).cast("long") - 1,
+        ).select("id", "rank")
+    else:
+        rank_map = verts.select("id", F.col("id").alias("rank"))
+    rm = F.broadcast(rank_map)
+    oriented = (
+        und.join(rm, und.u == rm.id)
+        .select(F.col("rank").alias("ru"), "v")
+        .join(rm, F.col("v") == rm.id)
+        .select("ru", F.col("rank").alias("rv"))
+        .select(F.least("ru", "rv").alias("a"), F.greatest("ru", "rv").alias("b"))
+    )
+    return oriented, rank_map
+
+
+def triangle_counts(
+    edges: DataFrame, degree_ordered: bool = True
+) -> tuple[DataFrame, TriangleStats]:
+    """Per-vertex triangle counts on the undirected simple graph.
+    Returns (counts(id, triangles), stats) — every vertex present."""
+    t0 = time.time()
+    oriented, rank_map = _oriented(edges, degree_ordered)
+    oriented = K.materialize(oriented)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b"))).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    closing = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tris = K.materialize(wedges.join(closing, ["y", "z"], "left_semi"))
+    per_rank = (
+        tris.select(F.col("x").alias("rank"))
+        .unionByName(tris.select(F.col("y").alias("rank")))
+        .unionByName(tris.select(F.col("z").alias("rank")))
+        .groupBy("rank")
+        .agg(F.count("*").alias("triangles"))
+    )
+    counts = (
+        rank_map.join(per_rank, "rank", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+    stats = TriangleStats(total=int(tris.count()), wall_sec=time.time() - t0)
+    return counts, stats
+
+
+def total_triangles(edges: DataFrame, degree_ordered: bool = True) -> int:
+    _, stats = triangle_counts(edges, degree_ordered)
+    return stats.total

@@ -84,6 +84,14 @@ def build_csr_buckets(edges: DataFrame, n: int, num_buckets: int | None = None) 
     superstep reuses the layout with no shuffle."""
     if num_buckets is None:
         num_buckets = edges.sparkSession.sparkContext.defaultParallelism
+    bounds = edges.agg(
+        F.min(F.least("src", "dst")).alias("lo"), F.max(F.greatest("src", "dst")).alias("hi")
+    ).first()
+    if bounds["hi"] is not None and (bounds["lo"] < 0 or bounds["hi"] >= n):
+        raise ValueError(
+            f"CSR mode requires dense vertex ids in [0, {n}); found id range "
+            f"[{bounds['lo']}, {bounds['hi']}]. Run graph.densify_ids(edges) first."
+        )
     bucketed = (
         edges.withColumn("bucket", (F.col("dst") % num_buckets).cast("int"))
         .repartition(num_buckets, "bucket")

@@ -261,6 +261,18 @@ def cascade(
     return cover, unassigned
 
 
+def dmid_from_ls(edges, n, ls, variant="basic", strict_gl=True):
+    """Phases 2+3 from a given leadership vector. Used to verify the engine's
+    tie/threshold semantics exactly on its own numerics — influence ties use
+    exact float equality (reference semantics), so last-bit differences
+    between Spark and NumPy summation order legitimately flip them."""
+    inf = influences(edges, n, ls)
+    fd = follower_degrees(inf, n)
+    gl = global_leaders(fd, strict=strict_gl)
+    cover, unassigned = cascade(edges, n, gl, variant=variant, ls=ls)
+    return {"fd": fd, "leaders": gl, "cover": cover, "unassigned": unassigned}
+
+
 def dmid(edges, n, variant="basic", tol=1e-6, max_iter=1000, strict_gl=True):
     """Full DMID: phase 1 (RW) → phase 2 (leaders) → phase 3 (cascade)."""
     T = dis_matrix(edges, n, norm_axis="dst", weighted=True)

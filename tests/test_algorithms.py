@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import oracles as O
+from fixtures import (
+    GOLDEN_EDGES,
+    GOLDEN_N,
+    directed_path,
+    random_graph,
+    ring_of_cliques,
+    star,
+    two_cliques_bridge,
+)
+from dmid_spark import graph as G
+from dmid_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
+
+
+def vec(df, n, key="id", val="value", default=0.0):
+    out = np.full(n, default)
+    for r in df.collect():
+        out[r[key]] = r[val]
+    return out
+
+
+GRAPHS = {
+    "golden": (GOLDEN_EDGES, GOLDEN_N),
+    "two_cliques": two_cliques_bridge(),
+    "ring": ring_of_cliques(),
+    "star": star(),
+    "path": directed_path(),
+    "random": random_graph(n=120, seed=23),
+}
+
+
+@pytest.mark.parametrize("name", ["golden", "two_cliques", "path", "random"])
+@pytest.mark.parametrize("mode", ["join", "csr"])
+def test_pagerank_matches_oracle(spark, name, mode):
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    ranks, stats = pagerank(edges, tol=1e-8, mode=mode)
+    exp, _, _ = O.pagerank(rows, n, tol=1e-8)
+    got = vec(ranks, n)
+    assert stats.converged
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_pagerank_modes_agree(spark):
+    rows, n = random_graph(n=150, seed=31)
+    edges = G.edges_from_rows(spark, rows)
+    r1, _ = pagerank(edges, tol=1e-8, mode="join")
+    r2, _ = pagerank(edges, tol=1e-8, mode="csr")
+    assert np.allclose(vec(r1, n), vec(r2, n), atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["golden", "two_cliques", "ring", "star", "path", "random"])
+def test_connected_components(spark, name):
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    labels, stats = connected_components(edges)
+    exp = O.connected_components(rows, n)
+    got = vec(labels, n, val="component", default=-1).astype(int)
+    assert stats.converged
+    assert np.array_equal(got, exp)
+
+
+def test_connected_components_multi_component(spark):
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (5, 6, 1.0), (8, 9, 1.0), (9, 5, 1.0)]
+    # ids 0..9 with isolated vertices via a self-referencing vertex set
+    edges = G.edges_from_rows(spark, rows)
+    labels, _ = connected_components(edges)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 8: 5, 9: 5}
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "ring", "random"])
+def test_lpa_matches_oracle(spark, name):
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    for iters in (1, 3):
+        labels, _ = label_propagation(edges, max_iter=iters, until_fixpoint=False)
+        exp = O.lpa(rows, n, iters=iters)
+        got = vec(labels, n, val="label", default=-1).astype(int)
+        assert np.array_equal(got, exp), f"{name} iters={iters}"
+
+
+@pytest.mark.parametrize("name", ["golden", "two_cliques", "ring", "star", "random"])
+@pytest.mark.parametrize("degree_ordered", [True, False])
+def test_triangles(spark, name, degree_ordered):
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    counts, stats = triangle_counts(edges, degree_ordered=degree_ordered)
+    exp = O.triangle_counts(rows, n)
+    got = vec(counts, n, val="triangles", default=-1).astype(int)
+    assert np.array_equal(got, exp)
+    assert stats.total == exp.sum() // 3
