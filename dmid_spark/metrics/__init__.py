@@ -1,0 +1,8 @@
+from .modularity import extended_modularity, extended_modularity_npnb08  # noqa: F401
+from .nmi import overlapping_nmi  # noqa: F401
+from .spearman import spearman_degree_correlation  # noqa: F401
+from .cover_ops import (  # noqa: F401
+    community_sizes,
+    filter_cover_threshold,
+    normalize_cover_rows,
+)

@@ -1,0 +1,146 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schema, partition-friendly batching, Arrow UDF
+signatures, output shapes — is real and tested; the codec step itself is
+stubbed (image/audio libraries are not in this container): each operator
+takes ``impl='fake'`` (deterministic bytes-derived output, used by tests)
+or ``impl='real'`` which raises NotImplementedError at the decode boundary,
+marking exactly where a PIL/ffmpeg call plugs in.
+
+All operators are ``mapInPandas`` (Arrow batch iterators): one Python
+worker round-trip per batch, never per row; binary payloads stream through
+Arrow buffers without copies on the JVM side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, channels:int, sample_rate:int, n_frames:int>"
+)
+
+
+def synth_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/benches: payload bytes are
+    seeded by id; metadata is consistent with the payload size."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+            ).alias("kind"),
+            F.sha2(F.concat(F.lit(f"payload:{seed}:"), F.col("id").cast("string")), 256)
+            .cast("binary")
+            .alias("payload"),
+            F.struct(
+                (16 + F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(16))).cast("int").alias("width"),
+                (16 + F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(16))).cast("int").alias("height"),
+                F.lit(3).alias("channels"),
+                F.lit(16000).alias("sample_rate"),
+                (1 + F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(30))).cast("int").alias("n_frames"),
+            ).alias("meta"),
+        )
+    )
+
+
+def _fake_pixels(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Deterministic stand-in for a codec: seed a PRNG from the payload
+    hash and emit a (h, w, c) uint8 array."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def decode_image(df: DataFrame, impl: str = "fake") -> DataFrame:
+    """binary payload → flat pixel array + dims. Arrow-batched; the `real`
+    impl is the single marked point where PIL/turbojpeg plugs in."""
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                if impl == "fake":
+                    px = _fake_pixels(bytes(payload), w, h, c)
+                else:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/libjpeg (not in this container); "
+                        "plug the codec in here"
+                    )
+                rows.append((int(mid), w, h, c, px.reshape(-1).astype(np.int32)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "pixels"]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        run, "media_id long, width int, height int, channels int, pixels array<int>"
+    )
+
+
+def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel arrays (pure NumPy per
+    Arrow batch — the real-codec version would swap in PIL.resize)."""
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for mid, w, h, c, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                img = np.array(px, dtype=np.int32).reshape(int(h), int(w), int(c))
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                out = img[yi][:, xi]
+                rows.append((int(mid), out_w, out_h, int(c), out.reshape(-1)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "pixels"]
+            )
+
+    return decoded.mapInPandas(
+        run, "media_id long, width int, height int, channels int, pixels array<int>"
+    )
+
+
+def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
+    """Cheap deterministic feature vector (channel-bucket histogram) per
+    decoded image — the placeholder for a real embedding model call."""
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for mid, px in zip(pdf["media_id"], pdf["pixels"]):
+                arr = np.array(px, dtype=np.float64)
+                hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+                feat = hist / max(arr.size, 1)
+                rows.append((int(mid), feat.astype(np.float32)))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return decoded.mapInPandas(run, "media_id long, features array<float>")
+
+
+def frame_sample(df: DataFrame, every: int = 5, impl: str = "fake") -> DataFrame:
+    """Video frame sampling: emit one row per sampled frame index (the
+    real impl would decode those frames via ffmpeg)."""
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for mid, meta in zip(pdf["media_id"], pdf["meta"]):
+                if impl != "fake":
+                    raise NotImplementedError("real frame decode requires ffmpeg")
+                for fi in range(0, int(meta["n_frames"]), every):
+                    rows.append((int(mid), fi))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index"])
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        run, "media_id long, frame_index int"
+    )

@@ -1,0 +1,13 @@
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from .quality import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    quality_scores,
+)

@@ -1,0 +1,114 @@
+"""Text analysis operators: language id, quality scoring, token counting,
+document fingerprinting. Pure JVM-side column expressions (regexp + string
+builtins); no UDFs — these run in the scan stage at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# minimal per-language stopword markers for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+_EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this",
+]
+
+
+def _word_hits(text_col, words) -> F.Column:
+    """Count of whitespace-delimited occurrences of any marker word."""
+    padded = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        pat = f" {w} "
+        total = total + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / len(pat)
+        )
+    return total.cast("long")
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-marker language heuristic → (doc_id, lang_pred, lang_hits).
+    Ties and zero hits fall back to 'und' (undetermined); deterministic
+    (greatest hit count, then language-code order)."""
+    hits = [
+        _word_hits(F.col(text_col), ws).alias(f"hits_{lang}")
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+    scored = docs.select(F.col(id_col).alias("doc_id"), *hits)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_MARKERS])
+    # deterministic pick: first language (in sorted code order) achieving max
+    expr = F.lit("und")
+    for lang in reversed(sorted(_LANG_MARKERS)):
+        expr = F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return scored.select("doc_id", expr.alias("lang_pred"), best.alias("lang_hits"))
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality features + a composite score:
+
+    - n_chars, n_tokens (whitespace), n_words (BPE-ish regex: runs of
+      letters/digits), mean_token_len
+    - punct_ratio, digit_ratio, upper_ratio
+    - stopword_ratio (English list)
+    - score: penalties for extreme length, low stopword density, high
+      punctuation — the usual C4/Gopher-style cheap filters.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tokens = F.when(F.trim(t) == "", 0).otherwise(F.size(toks))
+    n_words = F.size(F.expr(f"regexp_extract_all({text_col}, '[\\\\p{{L}}\\\\p{{N}}]+', 0)"))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    stop_hits = _word_hits(t, _EN_STOPWORDS)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_words.alias("n_words"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("mean_token_len"),
+        (punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (digits / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (uppers / F.greatest(n_chars, F.lit(1))).alias("upper_ratio"),
+        (stop_hits / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+    )
+    score = (
+        F.lit(1.0)
+        * F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.3)
+        * F.when(F.col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.5)
+        * F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+        * F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.7)
+    )
+    return out.withColumn("quality_score", score)
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    shingle_chars: int = 16,
+) -> DataFrame:
+    """Bottom-k sketch of rolling character shingles: (doc_id,
+    fingerprint: array<long>). The winnowing-style content fingerprint —
+    robust to local edits, fixed size, JVM-side only."""
+    t = F.lower(F.col(text_col))
+    n_sh = F.greatest(F.length(t) - (shingle_chars - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.xxhash64(t.substr(i, F.lit(shingle_chars))),
+    )
+    bottom_k = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
+    return docs.select(F.col(id_col).alias("doc_id"), bottom_k.alias("fingerprint"))

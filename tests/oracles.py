@@ -367,6 +367,113 @@ def lpa(edges, n, iters=10):
     return labels
 
 
+# ---------------------------------------------------------------------------
+# cover-quality metrics — brute-force transliterations of the reference's
+# O(N²·C) loops, used to validate the engine's factorized versions
+# ---------------------------------------------------------------------------
+
+
+def extended_modularity_bruteforce(edges, n, cover):
+    """Pair loop of ExtendedModularityMetric.java:25-108. cover: dict
+    node -> {community: b}. Degrees are unweighted edge counts."""
+    W = adj_matrix(edges, n)
+    adj = W != 0
+    m = len(edges)
+    if m == 0:
+        return 0.0
+    od = adj.sum(axis=1)
+    idg = adj.sum(axis=0)
+    comms = sorted({c for mem in cover.values() for c in mem})
+    b = np.zeros((n, len(comms)))
+    for v, mem in cover.items():
+        for ci, c in enumerate(comms):
+            b[v, ci] = mem.get(c, 0.0)
+    colnorm = np.abs(b).sum(axis=0)
+    q = 0.0
+    for a in range(n):
+        for bb in range(a + 1):
+            for ci in range(len(comms)):
+                cov = 0.0
+                if adj[a, bb]:
+                    cov += b[a, ci] * b[bb, ci]
+                if adj[bb, a]:
+                    cov += b[bb, ci] * b[a, ci]
+                coeff = b[a, ci] * b[bb, ci]
+                if a != bb:
+                    coeff *= od[a] * idg[bb] + idg[a] * od[bb]
+                else:
+                    coeff *= od[a] * idg[a]
+                if coeff != 0:
+                    coeff /= n**2
+                    coeff /= m
+                    coeff *= colnorm[ci] ** 2
+                q += cov - coeff
+    return q / m
+
+
+def extended_modularity_npnb08_bruteforce(edges, n, cover):
+    """All-ordered-pairs loop of ExtendedModularityMetricNPNB08.java:21-69."""
+    W = adj_matrix(edges, n)
+    adj = (W != 0).astype(float)
+    m = len(edges)
+    if m == 0:
+        return 0.0
+    idg = adj.sum(axis=0)
+    q = 0.0
+    for a in range(n):
+        for bb in range(n):
+            com = 0.0
+            for c, val in cover.get(a, {}).items():
+                if c in cover.get(bb, {}):
+                    com += val * cover[bb][c]
+            q += (adj[a, bb] - idg[a] * idg[bb] / (2 * m)) * com
+    return q / (2 * m)
+
+
+def overlapping_nmi_bruteforce(cover1, cover2, n):
+    """Transliteration of ExtendedNormalizedMutualInformationMetric.java."""
+
+    def columns(cover):
+        cols = {}
+        for v, mem in cover.items():
+            for c, val in mem.items():
+                if val != 0:
+                    cols.setdefault(c, set()).add(v)
+        return cols
+
+    def cond_entropy(cols1, cols2):
+        total = 0.0
+        for c1, mem1 in sorted(cols1.items()):
+            best = np.inf
+            s1 = len(mem1)
+            for c2, mem2 in sorted(cols2.items()):
+                s2 = len(mem2)
+                shared = len(mem1 & mem2)
+                joined = len(mem1 | mem2)
+                p_y0 = (n - s2) / n
+                p_y1 = s2 / n
+                ps = {}
+                ps["x0y0"] = (n - joined) / n / p_y0 if p_y0 else 0.0
+                ps["x1y0"] = (s1 - shared) / n / p_y0 if p_y0 else 0.0
+                ps["x0y1"] = (s2 - shared) / n / p_y1 if p_y1 else 0.0
+                ps["x1y1"] = shared / n / p_y1 if p_y1 else 0.0
+                h = {k: (-p * np.log2(p) if p > 0 else 0.0) for k, p in ps.items()}
+                if h["x0y0"] + h["x1y1"] >= h["x1y0"] + h["x0y1"]:
+                    ent = (h["x0y0"] + h["x1y0"]) * p_y0 + (h["x0y1"] + h["x1y1"]) * p_y1
+                    best = min(best, ent)
+            if best == np.inf:
+                best = 1.0
+            else:
+                p0, p1 = (n - s1) / n, s1 / n
+                ce = sum(-p * np.log2(p) for p in (p0, p1) if p > 0)
+                best = best / ce if ce > 0 else 1.0
+            total += best
+        return total / len(cols1) if cols1 else 1.0
+
+    c1, c2 = columns(cover1), columns(cover2)
+    return 1.0 - 0.5 * cond_entropy(c1, c2) - 0.5 * cond_entropy(c2, c1)
+
+
 def triangle_counts(edges, n):
     """Per-vertex triangle counts on the undirected simple graph."""
     nbrs = [set() for _ in range(n)]

@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import oracles as O
+from fixtures import GOLDEN_EDGES, GOLDEN_N, random_graph, two_cliques_bridge
+from dmid_spark import graph as G
+from dmid_spark.metrics import (
+    community_sizes,
+    extended_modularity,
+    extended_modularity_npnb08,
+    filter_cover_threshold,
+    normalize_cover_rows,
+    overlapping_nmi,
+    spearman_degree_correlation,
+)
+
+COVER_SCHEMA = "node long, community long, degree double"
+
+
+def cover_df(spark, cover):
+    rows = [
+        (int(v), int(c), float(d))
+        for v, mem in cover.items()
+        for c, d in mem.items()
+        if d != 0
+    ]
+    return spark.createDataFrame(rows, COVER_SCHEMA)
+
+
+def two_community_cover(n, overlap=()):
+    half = n // 2
+    cov = {}
+    for v in range(n):
+        cov[v] = {0: 1.0} if v < half else {1: 1.0}
+    for v in overlap:
+        cov[v] = {0: 0.5, 1: 0.5}
+    return cov
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "golden", "random"])
+def test_extended_modularity_matches_bruteforce(spark, name):
+    rows, n = {
+        "two_cliques": two_cliques_bridge(),
+        "golden": (GOLDEN_EDGES, GOLDEN_N),
+        "random": random_graph(n=40, seed=41),
+    }[name]
+    edges = G.edges_from_rows(spark, rows)
+    cover = two_community_cover(n, overlap=(0, n - 1))
+    got = extended_modularity(edges, cover_df(spark, cover))
+    exp = O.extended_modularity_bruteforce(rows, n, cover)
+    assert got == pytest.approx(exp, abs=1e-10)
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "random"])
+def test_npnb08_modularity_matches_bruteforce(spark, name):
+    rows, n = {
+        "two_cliques": two_cliques_bridge(),
+        "random": random_graph(n=40, seed=43),
+    }[name]
+    edges = G.edges_from_rows(spark, rows)
+    cover = two_community_cover(n, overlap=(1,))
+    got = extended_modularity_npnb08(edges, cover_df(spark, cover))
+    exp = O.extended_modularity_npnb08_bruteforce(rows, n, cover)
+    assert got == pytest.approx(exp, abs=1e-10)
+
+
+def test_modularity_good_cover_beats_bad(spark):
+    rows, n = two_cliques_bridge()
+    edges = G.edges_from_rows(spark, rows)
+    good = two_community_cover(n)
+    bad = {v: {v % 2: 1.0} for v in range(n)}  # parity split: awful
+    q_good = extended_modularity(edges, cover_df(spark, good))
+    q_bad = extended_modularity(edges, cover_df(spark, bad))
+    assert q_good > q_bad
+
+
+def test_nmi_matches_bruteforce_and_bounds(spark):
+    n = 12
+    c1 = two_community_cover(n, overlap=(5, 6))
+    c2 = {v: {0: 1.0} if v < 7 else {1: 1.0} for v in range(n)}
+    got = overlapping_nmi(cover_df(spark, c1), cover_df(spark, c2), n)
+    exp = O.overlapping_nmi_bruteforce(c1, c2, n)
+    assert got == pytest.approx(exp, abs=1e-10)
+    # identical covers → NMI 1
+    same = overlapping_nmi(cover_df(spark, c1), cover_df(spark, c1), n)
+    assert same == pytest.approx(1.0, abs=1e-10)
+
+
+def test_community_sizes(spark):
+    cov = cover_df(spark, {0: {0: 1.0}, 1: {0: 0.5, 1: 0.5}, 2: {1: 0.2}})
+    got = {r["community"]: r["size"] for r in community_sizes(cov).collect()}
+    assert got == {0: 2, 1: 2}
+
+
+def test_normalize_cover_rows_with_singletons(spark):
+    cov = cover_df(spark, {0: {0: 2.0, 1: 2.0}, 1: {1: 5.0}})
+    verts = spark.createDataFrame([(0,), (1,), (2,), (3,)], "id long")
+    out = normalize_cover_rows(cov, verts)
+    got = {(r["node"], r["community"]): r["degree"] for r in out.collect()}
+    assert got[(0, 0)] == 0.5 and got[(0, 1)] == 0.5 and got[(1, 1)] == 1.0
+    # uncovered nodes 2, 3 get fresh singleton communities above max id 1
+    singles = {k: v for k, v in got.items() if k[0] in (2, 3)}
+    assert set(singles.values()) == {1.0}
+    assert {c for (_, c) in singles} == {2, 3}
+
+
+def test_filter_cover_threshold(spark):
+    cov = cover_df(spark, {0: {0: 0.9, 1: 0.05}, 1: {0: 0.02, 1: 0.03}})
+    out = filter_cover_threshold(cov, 0.1)
+    got = {(r["node"], r["community"]): r["degree"] for r in out.collect()}
+    # node 0: 0.05 < min(0.9, 0.1) dropped; node 1: row max 0.03 survives
+    assert got == {(0, 0): 0.9, (1, 1): 0.03}
+
+
+def test_spearman_on_correlated_graph(spark):
+    # chain graph: out-degree of src and in-degree of dst both constant 1 →
+    # ranks are a deterministic permutation; rho well-defined
+    rows, n = random_graph(n=60, seed=47)
+    edges = G.edges_from_rows(spark, rows)
+    rho = spearman_degree_correlation(edges)
+    assert -1.0 <= rho <= 1.0
+    # deterministic across runs
+    assert rho == spearman_degree_correlation(edges)

@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dmid_spark.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    resize_image,
+    synth_media_table,
+)
+from dmid_spark.sim import (
+    brute_force_topk,
+    cosine_near_duplicates,
+    ivf_build,
+    ivf_topk,
+)
+
+
+def emb_df(spark, n=80, dim=16, seed=3, clusters=4):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(clusters, dim))
+    rows = []
+    for i in range(n):
+        c = i % clusters
+        v = centers[c] + rng.normal(scale=0.05, size=dim)
+        rows.append((i, [float(x) for x in v], c))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+        rows,
+    )
+
+
+def np_topk(rows, qid, k):
+    vecs = {i: np.array(v) for i, v, _ in rows}
+    q = vecs[qid]
+    sims = []
+    for i, v in vecs.items():
+        if i == qid:
+            continue
+        cos = float(q @ v / max(np.linalg.norm(q) * np.linalg.norm(v), 1e-12))
+        sims.append((-cos, i))
+    sims.sort()
+    return [i for _, i in sims[:k]]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, rows = emb_df(spark)
+    queries = df.filter("vec_id < 3")
+    out = brute_force_topk(df, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for qid in range(3):
+        ranked = [nid for _, nid, _ in sorted(got[qid])]
+        # float32→float64 casting: compare against numpy on the same floats
+        exp = np_topk([(i, [np.float32(x) for x in v], c) for i, v, c in rows], qid, 5)
+        assert ranked == exp
+
+
+def test_ivf_topk_high_recall_on_clustered_data(spark):
+    df, rows = emb_df(spark, n=120, clusters=4)
+    assigned, cents = ivf_build(df, n_centroids=4)
+    assert assigned.count() == 120
+    queries = df.filter("vec_id < 8")
+    approx = ivf_topk(assigned, cents, queries, k=5, n_probe=2)
+    exact = brute_force_topk(df, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9  # tight clusters → probing 2/4 cells finds ~all
+
+
+def test_cosine_near_duplicates(spark):
+    df, rows = emb_df(spark, n=40, clusters=4)
+    pairs = cosine_near_duplicates(df, threshold=0.99, n_centroids=4)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got, "tight clusters should produce near-dup pairs"
+    # all reported pairs truly exceed the threshold
+    vecs = {i: np.array(v) for i, v, _ in rows}
+    for a, b in got:
+        cos = vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        assert cos >= 0.99 - 1e-6
+    # same-cluster pairs dominate
+    assert all(a % 4 == b % 4 for a, b in got)
+
+
+def test_multimodal_plumbing_fake_decode(spark):
+    media = synth_media_table(spark, n=48)
+    imgs = decode_image(media, impl="fake")
+    rows = imgs.collect()
+    assert rows
+    for r in rows[:5]:
+        assert len(r.pixels) == r.width * r.height * r.channels
+    # deterministic: same payload → same pixels
+    again = {r.media_id: r.pixels for r in decode_image(media, impl="fake").collect()}
+    assert again[rows[0].media_id] == rows[0].pixels
+
+    resized = resize_image(imgs, 8, 8).collect()
+    assert all(len(r.pixels) == 8 * 8 * r.channels for r in resized)
+
+    feats = extract_features(imgs, dim=16).collect()
+    assert all(len(r.features) == 16 for r in feats)
+    assert all(abs(sum(r.features) - 1.0) < 1e-6 for r in feats)
+
+    frames = frame_sample(media, every=5).collect()
+    assert frames and all(r.frame_index % 5 == 0 for r in frames)
+
+
+def test_multimodal_real_impl_raises_cleanly(spark):
+    media = synth_media_table(spark, n=4)
+    with pytest.raises(Exception) as ei:
+        decode_image(media, impl="real").collect()
+    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)

@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dmid_spark.text import (
+    doc_fingerprint,
+    exact_duplicates,
+    language_id,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    simhash_near_duplicates,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "completely different content about spark dataframes and catalyst optimizer"),
+    (4, "el rapido zorro marron salta sobre el perro perezoso de la ciudad"),
+    (5, "der schnelle braune fuchs springt uber den faulen hund und der baum ist gross"),
+    (6, ""),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_shingles(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return set(" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0)))
+    return set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(docs_df(spark))
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(0, 0, 2), (1, 0, 2)]
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    sigs = minhash_signatures(docs_df(spark), num_hashes=32)
+    pairs = minhash_lsh_candidates(sigs, bands=8)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0  # identical docs: all minhashes equal
+    assert (0, 2) in got and got[(0, 2)] > 0.5  # near dup lands in a shared band
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_est_tracks_true_jaccard(spark):
+    sigs = minhash_signatures(docs_df(spark), num_hashes=32)
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_candidates(sigs, bands=16).collect()}
+    for (a, b), est in pairs.items():
+        sa, sb = py_shingles(DOCS[a][1]), py_shingles(DOCS[b][1])
+        true_j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert abs(est - true_j) < 0.35  # 32 hashes → coarse but correlated
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = ngram_jaccard_pairs(docs_df(spark), threshold=0.2)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    exp = {}
+    for a, b in combinations(range(len(DOCS)), 2):
+        sa, sb = py_shingles(DOCS[a][1]), py_shingles(DOCS[b][1])
+        if sa & sb:
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.2:
+                exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k])
+
+
+def test_simhash_near_duplicates(spark):
+    sims = simhash(docs_df(spark).filter("text <> ''"))
+    vals = {r.doc_id: r.simhash for r in sims.collect()}
+    assert vals[0] == vals[1]  # identical text → identical simhash
+    pairs = simhash_near_duplicates(sims, max_hamming=16)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got  # near dup within hamming 16
+    assert (0, 3) not in got  # unrelated text far away
+
+
+def test_language_id(spark):
+    out = language_id(docs_df(spark))
+    got = {r.doc_id: r.lang_pred for r in out.collect()}
+    assert got[0] == "en" and got[1] == "en"
+    assert got[4] == "es"
+    assert got[5] == "de"
+    assert got[6] == "und"
+
+
+def test_quality_scores(spark):
+    out = quality_scores(docs_df(spark))
+    rows = {r.doc_id: r for r in out.collect()}
+    r0 = rows[0]
+    assert r0.n_tokens == 14
+    assert r0.stopword_ratio == pytest.approx(3 / 14)  # 'the' x3
+    assert rows[6].n_tokens == 0 and rows[6].quality_score < 1.0
+    assert 0 < r0.quality_score <= 1.0
+
+
+def test_doc_fingerprint_stability(spark):
+    fp = doc_fingerprint(docs_df(spark).filter("text <> ''"), k=8)
+    got = {r.doc_id: tuple(r.fingerprint) for r in fp.collect()}
+    assert got[0] == got[1]  # identical docs → identical fingerprint
+    shared02 = len(set(got[0]) & set(got[2]))
+    shared03 = len(set(got[0]) & set(got[3]))
+    assert shared02 > shared03  # near dup shares more sketch entries
