@@ -314,7 +314,7 @@ def q_ann_topk(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = _events(spark, sf_dir).select("user_id", F.col("ts").cast("long").alias("t"))
+    ev = _events(spark, sf_dir).select("user_id", F.col("ts").cast("timestamp").cast("long").alias("t"))
     w = Window.partitionBy("user_id").orderBy("t")
     s = ev.withColumn("pt", F.lag("t").over(w)).withColumn(
         "brk", F.when(F.col("pt").isNull() | (F.col("t") - F.col("pt") > 1800), 1).otherwise(0)
@@ -329,7 +329,7 @@ def q_tumbling(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
         ev.select(
-            F.floor(F.col("ts").cast("long") / 300).cast("long").alias("win"),
+            F.floor(F.col("ts").cast("timestamp").cast("long") / 300).cast("long").alias("win"),
             "event_type",
             "value",
         )

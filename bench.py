@@ -1,0 +1,165 @@
+"""Benchmark harness.
+
+Runs the engine's headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The link-graph workload runs on a deterministic synthetic co-occurrence
+graph (FIXTURES.md F8) derived from the corpus generator — identical bytes
+at every parallelism level, cached as parquet under BENCH/data. Detailed
+throughput numbers (supersteps/sec, edges-processed/sec per BASELINE.md)
+land in BENCH/last_run_<cpus>.json for the scaling report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# bench-graph scale knobs (deterministic; override for quick local runs)
+N_REPOS = int(os.environ.get("BENCH_REPOS", "20000"))
+N_COMMITS = int(os.environ.get("BENCH_COMMITS", "150000"))
+
+
+def get_bench_graph(spark):
+    """F8 bench graph: corpus → co-occurrence+import edges, cached parquet
+    (same bytes for every parallelism level)."""
+    from pyspark.sql import functions as F
+
+    from dmid_spark import corpus as C
+
+    path = os.path.join(REPO, "BENCH", "data", f"graph_r{N_REPOS}_c{N_COMMITS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        corpus = C.generate_corpus(
+            spark, n_repos=N_REPOS, n_commits=N_COMMITS, n_clusters=max(5, N_REPOS // 200)
+        )
+        edges, info = C.build_edges(corpus, max_fanout=32)
+        edges.repartition(CPUS).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from dmid_spark.session import get_spark
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import (
+        DmidParams,
+        connected_components,
+        dmid,
+        label_propagation,
+        pagerank,
+        triangle_counts,
+    )
+    from dmid_spark.sim import ivf_build, ivf_topk
+    from dmid_spark.text import minhash_lsh_candidates, minhash_signatures
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    t_all = time.time()
+    queries: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- link-graph workload on the F8 bench graph -----------------------
+    edges = timed("edge_build", lambda: get_bench_graph(spark)).persist()
+    n_edges = edges.count()
+    n_verts = G.num_vertices(edges)
+
+    ranks, pr_stats = timed(
+        "pagerank_1e6", lambda: pagerank(edges, tol=1e-6, mode="csr")
+    )
+    detail["pagerank"] = {
+        "iterations": pr_stats.iterations,
+        "converged": pr_stats.converged,
+        "supersteps_per_sec": round(pr_stats.supersteps_per_sec, 3),
+        "edges_per_sec": round(pr_stats.edges_per_sec, 1),
+    }
+
+    res = timed("dmid_full", lambda: dmid(edges, DmidParams(tol=1e-6, mode="csr")))
+    dm_wall = res.stats["wall_sec"]
+    dm_supersteps = (
+        res.stats["rw_iterations"] + 6 + 3 * res.stats["cascade"]["rounds"]
+    )
+    detail["dmid"] = {
+        "rw_iterations": res.stats["rw_iterations"],
+        "cascade_rounds": res.stats["cascade"]["rounds"],
+        "leaders": len(res.leaders),
+        "unassigned": res.unassigned,
+        "supersteps": dm_supersteps,
+        "supersteps_per_sec": round(dm_supersteps / dm_wall, 3),
+        "edges_per_sec": round(n_edges * dm_supersteps / dm_wall, 1),
+    }
+
+    labels, cc_stats = timed("connected_components", lambda: connected_components(edges))
+    detail["cc"] = {"rounds": cc_stats.rounds, "converged": cc_stats.converged}
+
+    timed("lpa_5iter", lambda: label_propagation(edges, max_iter=5, until_fixpoint=False)[0].count())
+
+    _, tri_stats = timed("triangles", lambda: triangle_counts(edges))
+    detail["triangles"] = {"total": tri_stats.total}
+
+    # --- training-data pipeline workload on the SF tables -----------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def run_minhash():
+        sigs = minhash_signatures(docs, shingle_n=3, num_hashes=32)
+        return minhash_lsh_candidates(sigs, bands=8).count()
+
+    n_cand = timed("minhash_lsh_dedup", run_minhash)
+    detail["minhash"] = {"candidate_pairs": int(n_cand)}
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def run_ann():
+        assigned, cents = ivf_build(emb, n_centroids=16)
+        return ivf_topk(assigned, cents, emb.limit(64), k=10, n_probe=4).count()
+
+    timed("ann_ivf_topk", run_ann)
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed(
+        "events_window_agg",
+        lambda: ev.groupBy(
+            F.floor(F.col("ts").cast("timestamp").cast("long") / 300), "event_type"
+        ).agg(F.count("*"), F.sum("value")).count(),
+    )
+
+    total = round(time.time() - t_all, 3)
+    result = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", f"last_run_{CPUS}.json"), "w") as f:
+        json.dump(
+            {
+                **result,
+                "cpus": CPUS,
+                "graph": {"edges": n_edges, "vertices": n_verts},
+                "detail": detail,
+            },
+            f,
+            indent=2,
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
