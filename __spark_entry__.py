@@ -60,7 +60,11 @@ WITH edges AS (
   WHERE (l_orderkey % {MOD}) <> (l_partkey % {MOD})
   GROUP BY 1, 2
 ),
-verts AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+verts AS (
+  -- explicit outer DISTINCT: under WITH RECURSIVE (x2/m3 oracles) DuckDB
+  -- does not dedup a bare top-level UNION inside a CTE body
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)
+),
 win AS (
   SELECT v.id, CAST(COALESCE(s.w, 0) AS DOUBLE) AS w_in
   FROM verts v LEFT JOIN (SELECT dst, SUM(weight) AS w FROM edges GROUP BY dst) s
@@ -181,6 +185,56 @@ def q_g8(spark, sf_dir):
     return global_leaders(fd, strict=True).select("id")
 
 
+def _corpus(spark, sf_dir):
+    """Deterministic corpus-shaped table (repo, path, commit, lang, content)
+    derived from the documents table — the same derivation as the corpus
+    CTE in the DuckDB oracles, so the engine's mandated input path
+    (BASELINE.json input_hint) runs under the value-hash gate."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.format_string("repo%04d", F.col("doc_id") % 37).alias("repo"),
+        F.format_string("p%d", F.col("doc_id")).alias("path"),
+        F.format_string("c%d", F.col("doc_id") % 211).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.col("text"),
+            F.format_string("\nimport repo%04d\n", (F.col("doc_id") * 7) % 37),
+        ).alias("content"),
+    ).withColumn("content_sha", F.sha2("content", 256))
+
+
+def q_corpus_edges(spark, sf_dir):
+    from dmid_spark.corpus import build_edges
+
+    edges, _info = build_edges(_corpus(spark, sf_dir), max_fanout=32, include_imports=True)
+    return edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def q_corpus_sha(spark, sf_dir):
+    from dmid_spark.corpus import verify_sha256
+
+    c = _corpus(spark, sf_dir)
+    violations = verify_sha256(c)
+    per_repo = c.groupBy("repo").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.min("content_sha").alias("min_sha"),
+        F.lit(violations).cast("long").alias("sha_violations"),
+    )
+    return per_repo
+
+
+def q_s10(spark, sf_dir):
+    from dmid_spark import graph as G
+
+    sparse = _edges(spark, sf_dir).select(
+        ((F.col("src") * 2654435761) % 2147483648).alias("src"),
+        ((F.col("dst") * 2654435761) % 2147483648).alias("dst"),
+        "weight",
+    )
+    _dense, id_map = G.densify_ids(sparse)
+    return id_map.select("orig_id", "dense_id")
+
+
 def q_s11(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
@@ -191,6 +245,35 @@ def q_s11(spark, sf_dir):
         .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .agg(F.count("*").cast("long").alias("weight"))
     )
+
+
+def q_g12(spark, sf_dir):
+    """One cascade adoption round (the G12 threshold game). Round 1 counts
+    at most one member (the leader itself) per community, so per-requester
+    fractions are 1/out_degree — threshold 0.001 keeps the check
+    non-vacuous on this dense co-occurrence graph; the real schedule is
+    exercised by the dmid_cover query + pytest."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms.dmid import (
+        cascade_adoption_round,
+        follower_degrees,
+        global_leaders,
+        influence_rows,
+    )
+
+    e = _edges(spark, sf_dir)
+    ls = _ls_df(spark, sf_dir).withColumnRenamed("ls", "value")
+    leaders = global_leaders(follower_degrees(influence_rows(e, ls)), strict=True)
+    members0 = leaders.select(
+        F.col("id").alias("node"), F.col("id").alias("community"), F.lit(1.0).alias("degree")
+    )
+    verts = G.vertices(e)
+    non_leaders = verts.join(leaders, "id", "left_anti").select(F.col("id").alias("node"))
+    out_deg = G.out_degrees(e).withColumnRenamed("id", "node")
+    joined = cascade_adoption_round(
+        e, members0, non_leaders, out_deg, r=1, threshold=0.001
+    )
+    return joined.select("node", "community", F.round("degree", 9).alias("degree"))
 
 
 def q_pagerank5(spark, sf_dir):
@@ -243,6 +326,66 @@ def q_community_sizes(spark, sf_dir):
     return community_sizes(cover).select(
         "community", F.col("size").cast("long").alias("size")
     )
+
+
+def _lpa_cover(spark, sf_dir):
+    return q_lpa1(spark, sf_dir).select(
+        F.col("id").alias("node"), F.col("label").alias("community"), F.lit(1.0).alias("degree")
+    )
+
+
+def _inf_cover(spark, sf_dir):
+    """Multi-membership cover from the influence rows (follower → candidate
+    communities weighted by influence) — exercises covers with several
+    nonzero entries per node. Degrees quantized for cross-engine identity."""
+    from dmid_spark.algorithms.dmid import influence_rows
+
+    e = _edges(spark, sf_dir)
+    ls = _ls_df(spark, sf_dir).withColumnRenamed("ls", "value")
+    return influence_rows(e, ls).select(
+        F.col("follower").alias("node"),
+        F.col("candidate").alias("community"),
+        F.round("influence", 9).alias("degree"),
+    )
+
+
+def q_m2(spark, sf_dir):
+    from dmid_spark.metrics import extended_modularity_npnb08
+
+    q = extended_modularity_npnb08(_edges(spark, sf_dir), _lpa_cover(spark, sf_dir))
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def q_m3(spark, sf_dir):
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import connected_components
+    from dmid_spark.metrics import overlapping_nmi
+
+    e = _edges(spark, sf_dir)
+    c1 = _lpa_cover(spark, sf_dir)
+    labels, _ = connected_components(e)
+    c2 = labels.select(
+        F.col("id").alias("node"), F.col("component").alias("community"), F.lit(1.0).alias("degree")
+    )
+    n = G.num_vertices(e)
+    nmi = overlapping_nmi(c1, c2, n)
+    return spark.createDataFrame([(round(nmi, 6),)], "nmi double")
+
+
+def q_m6(spark, sf_dir):
+    from dmid_spark import graph as G
+    from dmid_spark.metrics import normalize_cover_rows
+
+    e = _edges(spark, sf_dir)
+    out = normalize_cover_rows(_inf_cover(spark, sf_dir), G.vertices(e))
+    return out.select("node", "community", F.round("degree", 6).alias("degree"))
+
+
+def q_m7(spark, sf_dir):
+    from dmid_spark.metrics import filter_cover_threshold
+
+    out = filter_cover_threshold(_inf_cover(spark, sf_dir), threshold=1e-4)
+    return out.select("node", "community", F.round("degree", 9).alias("degree"))
 
 
 def q_spearman(spark, sf_dir):
@@ -298,6 +441,28 @@ def q_token_stats(spark, sf_dir):
         F.sum(toks).cast("long").alias("total_tokens"),
         F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
     )
+
+
+def q_fingerprint(spark, sf_dir):
+    from dmid_spark.text import document_fingerprints
+
+    fps = document_fingerprints(_docs(spark, sf_dir), ngram=3, window=4, hash_mode="md5")
+    return fps.select("doc_id", "fp")
+
+
+def q_ann_neardup(spark, sf_dir):
+    from dmid_spark.sim import brute_force_near_duplicates
+
+    emb = _emb(spark, sf_dir).filter("vec_id < 300")
+    out = brute_force_near_duplicates(emb, threshold=0.9)
+    return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_slpa(spark, sf_dir):
+    from dmid_spark.algorithms import slpa
+
+    cover, _ = slpa(_edges(spark, sf_dir), iterations=5, r=0.3, seed=42)
+    return cover.select("node", "community", F.round("degree", 6).alias("degree"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -408,16 +573,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_influence_filter": q_g6,
         "g7_follower_degree": q_g7,
         "g8_global_leaders": q_g8,
+        "g12_cascade_round1": q_g12,
+        "s10_densify_ids": q_s10,
         "s11_cooccurrence_pairs": q_s11,
+        "corpus_edge_build": q_corpus_edges,
+        "corpus_sha_invariant": q_corpus_sha,
         "x1_pagerank_5iter": q_pagerank5,
         "x1_pagerank_converged": q_pagerank_conv,
         "x2_connected_components": q_cc,
         "x3_lpa_1iter": q_lpa1,
         "x4_triangle_counts": q_triangles,
         "m1_extended_modularity": q_modularity,
+        "m2_modularity_npnb08": q_m2,
+        "m3_overlapping_nmi": q_m3,
         "m4_spearman_degree_corr": q_spearman,
         "m5_community_sizes": q_community_sizes,
+        "m6_normalize_cover": q_m6,
+        "m7_cover_threshold_filter": q_m7,
         "dmid_cover": q_dmid_cover,
+        "slpa_cover": q_slpa,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
@@ -425,7 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_token_stats": q_token_stats,
+        "text_fingerprint_winnow": q_fingerprint,
         "ann_cosine_topk": q_ann_topk,
+        "ann_cosine_neardup": q_ann_neardup,
         "ann_ivf_topk": q_ann_ivf,
         "events_sessionize": q_sessionize,
         "events_tumbling_window": q_tumbling,
@@ -473,6 +649,83 @@ pr{i} AS (
 )""")
         prev = f"pr{i}"
     return ",\n".join(steps) + f"\nSELECT id, ROUND(pr, 9) AS pr FROM {prev}"
+
+
+def _plogp(p: str) -> str:
+    return f"CASE WHEN ({p}) > 0 THEN -({p}) * log2({p}) ELSE 0.0 END"
+
+
+def _cond_ent_sql(x: str, y: str, out: str) -> str:
+    """Conditional-entropy CTE chain H(X|Y)norm for the NMI oracle —
+    transliterates dmid_spark/metrics/nmi.py against cover CTEs ``x``/``y``
+    (columns node, community); emits ``h_{out}(h)``."""
+    comm_ent = f"({_plogp('(nn.n - n1) / nn.n')} + {_plogp('n1 / nn.n')})"
+    return f"""
+s_{out}_x AS (SELECT community AS c1, CAST(COUNT(DISTINCT node) AS DOUBLE) AS n1 FROM {x} GROUP BY community),
+s_{out}_y AS (SELECT community AS c2, CAST(COUNT(DISTINCT node) AS DOUBLE) AS n2 FROM {y} GROUP BY community),
+sh_{out} AS (
+  SELECT a.community AS c1, b.community AS c2, CAST(COUNT(DISTINCT a.node) AS DOUBLE) AS shared
+  FROM {x} a JOIN {y} b ON a.node = b.node GROUP BY 1, 2
+),
+grid_{out} AS (
+  SELECT sx.c1, sx.n1, sy.c2, sy.n2, COALESCE(s.shared, 0) AS shared
+  FROM s_{out}_x sx CROSS JOIN s_{out}_y sy
+  LEFT JOIN sh_{out} s ON sx.c1 = s.c1 AND sy.c2 = s.c2
+),
+probs_{out} AS (
+  SELECT c1, n1,
+    (nn.n - n2) / nn.n AS py0,
+    n2 / nn.n AS py1,
+    CASE WHEN n2 < nn.n THEN ((nn.n - (n1 + n2 - shared)) / nn.n) / ((nn.n - n2) / nn.n) END AS px00,
+    CASE WHEN n2 < nn.n THEN ((n1 - shared) / nn.n) / ((nn.n - n2) / nn.n) END AS px10,
+    ((n2 - shared) / nn.n) / (n2 / nn.n) AS px01,
+    (shared / nn.n) / (n2 / nn.n) AS px11
+  FROM grid_{out} CROSS JOIN nn
+),
+hh_{out} AS (
+  SELECT c1, n1, py0, py1,
+    {_plogp('px00')} AS h00, {_plogp('px10')} AS h10,
+    {_plogp('px01')} AS h01, {_plogp('px11')} AS h11
+  FROM probs_{out}
+),
+minent_{out} AS (
+  SELECT c1, n1,
+    MIN(CASE WHEN h00 + h11 >= h10 + h01 THEN (h00 + h10) * py0 + (h01 + h11) * py1 END) AS min_ent
+  FROM hh_{out} GROUP BY c1, n1
+),
+per_{out} AS (
+  SELECT CASE WHEN min_ent IS NULL THEN 1.0
+              WHEN {comm_ent} > 0 THEN min_ent / {comm_ent}
+              ELSE 1.0 END AS norm_ent
+  FROM minent_{out} CROSS JOIN nn
+),
+h_{out} AS (SELECT AVG(norm_ent) AS h FROM per_{out})"""
+
+
+# LPA-1-iteration cover as CTEs (shared by the metric oracles)
+_LPA_COVER = """
+lpa_counts AS (SELECT e.dst AS v, e.src AS label, COUNT(*) AS c FROM edges e GROUP BY 1, 2),
+lpa_best AS (
+  SELECT v, label FROM (
+    SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn FROM lpa_counts
+  ) WHERE rn = 1
+),
+cover AS (
+  SELECT v.id AS node, CAST(COALESCE(b.label, v.id) AS BIGINT) AS community, 1.0 AS degree
+  FROM verts v LEFT JOIN lpa_best b ON v.id = b.v
+)"""
+
+# influence-rows cover (multi-membership) as CTEs; extends the g6 inf CTE
+_INF_COVER = """
+inf AS (
+  SELECT e.src AS follower, e.dst AS candidate, e.weight * lv.ls AS influence
+  FROM edges e
+  JOIN ls lv ON e.dst = lv.id
+  JOIN ls lu ON e.src = lu.id
+  LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  WHERE r.src IS NULL OR e.weight * lv.ls > r.weight * lu.ls
+),
+cov AS (SELECT follower AS node, candidate AS community, ROUND(influence, 9) AS degree FROM inf)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -547,6 +800,81 @@ fd AS (
 ),
 avgfd AS (SELECT SUM(fd)/COUNT(*) AS a FROM fd WHERE fd <> 0)
 SELECT id FROM fd CROSS JOIN avgfd WHERE fd > a""",
+        "g12_cascade_round1": _G + """
+, inf AS (
+  SELECT e.src AS follower, e.dst AS candidate, e.weight * lv.ls AS influence
+  FROM edges e
+  JOIN ls lv ON e.dst = lv.id
+  JOIN ls lu ON e.src = lu.id
+  LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  WHERE r.src IS NULL OR e.weight * lv.ls > r.weight * lu.ls
+),
+mx AS (SELECT follower, MAX(influence) AS m FROM inf GROUP BY follower),
+winners AS (
+  SELECT i.follower, i.candidate FROM inf i JOIN mx ON i.follower = mx.follower AND i.influence = mx.m
+),
+ks AS (SELECT follower, COUNT(*) AS k FROM winners GROUP BY follower),
+fd AS (
+  SELECT w.candidate AS id, SUM(1.0 / ks.k) AS fd
+  FROM winners w JOIN ks ON w.follower = ks.follower GROUP BY w.candidate
+),
+avgfd AS (SELECT SUM(fd)/COUNT(*) AS a FROM fd WHERE fd <> 0),
+leaders AS (SELECT id FROM fd CROSS JOIN avgfd WHERE fd > a),
+mem0 AS (SELECT id AS node, id AS community FROM leaders),
+odeg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS o FROM edges GROUP BY src),
+cnts AS (
+  SELECT e.src AS node, m.community, COUNT(*) AS cnt
+  FROM edges e JOIN mem0 m ON e.dst = m.node
+  WHERE e.src NOT IN (SELECT id FROM leaders)
+  GROUP BY 1, 2
+)
+SELECT c.node, c.community, 1.0 AS degree
+FROM cnts c JOIN odeg o ON c.node = o.node
+WHERE c.cnt / o.o > 0.001""",
+        "s10_densify_ids": _G + """
+, sparse AS (
+  SELECT DISTINCT id FROM (
+    SELECT (src * 2654435761) % 2147483648 AS id FROM edges
+    UNION SELECT (dst * 2654435761) % 2147483648 FROM edges
+  )
+)
+SELECT id AS orig_id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS dense_id
+FROM sparse""",
+        "corpus_edge_build": """
+WITH corpus AS (
+  SELECT CAST(doc_id % 37 AS BIGINT) AS node,
+         CAST(doc_id % 211 AS BIGINT) AS cmt,
+         CAST((doc_id * 7) % 37 AS BIGINT) AS imp
+  FROM documents
+),
+touched AS (SELECT DISTINCT cmt, node FROM corpus),
+fanout AS (SELECT cmt, COUNT(*) AS f FROM touched GROUP BY cmt),
+ok AS (SELECT t.cmt, t.node FROM touched t JOIN fanout f ON t.cmt = f.cmt AND f.f <= 32),
+pairs AS (
+  SELECT a.node AS src, b.node AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM ok a JOIN ok b ON a.cmt = b.cmt AND a.node < b.node
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, weight FROM pairs
+  UNION ALL SELECT dst, src, weight FROM pairs
+),
+imports AS (
+  SELECT node AS src, imp AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM corpus WHERE node <> imp GROUP BY 1, 2
+),
+unioned AS (SELECT * FROM sym UNION ALL SELECT * FROM imports)
+SELECT src, dst, ROUND(SUM(weight), 6) AS weight FROM unioned GROUP BY src, dst""",
+        "corpus_sha_invariant": """
+WITH corpus AS (
+  SELECT 'repo' || lpad(CAST(CAST(doc_id % 37 AS BIGINT) AS VARCHAR), 4, '0') AS repo,
+         sha256(text || chr(10) || 'import repo' ||
+                lpad(CAST(CAST((doc_id * 7) % 37 AS BIGINT) AS VARCHAR), 4, '0') || chr(10)) AS content_sha
+  FROM documents
+)
+SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_files, MIN(content_sha) AS min_sha,
+       CAST(0 AS BIGINT) AS sha_violations
+FROM corpus GROUP BY repo""",
         "s11_cooccurrence_pairs": """
 SELECT CAST(a.l_partkey AS BIGINT) AS src, CAST(b.l_partkey AS BIGINT) AS dst,
        CAST(COUNT(*) AS BIGINT) AS weight
@@ -621,6 +949,58 @@ degs AS (
 SELECT ROUND(SUM(COALESCE(ec.e_c, 0) - d.norm1 * d.norm1 * d.s_out * d.s_in
   / (nn.n * nn.n * m.m)) / ANY_VALUE(m.m), 6) AS modularity
 FROM degs d LEFT JOIN ec ON d.community = ec.community CROSS JOIN nn CROSS JOIN m""",
+        "m2_modularity_npnb08": _G + "," + _LPA_COVER + """,
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges),
+e_term AS (
+  SELECT SUM(cu.degree * cv.degree) AS e
+  FROM edges e
+  JOIN cover cu ON e.src = cu.node
+  JOIN cover cv ON e.dst = cv.node AND cv.community = cu.community
+),
+s_in AS (
+  SELECT c.community, SUM(c.degree * COALESCE(idg.i, 0)) AS s
+  FROM cover c
+  LEFT JOIN (SELECT dst, COUNT(*) AS i FROM edges GROUP BY dst) idg ON c.node = idg.dst
+  GROUP BY c.community
+)
+SELECT ROUND((COALESCE(e_term.e, 0) - (SELECT SUM(s * s) FROM s_in) / (2 * m.m)) / (2 * m.m), 6) AS modularity
+FROM e_term CROSS JOIN m""",
+        "m3_overlapping_nmi": _G.replace("WITH edges", "WITH RECURSIVE edges")
+        + ","
+        + _LPA_COVER
+        + """,
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT id AS node, id AS lbl FROM verts
+  UNION
+  SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+),
+covy AS (SELECT node, MIN(lbl) AS community FROM reach GROUP BY node),
+covx AS (SELECT node, community FROM cover),"""
+        + _cond_ent_sql("covx", "covy", "xy")
+        + ","
+        + _cond_ent_sql("covy", "covx", "yx")
+        + """
+SELECT ROUND(1.0 - 0.5 * hx.h - 0.5 * hy.h, 6) AS nmi FROM h_xy hx CROSS JOIN h_yx hy""",
+        "m6_normalize_cover": _G + "," + _INF_COVER + """,
+nz AS (SELECT * FROM cov WHERE degree <> 0),
+sums AS (SELECT node, SUM(degree) AS rs FROM nz GROUP BY node),
+norm AS (SELECT n.node, n.community, n.degree / s.rs AS degree FROM nz n JOIN sums s ON n.node = s.node),
+mx AS (SELECT COALESCE(MAX(community), -1) + 1 AS base FROM nz),
+uncov AS (SELECT v.id FROM verts v WHERE v.id NOT IN (SELECT node FROM nz)),
+singles AS (
+  SELECT id AS node,
+         CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 + (SELECT base FROM mx) AS BIGINT) AS community,
+         1.0 AS degree
+  FROM uncov
+)
+SELECT node, community, ROUND(degree, 6) AS degree FROM (
+  SELECT * FROM norm UNION ALL SELECT * FROM singles
+)""",
+        "m7_cover_threshold_filter": _G + "," + _INF_COVER + """,
+wm AS (SELECT node, community, degree, MAX(degree) OVER (PARTITION BY node) AS row_max FROM cov)
+SELECT node, community, ROUND(degree, 9) AS degree FROM wm
+WHERE degree >= LEAST(row_max, 0.0001) AND degree <> 0""",
         "m4_spearman_degree_corr": _G + """
 , e2 AS (
   SELECT e.src, e.dst,
@@ -686,6 +1066,29 @@ SELECT source,
   CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END) AS BIGINT) AS total_tokens,
   ROUND(AVG(length(text)), 6) AS avg_chars
 FROM documents GROUP BY source""",
+        "text_fingerprint_winnow": r"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS h
+  FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+)
+SELECT DISTINCT doc_id,
+  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+FROM grams""",
+        "ann_cosine_neardup": """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_dot_product(a.v, b.v) /
+         GREATEST(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 1e-12) AS cos
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, ROUND(cos, 6) AS cosine
+FROM p WHERE cos >= 0.9""",
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -715,8 +1118,9 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-        # x1_pagerank_converged, dmid_cover, dedup_minhash_lsh, dedup_simhash,
-        # ann_ivf_topk: iterative-to-convergence / hash-seeded / ANN-recall
-        # operators — intentionally no SQL twin (driver rows-only check);
-        # exactness is covered by the NumPy-oracle pytest suite instead.
+        # x1_pagerank_converged, dmid_cover, slpa_cover, dedup_minhash_lsh,
+        # dedup_simhash, ann_ivf_topk: iterative-to-convergence / hash-seeded
+        # / ANN-recall operators — intentionally no SQL twin (driver
+        # rows-only check); exactness is covered by the NumPy-oracle pytest
+        # suite instead.
     }

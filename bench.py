@@ -80,7 +80,7 @@ def main():
     n_verts = G.num_vertices(edges)
 
     ranks, pr_stats = timed(
-        "pagerank_1e6", lambda: pagerank(edges, tol=1e-6, mode="csr")
+        "pagerank_1e6", lambda: pagerank(edges, tol=1e-6, mode="csr_rdd")
     )
     detail["pagerank"] = {
         "iterations": pr_stats.iterations,
@@ -89,7 +89,7 @@ def main():
         "edges_per_sec": round(pr_stats.edges_per_sec, 1),
     }
 
-    res = timed("dmid_full", lambda: dmid(edges, DmidParams(tol=1e-6, mode="csr")))
+    res = timed("dmid_full", lambda: dmid(edges, DmidParams(tol=1e-6, mode="csr_rdd")))
     dm_wall = res.stats["wall_sec"]
     dm_supersteps = (
         res.stats["rw_iterations"] + 6 + 3 * res.stats["cascade"]["rounds"]
@@ -112,6 +112,11 @@ def main():
     _, tri_stats = timed("triangles", lambda: triangle_counts(edges))
     detail["triangles"] = {"total": tri_stats.total}
 
+    from dmid_spark.algorithms import slpa
+
+    n_slpa = timed("slpa_3iter", lambda: slpa(edges, iterations=3, r=0.2)[0].count())
+    detail["slpa"] = {"cover_rows": int(n_slpa)}
+
     # --- training-data pipeline workload on the SF tables -----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
@@ -121,6 +126,13 @@ def main():
 
     n_cand = timed("minhash_lsh_dedup", run_minhash)
     detail["minhash"] = {"candidate_pairs": int(n_cand)}
+
+    from dmid_spark.text import document_fingerprints
+
+    timed(
+        "fingerprint_winnow",
+        lambda: document_fingerprints(docs, ngram=3, window=4).count(),
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 

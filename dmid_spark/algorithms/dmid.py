@@ -70,7 +70,8 @@ class DmidParams:
     norm_axis: str = "dst"  # Giraph per-in-edges; RAWLPA 'src' (out-edges)
     weighted_degrees: bool = True  # RAWLPA uses unweighted in-degree
     max_rounds: int = 10_000
-    mode: str = "join"  # random-walk SpMV mode: 'join' | 'csr'
+    mode: str = "join"  # random-walk SpMV mode: 'join'|'csr'|'csr_rdd'|'jvm'
+    cascade_algo: str = "giraph"  # 'giraph' (3-phase master game) | 'rawlpa'
 
 
 @dataclass
@@ -124,26 +125,40 @@ def random_walk(
     """DA ← DA·T from uniform start to L1 convergence (or fixed bound)."""
     tol = -1.0 if params.rw_fixed_iters else params.tol
     max_iter = params.rw_fixed_iters or params.rw_max_iter
-    if params.mode == "csr":
-        buckets = K.build_csr_buckets(dis_edges, n)
+    if params.mode in ("csr", "csr_rdd", "jvm"):
+        if params.mode == "csr":
+            buckets = K.build_csr_buckets(dis_edges, n)
+            spmv, release = (
+                lambda v: K.spmv_csr_collect(buckets, v),
+                lambda: buckets.bucketed.unpersist(),
+            )
+        elif params.mode == "jvm":
+            jv = K.build_jvm_edges(dis_edges, n)
+            spmv, release = (lambda v: K.spmv_jvm_collect(jv, v), jv.unpersist)
+        else:
+            blocks = K.build_csr_rdd(dis_edges, n, shuffle=True)
+            spmv, release = (
+                lambda v: K.spmv_rdd_collect(blocks, v),
+                blocks.unpersist,
+            )
         x = np.full(n, 1.0 / n)
         stats = K.IterationStats()
         t0 = time.time()
         for i in range(1, max_iter + 1):
-            y = K.spmv_csr_collect(buckets, x)
+            t_it = time.time()
+            y = spmv(x)
             delta = float(np.abs(y - x).sum())
             stats.deltas.append(delta)
+            stats.iter_secs.append(time.time() - t_it)
             stats.iterations = i
             x = y
             if tol >= 0 and delta < tol:
                 stats.converged = True
                 break
         stats.wall_sec = time.time() - t0
-        buckets.bucketed.unpersist()
+        release()
         spark = dis_edges.sparkSession
-        da = spark.createDataFrame(
-            [(int(j), float(v)) for j, v in enumerate(x)], K.STATE_SCHEMA
-        )
+        da = K.dense_vector_df(dis_edges.sparkSession, x)
         return K.materialize(da), stats
 
     def step(xdf: DataFrame, i: int) -> DataFrame:
@@ -222,6 +237,48 @@ def global_leaders(fd: DataFrame, strict: bool = True) -> DataFrame:
 # ---------------------------------------------------------------------------
 # phase 3
 # ---------------------------------------------------------------------------
+def cascade_adoption_round(
+    edges: DataFrame,
+    members: DataFrame,
+    non_leader_verts: DataFrame,
+    out_deg: DataFrame,
+    r: int,
+    threshold: float | None = None,
+    ls_req: DataFrame | None = None,
+    restart_count: int = 0,
+    delta: float = 0.3,
+) -> DataFrame:
+    """One request/echo/adopt round (BasicDMIDComputation.java:32-66 /
+    LeadershipDMIDComputation.java:56-66): per non-leader requester v and
+    candidate community L not yet joined, count v's out-neighbors that are
+    members of L; v joins L iff count/out_degree(v) exceeds the threshold
+    (global ``threshold`` for the basic variant; per-vertex ``LS_v −
+    restarts·Δ`` when ``ls_req`` is given). Joiners get degree 1/r².
+    Returns the newly-joined rows ``(node, community, degree)``."""
+    mem = members.select(
+        F.col("node").alias("m_node"), F.col("community").alias("community")
+    )
+    counts = (
+        edges.join(mem, edges.dst == F.col("m_node"))
+        .groupBy(F.col("src").alias("node"), "community")
+        .agg(F.count("*").alias("cnt"))
+    )
+    counts = counts.join(non_leader_verts, "node", "left_semi").join(
+        members.select("node", "community"), ["node", "community"], "left_anti"
+    )
+    counts = counts.join(out_deg, "node")
+    if ls_req is not None:
+        counts = counts.join(ls_req, "node")
+        cond = (F.col("cnt") / F.col("out_deg")) > (
+            F.col("ls_v") - F.lit(restart_count * delta)
+        )
+    else:
+        cond = (F.col("cnt") / F.col("out_deg")) > F.lit(threshold)
+    return counts.filter(cond).select(
+        "node", "community", F.lit(1.0 / r**2).alias("degree")
+    )
+
+
 def cascade(
     edges: DataFrame,
     leaders: DataFrame,
@@ -281,31 +338,17 @@ def cascade(
             break
         stats["rounds"] += 1
         r += 1
-        # --- request/echo/adopt: count, per requester v and community L,
-        # the out-neighbors of v that are members of L
-        mem = members.select(
-            F.col("node").alias("m_node"), F.col("community").alias("community")
-        )
-        counts = (
-            edges.join(mem, edges.dst == F.col("m_node"))
-            .groupBy(F.col("src").alias("node"), "community")
-            .agg(F.count("*").alias("cnt"))
-        )
-        # only non-leader requesters, only communities not yet joined
-        counts = counts.join(non_leader_verts, "node", "left_semi").join(
-            members.select("node", "community"), ["node", "community"], "left_anti"
-        )
-        counts = counts.join(out_deg, "node")
-        if params.variant == "leadership":
-            counts = counts.join(ls_req, "node")
-            cond = (F.col("cnt") / F.col("out_deg")) > (
-                F.col("ls_v") - F.lit(restart_count * delta)
-            )
-        else:
-            cond = (F.col("cnt") / F.col("out_deg")) > F.lit(threshold)
         joins = K.materialize(
-            counts.filter(cond).select(
-                "node", "community", F.lit(1.0 / r**2).alias("degree")
+            cascade_adoption_round(
+                edges,
+                members,
+                non_leader_verts,
+                out_deg,
+                r,
+                threshold=threshold,
+                ls_req=ls_req if params.variant == "leadership" else None,
+                restart_count=restart_count,
+                delta=delta,
             )
         )
         n_joins = joins.count()
@@ -334,9 +377,146 @@ def cascade(
     return members, stats
 
 
+def rawlpa_cascade(
+    edges: DataFrame,
+    leaders: DataFrame,
+    verts: DataFrame,
+    delta: float = 0.1,
+    max_outer: int = 100,
+    max_inner: int = 10_000,
+) -> tuple[DataFrame, dict]:
+    """The sequential RAWLPA label-propagation phase (SURVEY.md §2.3 R6/R7),
+    transliterated from RandomWalkLabelPropagationAlgorithm.java:294-416 and
+    run for all leaders jointly as one DataFrame computation keyed by
+    community:
+
+    - outer do-while k = 1, 2, …: wipe all memberships, run every per-leader
+      cascade at threshold ``1 − k·delta``; repeat while the threshold used
+      is > 0 and not every vertex is assigned (:302-313) — so one final
+      round at threshold ≤ 0 does execute, exactly like the reference;
+    - inner rounds: candidates are predecessors of current members or of the
+      leader, never the leader of that same community (:396-416); a
+      candidate joins when the fraction of its out-neighbors that are the
+      leader or members who joined in a STRICTLY EARLIER round exceeds the
+      threshold (:362-371) — synchronous by construction;
+    - membership degree = 1/join_round² , leaders 1.0 (:465-486);
+    - ``allAssigned`` checks the membership maps only, so a leader that
+      never joins another community keeps the outer loop running (:430-452)
+      — faithful, including that quirk.
+
+    Returns (cover(node, community, degree), stats).
+    """
+    spark = edges.sparkSession
+    leaders = K.materialize(leaders)
+    if leaders.count() == 0:
+        return spark.createDataFrame([], COVER_SCHEMA), {"outer_rounds": 0}
+
+    out_deg = K.materialize(
+        G.out_degrees(edges).withColumnRenamed("id", "node")
+    )
+    n = verts.count()
+    leader_rows = leaders.select(
+        F.col("id").alias("node"), F.col("id").alias("community"), F.lit(0).alias("join_iter")
+    )
+    stats: dict = {"outer_rounds": 0, "thresholds": [], "inner_rounds": []}
+    members = None
+    for k in range(1, max_outer + 1):
+        threshold = 1 - k * delta
+        stats["outer_rounds"] = k
+        stats["thresholds"].append(threshold)
+        members = K.materialize(
+            spark.createDataFrame([], "node long, community long, join_iter int")
+        )
+        r = 0
+        while r < max_inner:
+            r += 1
+            behavior = members.unionByName(leader_rows)
+            # candidates: predecessors of behavior nodes for that community,
+            # not already members, never the community's own leader
+            cand = (
+                edges.join(
+                    behavior.select(F.col("node").alias("_b"), "community"),
+                    edges.dst == F.col("_b"),
+                )
+                .select(F.col("src").alias("node"), "community")
+                .distinct()
+                .join(members.select("node", "community"), ["node", "community"], "left_anti")
+                .filter(F.col("node") != F.col("community"))
+            )
+            # countable out-neighbors: the leader (join_iter 0) or members
+            # joined strictly before this round
+            targets = behavior.filter(F.col("join_iter") < r).select(
+                F.col("node").alias("_t"), "community"
+            )
+            cnt = (
+                edges.join(targets, edges.dst == F.col("_t"))
+                .groupBy(F.col("src").alias("node"), "community")
+                .agg(F.count("*").alias("cnt"))
+            )
+            # left join: a candidate with zero countable neighbors still has
+            # profitability 0, which passes a negative threshold (the
+            # reference's final do-while round can use one); out_deg == 0
+            # divides to null → never joins (Java NaN comparison)
+            joins = K.materialize(
+                cand.join(cnt, ["node", "community"], "left")
+                .join(out_deg, "node")
+                .filter(
+                    F.coalesce(F.col("cnt"), F.lit(0)) / F.col("out_deg")
+                    > F.lit(threshold)
+                )
+                .select("node", "community", F.lit(r).alias("join_iter"))
+            )
+            if joins.count() == 0:
+                break
+            members = K.materialize(members.unionByName(joins))
+        stats["inner_rounds"].append(r)
+        assigned = members.select("node").distinct().count()
+        if not (threshold > 0 and assigned < n):
+            break
+    cover = leader_rows.select(
+        "node", "community", F.lit(1.0).alias("degree")
+    ).unionByName(
+        members.select(
+            "node",
+            "community",
+            (F.lit(1.0) / (F.col("join_iter").cast("double") ** 2)).alias("degree"),
+        )
+    )
+    stats["unassigned"] = int(
+        verts.join(members.select(F.col("node").alias("id")), "id", "left_anti").count()
+    )
+    return K.materialize(cover), stats
+
+
 # ---------------------------------------------------------------------------
 # full pipeline
 # ---------------------------------------------------------------------------
+def rawlpa(
+    edges: DataFrame,
+    tol: float = 1e-6,
+    fixed_iters: int | None = None,
+    mode: str = "join",
+) -> "DmidResult":
+    """Sequential-RAWLPA parity pipeline (Metrics mode 6, Main.java:470-534;
+    detectOverlappingCommunities, RandomWalkLabelPropagationAlgorithm.java:61-84):
+    unweighted in-degrees (the :107 TODO), per-src column normalization of
+    the transposed matrix (:115-122), ``≥``-global-leaders (:277), Δ = 0.1
+    with the RAWLPA wipe-and-retry cascade (:302-313). ``fixed_iters=100``
+    reproduces the reference's fixed random-walk bound (:35); the default
+    converges to ``tol`` per the BASELINE.json rule."""
+    params = DmidParams(
+        tol=tol,
+        rw_fixed_iters=fixed_iters,
+        strict_global_leaders=False,
+        profitability_delta=0.1,
+        norm_axis="src",
+        weighted_degrees=False,
+        mode=mode,
+        cascade_algo="rawlpa",
+    )
+    return dmid(edges, params)
+
+
 def dmid(
     edges: DataFrame,
     params: DmidParams | None = None,
@@ -363,9 +543,14 @@ def dmid(
     inf = influence_rows(edges, ls)
     fd = K.materialize(follower_degrees(inf))
     leaders_df = global_leaders(fd, strict=params.strict_global_leaders)
-    cover, cascade_stats = cascade(
-        edges, leaders_df, verts, params, ls=ls, ckpt=ckpt
-    )
+    if params.cascade_algo == "rawlpa":
+        cover, cascade_stats = rawlpa_cascade(
+            edges, leaders_df, verts, delta=params.profitability_delta
+        )
+    else:
+        cover, cascade_stats = cascade(
+            edges, leaders_df, verts, params, ls=ls, ckpt=ckpt
+        )
     leaders = sorted(r["id"] for r in leaders_df.collect())
     return DmidResult(
         cover=cover,

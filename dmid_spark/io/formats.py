@@ -130,6 +130,94 @@ def read_cover_json(spark: SparkSession, path_or_df) -> DataFrame:
     )
 
 
+def read_ucinet(spark: SparkSession, path_or_df) -> tuple[DataFrame, DataFrame]:
+    """UCINET DL text → dense-id edge table (SURVEY.md §2.1 S6;
+    Main.formatGraphUCINETtoDMID, Main.java:546-586): an ``  directed <0|1>``
+    header toggles symmetrization, each ``    source <id>`` line plus its
+    following target line contributes one unit-weight edge, self-loops are
+    dropped, and ids are densified from 0 (``cleanBrokenIDs(graph, 0)``).
+    The format is inherently sequential (2-line records), so it parses on a
+    single partition exactly like the reference's BufferedReader — a test
+    utility, not a scale path. Returns (edges, id_map)."""
+    from .. import graph as G
+
+    lines = (
+        path_or_df if isinstance(path_or_df, DataFrame) else spark.read.text(path_or_df)
+    )
+    numbered = lines.coalesce(1).withColumn("ln", F.monotonically_increasing_id())
+    last_int = F.regexp_extract("value", r"(\d+)\s*$", 1)
+    directed_row = (
+        numbered.filter(F.col("value").startswith("  directed "))
+        .select(last_int.cast("int").alias("d"))
+        .first()
+    )
+    directed = bool(directed_row and directed_row["d"] == 1)
+    srcs = numbered.filter(F.col("value").startswith("    source ")).select(
+        F.col("ln"), last_int.cast("long").alias("src")
+    )
+    nxt = numbered.select((F.col("ln") - 1).alias("ln"), last_int.cast("long").alias("dst"))
+    pairs = (
+        srcs.join(nxt, "ln")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    if not directed:
+        pairs = pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    edges = pairs.withColumn("weight", F.lit(1.0))
+    return G.densify_ids(edges)
+
+
+def read_cover_and_graph(
+    spark: SparkSession, cover_lines, graph_lines
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """S9 (Main.readCoverAndGraph, Main.java:651-783): read a DMID cover and
+    its graph together, annotating per-node in/out degrees. Returns
+    (cover, edges, degrees(id, in_deg, out_deg))."""
+    from .. import graph as G
+
+    cover = read_cover_json(spark, cover_lines)
+    edges, verts = read_dmid_adjacency(spark, graph_lines)
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
+    degrees = (
+        verts.join(out_d, "id", "left")
+        .join(in_d, "id", "left")
+        .fillna(0, subset=["out_deg", "in_deg"])
+    )
+    return cover, edges, degrees
+
+
+def read_ground_truth_cover(
+    spark: SparkSession, path_or_df, id_map: DataFrame | None = None
+) -> DataFrame:
+    """M8 (Main.java:281-376): ground-truth cover reader — broken node ids
+    remapped through the ``densify_ids`` dictionary (the BrokenNodeList
+    analog) and community ids re-indexed densely from 0 in ascending
+    community-id order (the reference's growing-matrix column allocation)."""
+    from pyspark.sql import Window
+
+    cover = read_cover_json(spark, path_or_df)
+    if id_map is not None:
+        m = F.broadcast(id_map)
+        cover = cover.join(m, cover.node == m.orig_id).select(
+            F.col("dense_id").alias("node"), "community", "degree"
+        )
+    remap = (
+        cover.select("community")
+        .distinct()
+        .withColumn(
+            "community_idx",
+            F.dense_rank().over(Window.orderBy("community")).cast("long") - 1,
+        )
+    )
+    return cover.join(F.broadcast(remap), "community").select(
+        "node", F.col("community_idx").alias("community"), "degree"
+    )
+
+
 def cover_from_doca_lines(lines: DataFrame) -> DataFrame:
     """DOCA format (one community per line, whitespace-separated node ids)
     → cover(node, community, degree=1.0); community id = 0-based line

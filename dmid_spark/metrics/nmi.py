@@ -49,10 +49,13 @@ def _conditional_entropy(
     joined = F.col("n1") + F.col("n2") - F.col("shared")
     p_y0 = (nn - F.col("n2")) / nn
     p_y1 = F.col("n2") / nn
-    p_x0_y0 = (nn - joined) / nn / p_y0
-    p_x1_y0 = (F.col("n1") - F.col("shared")) / nn / p_y0
-    p_x0_y1 = (F.col("n2") - F.col("shared")) / nn / p_y1
-    p_x1_y1 = F.col("shared") / nn / p_y1
+    # explicit guards: a community covering all n nodes gives p_y0 = 0, and
+    # ANSI mode (Spark 4 default) raises on division by zero; null here
+    # flows through _plogp's otherwise(0.0), the reference's +inf→skip path
+    p_x0_y0 = F.when(F.col("n2") < nn, (nn - joined) / nn / p_y0)
+    p_x1_y0 = F.when(F.col("n2") < nn, (F.col("n1") - F.col("shared")) / nn / p_y0)
+    p_x0_y1 = F.when(F.col("n2") > 0, (F.col("n2") - F.col("shared")) / nn / p_y1)
+    p_x1_y1 = F.when(F.col("n2") > 0, F.col("shared") / nn / p_y1)
     h00, h10, h01, h11 = (_plogp(p) for p in (p_x0_y0, p_x1_y0, p_x0_y1, p_x1_y1))
     grid = grid.select(
         "c1",

@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # enough scan splits that shuffle-free per-partition kernels (CSR
+        # block build) use all cores even on modestly-sized parquet inputs
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         # iterative jobs re-read small state DataFrames many times
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,4 +1,5 @@
 from .ann import (  # noqa: F401
+    brute_force_near_duplicates,
     brute_force_topk,
     cosine_near_duplicates,
     ivf_build,

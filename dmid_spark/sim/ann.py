@@ -190,6 +190,30 @@ def ivf_topk(
     )
 
 
+def brute_force_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ threshold): the all-pairs
+    oracle for ``cosine_near_duplicates``. Quadratic — use only on bounded
+    subsets (tests/oracles); the IVF-blocked variant is the scale path."""
+    a = corpus.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / F.greatest(
+        _norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-12)
+    )
+    return pairs.select("doc_a", "doc_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def cosine_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,6 @@
+from .windows import (  # noqa: F401
+    stream_events,
+    sessionize_stream,
+    tumbling_counts_stream,
+    run_stream_to_memory,
+)

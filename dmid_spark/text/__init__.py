@@ -6,6 +6,10 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_near_duplicates,
 )
+from .fingerprint import (  # noqa: F401
+    document_fingerprints,
+    fingerprint_overlap_pairs,
+)
 from .quality import (  # noqa: F401
     doc_fingerprint,
     language_id,

@@ -294,6 +294,86 @@ def dmid(edges, n, variant="basic", tol=1e-6, max_iter=1000, strict_gl=True):
     }
 
 
+def rawlpa_cascade(edges, n, leaders, delta=0.1):
+    """RAWLPA label-propagation phase, transliterated from
+    RandomWalkLabelPropagationAlgorithm.java:294-416 + :465-486.
+
+    Returns cover dict {(node, community): degree}. Outer do-while wipes
+    memberships and retries at threshold 1 − k·delta (one final round at a
+    threshold ≤ 0 executes, matching the do-while); a candidate's
+    profitability counts out-neighbors that are the leader or joined in a
+    strictly earlier inner round; allAssigned inspects only the membership
+    maps (leaders' implicit self-membership does NOT count)."""
+    out = {u: [] for u in range(n)}
+    preds = {u: set() for u in range(n)}
+    for s, d, _w in edges:
+        out[s].append(d)
+        preds[d].add(s)
+    leaders = sorted(leaders)
+    communities = {}
+    k = 0
+    while True:
+        k += 1
+        threshold = 1 - k * delta
+        communities = {}
+        for L in leaders:
+            mem = {}
+            it = 0
+            while True:
+                it += 1
+                prev = len(mem)
+                cands = {u for u in preds[L] if u not in mem}
+                for mnode in list(mem):
+                    for u in preds[mnode]:
+                        if u != L and u not in mem:
+                            cands.add(u)
+                for u in cands:
+                    deg = len(out[u])
+                    if deg == 0:
+                        continue  # Java: 0/0 = NaN, NaN > t is false
+                    prof = 0
+                    for v in out[u]:
+                        ji = mem.get(v)
+                        if v == L or (ji is not None and ji < it):
+                            prof += 1
+                    if prof / deg > threshold:
+                        mem[u] = it
+                if len(mem) == prev:
+                    break
+            communities[L] = mem
+        all_assigned = all(
+            any(v in m for m in communities.values()) for v in range(n)
+        )
+        if not (threshold > 0 and not all_assigned):
+            break
+    cover = {}
+    for L in leaders:
+        cover[(L, L)] = 1.0
+        for node, it in communities[L].items():
+            cover[(node, L)] = 1.0 / it**2
+    return cover
+
+
+def rawlpa_full(edges, n, tol=1e-6, fixed_iters=None, max_iter=1000):
+    """Full sequential RAWLPA (Metrics mode 6): unweighted degrees, per-src
+    normalization, ≥ global leaders, Δ=0.1 wipe-and-retry cascade."""
+    T = dis_matrix(edges, n, norm_axis="src", weighted=False)
+    if fixed_iters:
+        da = random_walk_fixed(T, fixed_iters)
+        iters, converged = fixed_iters, False
+    else:
+        da, iters, converged = random_walk(T, tol=tol, max_iter=max_iter)
+    ls = leadership(edges, n, da, weighted=False)
+    inf = influences(edges, n, ls)
+    fd = follower_degrees(inf, n)
+    gl = global_leaders(fd, strict=False)
+    cover = rawlpa_cascade(edges, n, gl, delta=0.1)
+    return {
+        "da": da, "ls": ls, "fd": fd, "leaders": gl, "cover": cover,
+        "rw_iterations": iters, "rw_converged": converged,
+    }
+
+
 # ---------------------------------------------------------------------------
 # standard algorithms (BASELINE.json §2.6)
 # ---------------------------------------------------------------------------

@@ -56,8 +56,9 @@ def test_pagerank_modes_agree(spark):
     rows, n = random_graph(n=150, seed=31)
     edges = G.edges_from_rows(spark, rows)
     r1, _ = pagerank(edges, tol=1e-8, mode="join")
-    r2, _ = pagerank(edges, tol=1e-8, mode="csr")
-    assert np.allclose(vec(r1, n), vec(r2, n), atol=1e-12)
+    for mode in ("csr", "csr_rdd", "jvm"):
+        r2, _ = pagerank(edges, tol=1e-8, mode=mode)
+        assert np.allclose(vec(r1, n), vec(r2, n), atol=1e-12), mode
 
 
 @pytest.mark.parametrize("name", ["golden", "two_cliques", "ring", "star", "path", "random"])

@@ -14,7 +14,7 @@ from fixtures import (
     two_cliques_bridge,
 )
 from dmid_spark import graph as G
-from dmid_spark.algorithms import dmid, DmidParams
+from dmid_spark.algorithms import dmid, rawlpa, DmidParams
 from dmid_spark.algorithms.dmid import (
     disassortativity_edges,
     follower_degrees,
@@ -172,3 +172,33 @@ def test_dmid_cascade_checkpoint_lineage(spark, tmp_ckpt_dir):
     last = recs[-1]["metrics"]
     assert {"round", "threshold", "restart_count", "new_members", "unassigned"} <= set(last)
     assert last["unassigned"] == res.unassigned
+
+
+@pytest.mark.parametrize("name", ["golden", "two_cliques", "path", "star"])
+def test_rawlpa_matches_oracle(spark, name):
+    """Full sequential-RAWLPA parity (Metrics mode 6): unweighted degrees,
+    per-src normalization, '>=' leaders, Δ=0.1 wipe-and-retry cascade with
+    strictly-earlier-joiner counting."""
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    res = rawlpa(edges, tol=1e-8)
+    exp = O.rawlpa_full(rows, n, tol=1e-8)
+    assert sorted(res.leaders) == sorted(exp["leaders"])
+    got_cover = {
+        (r["node"], r["community"]): r["degree"] for r in res.cover.collect()
+    }
+    assert set(got_cover) == set(exp["cover"])
+    for key, deg in exp["cover"].items():
+        assert abs(got_cover[key] - deg) < 1e-9, key
+
+
+def test_rawlpa_fixed_iteration_parity(spark):
+    """rw_fixed_iters=100 reproduces the reference's fixed random-walk bound
+    (RandomWalkLabelPropagationAlgorithm.java:35)."""
+    rows, n = GRAPHS["two_cliques"]
+    edges = G.edges_from_rows(spark, rows)
+    res = rawlpa(edges, fixed_iters=100)
+    exp = O.rawlpa_full(rows, n, fixed_iters=100)
+    got_da = vec(res.da, n)
+    assert np.allclose(got_da, exp["da"], atol=1e-9)
+    assert sorted(res.leaders) == sorted(exp["leaders"])

@@ -74,3 +74,65 @@ def test_cover_from_doca(spark):
     # node 2 is in both communities (overlap preserved)
     n2 = cov.filter("node = 2").select("community").distinct().count()
     assert n2 == 2
+
+
+def test_read_ucinet(spark):
+    """S6 (Main.java:546-586): 2-line records, directed flag, self-loop
+    drop, id densification from 0."""
+    from dmid_spark.io import read_ucinet
+
+    text = "\n".join(
+        [
+            "dl n=4",
+            "  directed 0",
+            "    source 10",
+            "    target 30",
+            "    source 30",
+            "    target 99",
+            "    source 10",
+            "    target 10",  # self-loop dropped
+        ]
+    )
+    lines = spark.createDataFrame([(l,) for l in text.split("\n")], "value string")
+    edges, id_map = read_ucinet(spark, lines)
+    m = {r["orig_id"]: r["dense_id"] for r in id_map.collect()}
+    assert m == {10: 0, 30: 1, 99: 2}
+    got = sorted((r["src"], r["dst"], r["weight"]) for r in edges.collect())
+    # undirected → symmetrized
+    assert got == [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_read_cover_and_graph_degrees(spark):
+    from dmid_spark.io import read_cover_and_graph
+
+    graph_lines = spark.createDataFrame(
+        [("[0,[[1,1.0],[2,2.0]]]",), ("[1,[[2,1.0]]]",), ("[2,[]]",)],
+        "value string",
+    )
+    cover_lines = spark.createDataFrame(
+        [("[0,[[0,1.0]]]",), ("[1,[[0,0.5],[2,0.5]]]",), ("[2,[[2,1.0]]]",)],
+        "value string",
+    )
+    cover, edges, degrees = read_cover_and_graph(spark, cover_lines, graph_lines)
+    assert cover.count() == 4
+    d = {r["id"]: (r["out_deg"], r["in_deg"]) for r in degrees.collect()}
+    assert d == {0: (2, 0), 1: (1, 1), 2: (0, 2)}
+
+
+def test_read_ground_truth_cover_remap(spark):
+    """M8 (Main.java:281-376): broken-id remap + dense community re-index."""
+    from dmid_spark import graph as G
+    from dmid_spark.io import read_ground_truth_cover
+
+    raw_edges = G.edges_from_rows(spark, [(10, 30, 1.0), (30, 99, 1.0)])
+    _, id_map = G.densify_ids(raw_edges)
+    cover_lines = spark.createDataFrame(
+        [("[10,[[7,1.0]]]",), ("[30,[[7,0.25],[42,0.75]]]",), ("[99,[[42,1.0]]]",)],
+        "value string",
+    )
+    got = sorted(
+        (r["node"], r["community"], r["degree"])
+        for r in read_ground_truth_cover(spark, cover_lines, id_map).collect()
+    )
+    # ids 10/30/99 → 0/1/2; communities 7/42 → 0/1
+    assert got == [(0, 0, 1.0), (1, 0, 0.25), (1, 1, 0.75), (2, 1, 1.0)]

@@ -44,6 +44,21 @@ def test_spmv_csr_matches_join(spark):
     buckets.bucketed.unpersist()
 
 
+def test_spmv_rdd_and_jvm_match_join(spark):
+    rows, n = random_graph(n=60, seed=13)
+    edges = G.edges_from_rows(spark, rows)
+    x = np.linspace(0.5, 2.0, n)
+    exp = x @ O.adj_matrix(rows, n)
+    blocks = K.build_csr_rdd(edges, n, num_parts=4)
+    got_rdd = K.spmv_rdd_collect(blocks, x)
+    blocks.unpersist()
+    assert np.allclose(got_rdd, exp)
+    jv = K.build_jvm_edges(edges, n, num_parts=4)
+    got_jvm = K.spmv_jvm_collect(jv, x)
+    jv.unpersist()
+    assert np.allclose(got_jvm, exp)
+
+
 def test_iterate_converges_and_checkpoints(spark, tmp_ckpt_dir):
     rows, n = GOLDEN_EDGES, GOLDEN_N
     edges = G.edges_from_rows(spark, rows)
