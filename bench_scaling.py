@@ -64,6 +64,7 @@ out["pagerank"] = {
     "edges_per_sec": round(m * st.iterations / wall, 1),
     "steady_superstep_sec": round(steady(st.iter_secs), 3),
     "steady_edges_per_sec": round(m / steady(st.iter_secs), 1),
+    "iter_secs": [round(t, 3) for t in st.iter_secs],
 }
 
 t0 = time.time()
@@ -83,11 +84,40 @@ out["dmid_rw"] = {
     "edges_per_sec": round(m * rw.iterations / wall, 1),
     "steady_superstep_sec": round(steady(rw.iter_secs), 3),
     "steady_edges_per_sec": round(m / steady(rw.iter_secs), 1),
+    "iter_secs": [round(t, 3) for t in rw.iter_secs],
 }
 with open(os.path.join(os.environ["SCALE_REPO"], "BENCH", f"scaling_run_{cores}.json"), "w") as f:
     json.dump(out, f, indent=2)
 print(json.dumps(out))
 """
+
+
+def _burn_mem(_):
+    """Streaming (memory-bound) unit of work — the SpMV regime."""
+    import time as T
+
+    import numpy as np
+
+    a = np.random.default_rng(1).random(2_000_000)
+    t0 = T.time()
+    s = 0.0
+    for _ in range(30):
+        s += float((a * a).sum())
+    return T.time() - t0
+
+
+def _burn_cpu(_):
+    """Cache-resident (compute-bound) unit of work."""
+    import time as T
+
+    import numpy as np
+
+    a = np.random.default_rng(1).random(40_000)
+    t0 = T.time()
+    s = 0.0
+    for _ in range(800):
+        s += float((a * a + 0.5).sum())
+    return T.time() - t0
 
 
 def hardware_ceiling(pairs) -> dict:
@@ -98,30 +128,7 @@ def hardware_ceiling(pairs) -> dict:
 
     import numpy as np
 
-    def burn_mem(_):
-        import time as T
-
-        import numpy as np
-
-        a = np.random.default_rng(1).random(2_000_000)
-        t0 = T.time()
-        s = 0.0
-        for _ in range(30):
-            s += float((a * a).sum())
-        return T.time() - t0
-
-    def burn_cpu(_):
-        import time as T
-
-        import numpy as np
-
-        a = np.random.default_rng(1).random(40_000)
-        t0 = T.time()
-        s = 0.0
-        for _ in range(800):
-            s += float((a * a + 0.5).sum())
-        return T.time() - t0
-
+    burn_mem, burn_cpu = _burn_mem, _burn_cpu
     levels = sorted({c for p in pairs for c in p})
     thr = {}
     for fn, key in ((burn_mem, "mem"), (burn_cpu, "cpu")):
@@ -170,8 +177,14 @@ def run(cpus: int, graph: str) -> dict:
 def main():
     levels = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
     pairs = [(lo, hi) for lo, hi in zip(levels, levels[1:])]
-    graph = ensure_graph()
-    results = {c: run(c, graph) for c in levels}
+    if os.environ.get("SCALE_SKIP_JOBS"):  # reuse existing scaling_run jsons
+        results = {}
+        for c in levels:
+            with open(os.path.join(REPO, "BENCH", f"scaling_run_{c}.json")) as f:
+                results[c] = json.load(f)
+    else:
+        graph = ensure_graph()
+        results = {c: run(c, graph) for c in levels}
     print("--- hardware ceiling microbenchmark ---", flush=True)
     ceil = hardware_ceiling(pairs)
 

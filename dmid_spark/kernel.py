@@ -296,6 +296,37 @@ def out_weight_vector(edges: DataFrame, n: int, weighted: bool = True) -> np.nda
 
 
 # --------------------------------------------------------------------------
+# skew handling: salted two-stage aggregation
+# --------------------------------------------------------------------------
+def salted_group_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "value",
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-tolerant sum: ``groupBy(keys, salt)`` partial → ``groupBy(keys)``
+    final (the north_star's salted high-degree-vertex handling).
+
+    Spark's hash aggregate already map-side-combines algebraic aggregates,
+    so plain ``groupBy(dst).sum()`` tolerates hub vertices in the SpMV path
+    — this helper is for the cases partial aggregation does NOT cover:
+    (a) aggregating immediately after an exchange that clustered a hot key
+    into one task (e.g. a repartition('dst') layout reused across
+    supersteps), and (b) pre-reducing before a shuffle whose single hot-key
+    partition would otherwise exceed a task's memory. The salt is a
+    deterministic hash of the full row content (xxhash64 of all columns),
+    so results are reproducible at any parallelism."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.sum(value_col).alias("_partial"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(out_col))
+
+
+# --------------------------------------------------------------------------
 # JVM-resident SpMV: broadcast state vector, edges never leave the JVM
 # --------------------------------------------------------------------------
 @dataclass

@@ -88,6 +88,19 @@ def test_nmi_matches_bruteforce_and_bounds(spark):
     assert same == pytest.approx(1.0, abs=1e-10)
 
 
+def test_nmi_full_cover_community(spark):
+    """One community covering every node makes p(Y=0) = 0 — the conditional
+    probabilities must guard the division (Spark 4 ANSI mode raises on
+    divide-by-zero; the reference's path yields entropy 0 there). Matches
+    the brute-force oracle and degenerates to 0 vs a partition of itself."""
+    n = 10
+    full = {v: {0: 1.0} for v in range(n)}  # single all-node community
+    parts = {v: {0: 1.0} if v < 5 else {1: 1.0} for v in range(n)}
+    got = overlapping_nmi(cover_df(spark, parts), cover_df(spark, full), n)
+    exp = O.overlapping_nmi_bruteforce(parts, full, n)
+    assert got == pytest.approx(exp, abs=1e-10)
+
+
 def test_community_sizes(spark):
     cov = cover_df(spark, {0: {0: 1.0}, 1: {0: 0.5, 1: 0.5}, 2: {1: 0.2}})
     got = {r["community"]: r["size"] for r in community_sizes(cov).collect()}
