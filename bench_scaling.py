@@ -68,15 +68,17 @@ out["pagerank"] = {
 }
 
 t0 = time.time()
-verts = K.materialize(G.vertices(edges))
-w_in = K.materialize(G.weighted_in_degrees(edges))
-dis = K.materialize(disassortativity_edges(edges, w_in))
+# lazy all the way into the CSR block build (shuffle=True): the dis plan
+# (degree agg + joins + per-dst normalization) computes exactly once inside
+# the build instead of paying an extra 77M-row materialization first
+w_in = G.weighted_in_degrees(edges)
+dis = disassortativity_edges(edges, w_in)
 # fixed Giraph bound (DMIDComputation.java:72): the dst-normalized matrix is
 # column-stochastic, so a tol-driven run converges in ONE step and would
 # measure only fixed costs; 10 fixed supersteps measure the SpMV kernel
 # exactly like the reference's RW_ITERATIONBOUND does
 params = DmidParams(rw_fixed_iters=10, mode="csr_rdd")
-da, rw = random_walk(dis, verts, n, params)
+da, rw = random_walk(dis, None, n, params)
 wall = time.time() - t0
 out["dmid_rw"] = {
     "iterations": rw.iterations, "wall": round(wall, 2),

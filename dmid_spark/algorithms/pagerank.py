@@ -82,8 +82,17 @@ def pagerank(
     """Returns (ranks(id, value), stats). Σ value = 1 at convergence."""
     t0 = time.time()
     spark = edges.sparkSession
-    verts = K.materialize(G.vertices(edges))
-    n = verts.count()
+    if mode == "csr_rdd":
+        # dense ids are a precondition of this mode (bounds-checked in the
+        # block build), so n = max id + 1 — no 77M-row distinct needed;
+        # ids in [0, n) without edges are isolated vertices (teleport-only
+        # rank), which the dense state vector models exactly
+        hi = edges.agg(F.max(F.greatest("src", "dst")).alias("h")).first()["h"]
+        n = int(hi) + 1 if hi is not None else 0
+        verts = None
+    else:
+        verts = K.materialize(G.vertices(edges))
+        n = verts.count()
     m = edges.count()
     stats = PageRankStats(n_vertices=n, n_edges=m)
 
