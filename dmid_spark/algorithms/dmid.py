@@ -535,7 +535,11 @@ def dmid(
         .join(verts, "id", "right")
         .select("id", F.coalesce("w_in", F.lit(0.0)).alias("w_in"))
     )
-    dis = K.materialize(disassortativity_edges(edges, w_in, params.norm_axis))
+    dis = disassortativity_edges(edges, w_in, params.norm_axis)
+    if params.mode == "join":
+        # join mode re-reads dis every superstep — pin it; the block/cache
+        # builds of the other modes consume the plan exactly once
+        dis = K.materialize(dis)
     da, rw_stats = random_walk(dis, verts, n, params, ckpt=ckpt)
     ls = K.materialize(
         w_in.join(da, "id").select("id", (F.col("w_in") * F.col("value")).alias("value"))

@@ -1,0 +1,60 @@
+"""End-to-end spark-submit --py-files launch (the north_star launch mode):
+package the engine, submit the PageRank job against a real parquet edge
+table in a fresh JVM, read back the written ranks."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_pyfiles_pagerank(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fixtures import random_graph
+    from dmid_spark import graph as G
+    import oracles as O
+
+    rows, n = random_graph(n=80, seed=5)
+    edges_path = str(tmp_path / "edges")
+    G.edges_from_rows(spark, rows).write.parquet(edges_path)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1]
+    assert zip_path.endswith("dmid_spark.zip") and os.path.exists(zip_path)
+
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.modules["pyspark"].__file__)),
+        "pyspark", "bin", "spark-submit",
+    )
+    out_path = str(tmp_path / "ranks")
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_job.py"),
+            "pagerank", "--edges", edges_path, "--output", out_path,
+            "--tol", "1e-8", "--mode", "csr_rdd",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),  # NOT the repo root: --py-files must provide the pkg
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["converged"] is True
+
+    got_rows = spark.read.parquet(out_path).collect()
+    got = np.zeros(n)
+    for row in got_rows:
+        got[row["id"]] = row["value"]
+    exp, _, _ = O.pagerank(rows, n, tol=1e-8)
+    assert np.allclose(got, exp, atol=1e-6)

@@ -1,0 +1,102 @@
+"""spark-submit entry point for the engine's headline jobs.
+
+Cluster launch (north_star launch mode):
+
+    python tools/make_pyfiles.py            # → dist/dmid_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/dmid_spark.zip \
+        tools/run_job.py pagerank --edges s3://bucket/edges_parquet \
+        --output s3://bucket/ranks --tol 1e-6 --checkpoint s3://bucket/ckpt
+
+In this sandbox the same file runs under ``spark-submit --master local[N]``
+(exercised by tests/test_submit.py). The session comes from
+``SparkSession.builder.getOrCreate()`` so spark-submit's ``--master`` /
+``--conf`` flags govern; ``dmid_spark.session.get_spark`` is NOT used here
+on purpose — submit owns the config on a real cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="dmid_spark job runner")
+    p.add_argument("job", choices=["pagerank", "dmid", "rawlpa", "components", "corpus-edges"])
+    p.add_argument("--edges", help="parquet path of (src, dst, weight)")
+    p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--mode", default="csr_rdd")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--variant", default="basic")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"dmid_spark_{args.job}").getOrCreate()
+
+    from dmid_spark.checkpoint import CheckpointManager
+
+    ckpt = (
+        CheckpointManager(spark, args.checkpoint, args.job) if args.checkpoint else None
+    )
+    stats: dict = {}
+
+    if args.job == "corpus-edges":
+        from dmid_spark.corpus import build_edges, verify_sha256
+
+        corpus = spark.read.parquet(args.corpus)
+        if "content_sha" in corpus.columns:
+            violations = verify_sha256(corpus)
+            if violations:
+                raise SystemExit(f"sha256 ingest invariant violated on {violations} rows")
+            stats["sha_violations"] = 0
+        edges, info = build_edges(corpus)
+        edges.write.mode("overwrite").parquet(args.output)
+        stats.update(info)
+    else:
+        edges = spark.read.parquet(args.edges)
+        if args.job == "pagerank":
+            from dmid_spark.algorithms import pagerank
+
+            ranks, st = pagerank(
+                edges, tol=args.tol, mode=args.mode, ckpt=ckpt, resume=args.resume
+            )
+            ranks.write.mode("overwrite").parquet(args.output)
+            stats = {
+                "iterations": st.iterations,
+                "converged": st.converged,
+                "supersteps_per_sec": round(st.supersteps_per_sec, 4),
+                "edges_per_sec": round(st.edges_per_sec, 1),
+            }
+        elif args.job in ("dmid", "rawlpa"):
+            from dmid_spark.algorithms import dmid, rawlpa, DmidParams
+
+            if args.job == "rawlpa":
+                res = rawlpa(edges, tol=args.tol, mode=args.mode)
+            else:
+                res = dmid(
+                    edges,
+                    DmidParams(tol=args.tol, mode=args.mode, variant=args.variant),
+                    ckpt=ckpt,
+                )
+            res.cover.write.mode("overwrite").parquet(args.output)
+            stats = {"leaders": len(res.leaders), "unassigned": res.unassigned,
+                     **{k: v for k, v in res.stats.items() if k != "cascade"}}
+        elif args.job == "components":
+            from dmid_spark.algorithms import connected_components
+
+            labels, st = connected_components(edges)
+            labels.write.mode("overwrite").parquet(args.output)
+            stats = {"rounds": st.rounds, "converged": st.converged}
+
+    print(json.dumps({"job": args.job, **{k: v for k, v in stats.items() if not isinstance(v, list)}}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
