@@ -31,15 +31,19 @@ class CCStats:
     edge_counts: list[int] = field(default_factory=list)
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, broadcast_mins: bool = True) -> DataFrame:
     """For each node u, connect every strictly-larger neighbor to
-    m = min(Γ(u) ∪ {u})."""
+    m = min(Γ(u) ∪ {u}). The O(V) per-node-min table is broadcast-hinted
+    (derived from checkpointed edges → no stats → Catalyst would sort-merge
+    the big neighbor list every round)."""
     nbrs = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn")).select(
         "src", F.least(F.col("mn"), F.col("src")).alias("m")
     )
+    if broadcast_mins:
+        mins = F.broadcast(mins)
     return (
         nbrs.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
@@ -49,14 +53,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, broadcast_mins: bool = True) -> DataFrame:
     """Canonicalize each edge to (hi, lo); for each hi, connect all its
     lo-neighbors and hi itself to m = min of them."""
     canon = edges.select(
         F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
     ).filter(F.col("hi") != F.col("lo")).distinct()
     mins = canon.groupBy("hi").agg(F.min("lo").alias("m"))
-    joined = canon.join(mins, "hi")
+    joined = canon.join(F.broadcast(mins) if broadcast_mins else mins, "hi")
     to_min = joined.select(F.col("lo").alias("src"), F.col("m").alias("dst"))
     self_edge = mins.select(F.col("hi").alias("src"), F.col("m").alias("dst"))
     return (
@@ -78,9 +82,10 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50
+    edges: DataFrame, max_rounds: int = 50, broadcast_mins: bool = True
 ) -> tuple[DataFrame, CCStats]:
-    """Returns (labels(id, component), stats)."""
+    """Returns (labels(id, component), stats). ``broadcast_mins`` hints the
+    O(V) min tables in both star operations; disable at ≳10^9 vertices."""
     t0 = time.time()
     stats = CCStats()
     verts = K.materialize(G.vertices(edges))
@@ -89,7 +94,9 @@ def connected_components(
     )
     prev_sum = None
     for r in range(1, max_rounds + 1):
-        cur = K.materialize(_small_star(_large_star(cur)))
+        cur = K.materialize(
+            _small_star(_large_star(cur, broadcast_mins), broadcast_mins)
+        )
         chk = _checksum(cur)
         stats.rounds = r
         stats.edge_counts.append(chk[0])

@@ -181,8 +181,11 @@ def influence_rows(edges: DataFrame, ls: DataFrame) -> DataFrame:
         F.col("src").alias("rsrc"), F.col("dst").alias("rdst"), F.col("weight").alias("w_rev")
     )
     return (
-        edges.join(ls_v, edges.dst == F.col("_v"))
-        .join(ls_u, edges.src == F.col("_u"))
+        # the O(V) leadership vector is broadcast against the edge table —
+        # both sides are often checkpointed (stat-less), so without the
+        # hint Catalyst sort-merges the big side twice
+        edges.join(F.broadcast(ls_v), edges.dst == F.col("_v"))
+        .join(F.broadcast(ls_u), edges.src == F.col("_u"))
         .join(
             rev,
             (edges.src == rev.rdst) & (edges.dst == rev.rsrc),
@@ -263,12 +266,12 @@ def cascade_adoption_round(
         .groupBy(F.col("src").alias("node"), "community")
         .agg(F.count("*").alias("cnt"))
     )
-    counts = counts.join(non_leader_verts, "node", "left_semi").join(
+    counts = counts.join(F.broadcast(non_leader_verts), "node", "left_semi").join(
         members.select("node", "community"), ["node", "community"], "left_anti"
     )
-    counts = counts.join(out_deg, "node")
+    counts = counts.join(F.broadcast(out_deg), "node")
     if ls_req is not None:
-        counts = counts.join(ls_req, "node")
+        counts = counts.join(F.broadcast(ls_req), "node")
         cond = (F.col("cnt") / F.col("out_deg")) > (
             F.col("ls_v") - F.lit(restart_count * delta)
         )
@@ -459,7 +462,7 @@ def rawlpa_cascade(
             # divides to null → never joins (Java NaN comparison)
             joins = K.materialize(
                 cand.join(cnt, ["node", "community"], "left")
-                .join(out_deg, "node")
+                .join(F.broadcast(out_deg), "node")
                 .filter(
                     F.coalesce(F.col("cnt"), F.lit(0)) / F.col("out_deg")
                     > F.lit(threshold)

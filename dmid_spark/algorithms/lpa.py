@@ -32,17 +32,27 @@ class LpaStats:
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 20, until_fixpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 20,
+    until_fixpoint: bool = True,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, LpaStats]:
-    """Returns (labels(id, label), stats)."""
+    """Returns (labels(id, label), stats).
+
+    ``broadcast_state`` hints the O(V) label table as the broadcast side of
+    the per-round join — localCheckpointed state has no size stats, so
+    Catalyst would otherwise re-sort the edge table every round (the same
+    trap as kernel.spmv_join_step). Disable at ≳10^9 vertices, where the
+    shuffle join is the only option."""
     t0 = time.time()
     stats = LpaStats()
     verts = K.materialize(G.vertices(edges))
     labels = K.materialize(verts.select("id", F.col("id").alias("label")))
     e = edges.select("src", "dst")
     for r in range(1, max_iter + 1):
+        lbl_side = F.broadcast(labels) if broadcast_state else labels
         counts = (
-            e.join(labels, e.src == labels.id)
+            e.join(lbl_side, e.src == labels.id)
             .groupBy(e.dst.alias("v"), "label")
             .agg(F.count("*").alias("cnt"))
         )
