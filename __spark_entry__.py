@@ -396,9 +396,17 @@ def q_spearman(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """The documents table has no exact duplicates, so plant deterministic
+    copies (every 10th doc re-ingested under doc_id+100000 — the same
+    derivation in the SQL twin) to keep the check non-vacuous."""
     from dmid_spark.text import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir)).select(
+    d = _docs(spark, sf_dir)
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = d.select("doc_id", "text").unionByName(dup)
+    return exact_duplicates(docs).select(
         "doc_id", "canonical_id", F.col("cluster_size").cast("long").alias("cluster_size")
     )
 
@@ -453,8 +461,11 @@ def q_fingerprint(spark, sf_dir):
 def q_ann_neardup(spark, sf_dir):
     from dmid_spark.sim import brute_force_near_duplicates
 
+    # 0.28 ≈ p99 of the pairwise cosine distribution on this synthetic
+    # table (max 0.46) — real near-dup thresholds (0.9+) would make the
+    # check vacuous here; the operator is threshold-parametric either way
     emb = _emb(spark, sf_dir).filter("vec_id < 300")
-    out = brute_force_near_duplicates(emb, threshold=0.9)
+    out = brute_force_near_duplicates(emb, threshold=0.28)
     return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1028,7 +1039,12 @@ cover AS (
 )
 SELECT community, CAST(COUNT(DISTINCT node) AS BIGINT) AS size FROM cover GROUP BY community""",
         "dedup_exact": """
-WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+h AS (SELECT doc_id, sha256(text) AS h FROM docs),
 c AS (SELECT h, MIN(doc_id) AS canonical_id, COUNT(*) AS cluster_size FROM h GROUP BY h)
 SELECT h.doc_id, c.canonical_id, CAST(c.cluster_size AS BIGINT) AS cluster_size
 FROM h JOIN c ON h.h = c.h WHERE c.cluster_size >= 2""",
@@ -1088,7 +1104,7 @@ p AS (
   FROM c a JOIN c b ON a.vec_id < b.vec_id
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, ROUND(cos, 6) AS cosine
-FROM p WHERE cos >= 0.9""",
+FROM p WHERE cos >= 0.28""",
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
