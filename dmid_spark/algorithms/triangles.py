@@ -75,19 +75,21 @@ def triangle_counts(
         F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
     )
     closing = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    tris = K.materialize(wedges.join(closing, ["y", "z"], "left_semi"))
-    per_rank = (
-        tris.select(F.col("x").alias("rank"))
-        .unionByName(tris.select(F.col("y").alias("rank")))
-        .unionByName(tris.select(F.col("z").alias("rank")))
+    tris = wedges.join(closing, ["y", "z"], "left_semi")
+    # single pass over the (potentially huge) triangle set: explode the three
+    # corners and aggregate — no materialization of tris, no re-scans; the
+    # total falls out of the same aggregate (Σ per-corner counts = 3·Δ)
+    per_rank = K.materialize(
+        tris.select(F.explode(F.array("x", "y", "z")).alias("rank"))
         .groupBy("rank")
         .agg(F.count("*").alias("triangles"))
     )
+    total3 = per_rank.agg(F.sum("triangles")).first()[0] or 0
     counts = (
         rank_map.join(per_rank, "rank", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
-    stats = TriangleStats(total=int(tris.count()), wall_sec=time.time() - t0)
+    stats = TriangleStats(total=int(total3) // 3, wall_sec=time.time() - t0)
     return counts, stats
 
 
