@@ -12,7 +12,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import graph as G
@@ -44,10 +44,9 @@ def _oriented(edges: DataFrame, degree_ordered: bool) -> tuple[DataFrame, DataFr
         ranked = verts.join(deg, "id", "left").select(
             "id", F.coalesce("deg", F.lit(0)).alias("deg")
         )
-        rank_map = ranked.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy("deg", "id")).cast("long") - 1,
-        ).select("id", "rank")
+        rank_map = K.distributed_rank(ranked, ["deg", "id"], out_col="rank").select(
+            "id", "rank"
+        )
     else:
         rank_map = verts.select("id", F.col("id").alias("rank"))
     rm = F.broadcast(rank_map)

@@ -10,7 +10,7 @@ becomes a join + aggregation that Catalyst can plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -72,13 +72,15 @@ def densify_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     relative to the edge table (|V| << |E|), so the two rewrite joins
     broadcast at any realistic scale.
     """
+    from . import kernel as _K
+
     ids = vertices(edges)
-    # global sort-rank over distinct ids: |V| rows, a single skinny column —
-    # cheap even at 1e9 vertices (range-partitioned sort), and deterministic.
-    id_map = ids.withColumn(
-        "dense_id",
-        F.row_number().over(Window.orderBy(F.col("id"))).cast("long") - F.lit(1),
-    ).withColumnRenamed("id", "orig_id")
+    # distributed zipWithIndex-style rank over distinct ids (|V| rows, one
+    # skinny column): range-partition + per-partition offsets, no
+    # single-partition window sort on the mandatory ingest path.
+    id_map = _K.distributed_rank(ids, ["id"], out_col="dense_id").withColumnRenamed(
+        "id", "orig_id"
+    )
     m = F.broadcast(id_map)
     dense = (
         edges.join(m, edges.src == m.orig_id)

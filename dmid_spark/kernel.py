@@ -399,6 +399,64 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _ranged_with_mid(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None = None
+) -> DataFrame:
+    """Range-partition + sort-within-partitions + monotonic id tag — the
+    distributed (no single-partition exchange) half of ``distributed_rank``,
+    split out so plan tests can inspect it before materialization."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    return (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 0-based rank of rows ordered by ``order_cols`` — the
+    distributed replacement for ``row_number().over(Window.orderBy(...))``.
+
+    An unpartitioned window funnels the whole relation through ONE task; this
+    instead range-partitions on the order key, sorts within partitions, tags
+    each row with ``monotonically_increasing_id`` (partition id in the upper
+    31 bits, sequential record number in the lower 33), collects only the
+    O(num_partitions) per-partition counts to the driver, and broadcasts the
+    cumulative offsets back as a tiny join — zipWithIndex semantics with no
+    single-partition exchange and no per-row Python.
+
+    ``order_cols`` must define a total order (unique key) for the result to
+    be deterministic — same caveat as ``row_number`` itself, but here ties
+    may additionally split across range-partition boundaries.
+    """
+    spark = df.sparkSession
+    ranged = materialize(_ranged_with_mid(df, order_cols, num_partitions))
+    counts = (
+        ranged.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+        .agg(F.count("*").alias("_cnt"))
+        .collect()
+    )
+    # rank = (rows in earlier partitions) + local index, where
+    # local index = _mid - (pid << 33); fold both into one additive term.
+    adj, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        adj.append((int(r["_pid"]), acc - (int(r["_pid"]) << 33)))
+        acc += int(r["_cnt"])
+    adj_df = spark.createDataFrame(adj, "_pid int, _adj long")
+    return (
+        ranged.withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .join(F.broadcast(adj_df), "_pid")
+        .withColumn(out_col, (F.col("_mid") + F.col("_adj")).cast("long"))
+        .drop("_pid", "_mid", "_adj")
+    )
+
+
 def iterate(
     x0: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import kernel as K
+
 
 def community_sizes(cover: DataFrame) -> DataFrame:
     """Nonzero member count per community
@@ -35,11 +37,9 @@ def normalize_cover_rows(cover: DataFrame, verts: DataFrame) -> DataFrame:
     max_c = nz.agg(F.max("community")).first()[0]
     base = (max_c if max_c is not None else -1) + 1
     uncovered = verts.join(nz.select(F.col("node").alias("id")).distinct(), "id", "left_anti")
-    singletons = uncovered.select(
+    singletons = K.distributed_rank(uncovered, ["id"], out_col="_r").select(
         F.col("id").alias("node"),
-        (
-            F.row_number().over(Window.orderBy("id")).cast("long") - 1 + F.lit(base)
-        ).alias("community"),
+        (F.col("_r") + F.lit(base)).cast("long").alias("community"),
         F.lit(1.0).alias("degree"),
     )
     return normalized.unionByName(singletons)

@@ -11,8 +11,10 @@ the reference's distributional behavior.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .. import kernel as K
 
 
 def spearman_degree_correlation(
@@ -31,8 +33,13 @@ def spearman_degree_correlation(
             (F.col("x") + F.rand(jitter_seed)).alias("x"),
             (F.col("y") + F.rand(jitter_seed + 1)).alias("y"),
         )
-    rx = F.row_number().over(Window.orderBy("x", "src", "dst")).cast("double")
-    ry = F.row_number().over(Window.orderBy("y", "src", "dst")).cast("double")
-    ranked = e.withColumn("rx", rx).withColumn("ry", ry)
+    # two distributed O(E) global ranks (no single-partition window sort);
+    # (src, dst) is unique so both orders are total → deterministic ranks.
+    ranked = K.distributed_rank(e, ["x", "src", "dst"], out_col="rx0")
+    ranked = K.distributed_rank(ranked, ["y", "src", "dst"], out_col="ry0")
+    ranked = ranked.select(
+        (F.col("rx0") + 1).cast("double").alias("rx"),
+        (F.col("ry0") + 1).cast("double").alias("ry"),
+    )
     row = ranked.agg(F.corr("rx", "ry").alias("rho")).first()
     return float(row["rho"]) if row["rho"] is not None else 0.0

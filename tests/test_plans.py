@@ -85,3 +85,23 @@ def test_csr_blocks_bound_check_rejects_sparse_ids(spark):
     edges = G.edges_from_rows(spark, [(0, 5_000_000_000, 1.0)])
     with pytest.raises(Exception, match="densify_ids"):
         K.build_csr_rdd(edges, n=10).blocks.count()
+
+def test_distributed_rank_is_not_single_partition(spark):
+    # the rank that replaced Window.orderBy() global rankings (densify_ids,
+    # triangle rank map, spearman, cover singletons) must never funnel the
+    # relation through one task: range exchange, no Window, no SinglePartition
+    rows, n = random_graph(n=300, seed=11)
+    edges = G.edges_from_rows(spark, rows)
+    ids = G.vertices(edges)
+    frag = K._ranged_with_mid(ids, ["id"])
+    plan = plan_of(frag)
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    out = K.distributed_rank(ids, ["id"], out_col="rank")
+    final = plan_of(out)
+    assert "SinglePartition" not in final and "Window" not in final
+    assert "BroadcastHashJoin" in final  # offset table joins broadcast
+    got = {r["id"]: r["rank"] for r in out.collect()}
+    exp = {v: i for i, v in enumerate(sorted(got))}
+    assert got == exp
