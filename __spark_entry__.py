@@ -472,7 +472,7 @@ def q_ann_neardup(spark, sf_dir):
 def q_slpa(spark, sf_dir):
     from dmid_spark.algorithms import slpa
 
-    cover, _ = slpa(_edges(spark, sf_dir), iterations=5, r=0.3, seed=42)
+    cover, _ = slpa(_edges(spark, sf_dir), iterations=5, r=0.3, seed=42, hash_mode="md5")
     return cover.select("node", "community", F.round("degree", 6).alias("degree"))
 
 
@@ -544,16 +544,16 @@ def q_dmid_cover(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     from dmid_spark.text import minhash_lsh_candidates, minhash_signatures
 
-    sigs = minhash_signatures(_docs(spark, sf_dir), shingle_n=3, num_hashes=32)
-    out = minhash_lsh_candidates(sigs, bands=8)
+    sigs = minhash_signatures(_docs(spark, sf_dir), shingle_n=3, num_hashes=32, hash_mode="md5")
+    out = minhash_lsh_candidates(sigs, bands=8, num_hashes=32, hash_mode="md5")
     return out.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_simhash_neardup(spark, sf_dir):
     from dmid_spark.text import simhash, simhash_near_duplicates
 
-    sims = simhash(_docs(spark, sf_dir).filter("text <> ''"))
-    return simhash_near_duplicates(sims, max_hamming=10).select(
+    sims = simhash(_docs(spark, sf_dir).filter("text <> ''"), bits=60, hash_mode="md5")
+    return simhash_near_duplicates(sims, max_hamming=10, chunk_bits=15, bits=60).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -562,7 +562,7 @@ def q_ann_ivf(spark, sf_dir):
     from dmid_spark.sim import ivf_build, ivf_topk
 
     emb = _emb(spark, sf_dir)
-    assigned, cents = ivf_build(emb, n_centroids=8)
+    assigned, cents = ivf_build(emb, n_centroids=8, hash_mode="md5")
     out = ivf_topk(assigned, cents, emb.filter("vec_id < 5"), k=10, n_probe=3)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
@@ -737,6 +737,232 @@ inf AS (
   WHERE r.src IS NULL OR e.weight * lv.ls > r.weight * lu.ls
 ),
 cov AS (SELECT follower AS node, candidate AS community, ROUND(influence, 9) AS degree FROM inf)"""
+
+
+
+def _md5_long(expr: str) -> str:
+    """60-bit non-negative integer from the first 15 md5 hex chars — the
+    engine-portable hash shared with dmid_spark's hash_mode='md5'."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200,
+                     seed: int = 42) -> str:
+    """DuckDB twin of q_minhash_lsh (md5 hash mode): 3-gram shingles →
+    universal-hash minima → banded md5 buckets → capped bucket join."""
+    from dmid_spark.text.dedup import _hash_params, _P
+
+    a, b = _hash_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    mins = ",\n    ".join(
+        f"MIN(({int(a[i])} * (sh % {_P}) + {int(b[i])}) % {_P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    banded = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS bucket FROM mins".format(
+            band=i,
+            cols=", ".join(f"h{i * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for i in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    gram = "ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_md5_long(gram)} AS sh
+  FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE ({gram}) <> ''
+),
+mins AS (
+  SELECT doc_id, {mins}
+  FROM grams GROUP BY doc_id
+),
+banded AS (
+  {banded}
+),
+sizes AS (SELECT band, bucket, COUNT(*) AS bsz FROM banded GROUP BY 1, 2),
+kept AS (
+  SELECT b.doc_id, b.band, b.bucket FROM banded b
+  JOIN sizes s ON b.band = s.band AND b.bucket = s.bucket
+  WHERE s.bsz <= {max_bucket}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM pairs p
+JOIN mins ma ON p.doc_a = ma.doc_id
+JOIN mins mb ON p.doc_b = mb.doc_id"""
+
+
+def _simhash_sql(bits: int = 60, chunk_bits: int = 15, max_hamming: int = 10) -> str:
+    """DuckDB twin of q_simhash_neardup (md5 mode, 60-bit signatures)."""
+    n_chunks = bits // chunk_bits
+    ones = ",\n    ".join(
+        f"SUM((th >> {i}) & 1) AS o{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN o{i} * 2 > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {i} AS chunk, (simhash >> {i * chunk_bits}) % {1 << chunk_bits} AS key FROM sig"
+        for i in range(n_chunks)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents WHERE text <> ''
+),
+th AS (
+  SELECT doc_id, {_md5_long('tok')} AS th FROM toks WHERE tok <> ''
+),
+g AS (
+  SELECT doc_id, COUNT(*) AS n, {ones}
+  FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, ({sig}) AS simhash FROM g),
+banded AS (
+  {banded}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM pairs p
+JOIN sig sa ON p.doc_a = sa.doc_id
+JOIN sig sb ON p.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}"""
+
+
+def _slpa_sql(iterations: int = 5, r: float = 0.3, seed: int = 42) -> str:
+    """DuckDB twin of q_slpa (md5 draw mode): the synchronous
+    speaker-listener loop unrolled iteration by iteration."""
+    hmod = 1 << 20
+    ctes = [", mem0 AS MATERIALIZED (SELECT id AS node, id AS label, CAST(1 AS BIGINT) AS cnt FROM verts)"]
+    for it in range(1, iterations + 1):
+        prev = f"mem{it - 1}"
+        draw = _md5_long(f"concat_ws(',', {seed}, {it}, dst, src)")
+        ctes.append(f"""
+mc{it} AS MATERIALIZED (
+  SELECT node AS speaker, label,
+         SUM(cnt) OVER (PARTITION BY node ORDER BY label) - cnt AS lo,
+         SUM(cnt) OVER (PARTITION BY node ORDER BY label) AS hi
+  FROM {prev}
+),
+dr{it} AS (
+  SELECT src AS speaker, dst AS listener,
+         (({draw}) % {hmod}) / {float(hmod)} * {float(it)} AS r
+  FROM edges
+),
+cn{it} AS MATERIALIZED (
+  SELECT d.listener AS node, m.label, COUNT(*) AS c
+  FROM dr{it} d JOIN mc{it} m ON d.speaker = m.speaker
+  WHERE d.r >= m.lo AND d.r < m.hi
+  GROUP BY 1, 2
+),
+pk{it} AS MATERIALIZED (
+  SELECT node, label, CAST(1 AS BIGINT) AS cnt FROM (
+    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM cn{it}
+  ) WHERE rn = 1
+),
+sl{it} AS (
+  SELECT node, label, CAST(1 AS BIGINT) AS cnt FROM (
+    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM {prev}
+  ) WHERE rn = 1 AND node NOT IN (SELECT node FROM pk{it})
+),
+mem{it} AS MATERIALIZED (
+  SELECT node, label, SUM(cnt) AS cnt FROM (
+    SELECT node, label, cnt FROM {prev}
+    UNION ALL SELECT node, label, cnt FROM pk{it}
+    UNION ALL SELECT node, label, cnt FROM sl{it}
+  ) GROUP BY node, label
+)""")
+    last = f"mem{iterations}"
+    return ",\n".join(ctes) + f""",
+tot AS (SELECT node, SUM(cnt) AS tot FROM {last} GROUP BY node)
+SELECT m.node, m.label AS community, ROUND(m.cnt * 1.0 / t.tot, 6) AS degree
+FROM {last} m JOIN tot t ON m.node = t.node
+WHERE m.cnt * 1.0 / t.tot >= {r}"""
+
+
+def _ivf_topk_sql(n_centroids: int = 8, k: int = 10, n_probe: int = 3,
+                  seed: int = 42, n_queries: int = 5) -> str:
+    """DuckDB twin of q_ann_ivf (md5 centroid ordering): hash-ordered
+    centroid sample → argmax cell assignment → per-query n_probe cells →
+    exact cosine top-k within probed cells."""
+    hkey = _md5_long(f"CAST(vec_id + {seed} AS VARCHAR)")
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ordered AS (
+  SELECT vec_id, v,
+         ROW_NUMBER() OVER (ORDER BY ({hkey}) % 1000003, vec_id) AS rn
+  FROM emb
+),
+cents AS (
+  SELECT rn - 1 AS cell,
+         list_transform(v, x -> x / GREATEST(sqrt(list_dot_product(v, v)), 1e-12)) AS cv
+  FROM ordered WHERE rn <= {n_centroids}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(
+               list_transform(e.v, x -> x / GREATEST(sqrt(list_dot_product(e.v, e.v)), 1e-12)),
+               c.cv) DESC, c.cell ASC
+           ) AS arn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {n_queries}),
+qcells AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(
+               list_transform(q.qv, x -> x / GREATEST(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)),
+               c.cv) DESC, c.cell ASC
+           ) AS prn
+    FROM q CROSS JOIN cents c
+  ) WHERE prn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT qc.query_id, a.vec_id AS neighbor_id
+  FROM qcells qc JOIN assign a ON qc.cell = a.cell
+  WHERE a.vec_id <> qc.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.qv, e.v) /
+         GREATEST(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)), 1e-12) AS cos
+  FROM cand c
+  JOIN q ON c.query_id = q.query_id
+  JOIN emb e ON c.neighbor_id = e.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+FROM r WHERE rn <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1134,9 +1360,11 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-        # x1_pagerank_converged, dmid_cover, slpa_cover, dedup_minhash_lsh,
-        # dedup_simhash, ann_ivf_topk: iterative-to-convergence / hash-seeded
-        # / ANN-recall operators — intentionally no SQL twin (driver
-        # rows-only check); exactness is covered by the NumPy-oracle pytest
-        # suite instead.
+        "slpa_cover": _G + _slpa_sql(iterations=5, r=0.3, seed=42),
+        "dedup_minhash_lsh": _minhash_lsh_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
+        "dedup_simhash": _simhash_sql(bits=60, chunk_bits=15, max_hamming=10),
+        "ann_ivf_topk": _ivf_topk_sql(n_centroids=8, k=10, n_probe=3, seed=42, n_queries=5),
+        # x1_pagerank_converged, dmid_cover: iterative-to-convergence
+        # operators — intentionally no SQL twin (driver rows-only check);
+        # exactness is covered by the NumPy-oracle pytest suite instead.
     }

@@ -41,10 +41,23 @@ class SlpaStats:
     distinct_labels: list[int] = field(default_factory=list)
 
 
+def _draw_hash(seed: int, it: int, hash_mode: str) -> F.Column:
+    """Deterministic per-(iteration, listener, speaker) draw in [0, _HMOD):
+    xxhash64 by default; 'md5' uses the 60-bit md5-prefix (engine-portable,
+    the DuckDB oracle twin's mode — same trick as fingerprint.py)."""
+    if hash_mode == "md5":
+        s = F.concat_ws(",", F.lit(seed), F.lit(it), F.col("dst"), F.col("src"))
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.lit(seed), F.lit(it), "dst", "src")
+    return F.pmod(h, F.lit(_HMOD))
+
+
 def slpa_memories(
     edges: DataFrame,
     iterations: int = 20,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> tuple[DataFrame, SlpaStats]:
     """Run the speaker-listener loop; returns (memory(node, label, cnt),
     stats). Listeners receive along *in*-edges (speaker = src, listener =
@@ -76,8 +89,8 @@ def slpa_memories(
             F.col("src").alias("speaker"),
             F.col("dst").alias("listener"),
             (
-                (F.pmod(F.xxhash64(F.lit(seed), F.lit(it), "dst", "src"), F.lit(_HMOD))
-                 / F.lit(float(_HMOD))) * F.lit(float(total))
+                (_draw_hash(seed, it, hash_mode) / F.lit(float(_HMOD)))
+                * F.lit(float(total))
             ).alias("r"),
         )
         heard = draws.join(mem_cum, "speaker").filter(
@@ -138,7 +151,10 @@ def slpa(
     iterations: int = 20,
     r: float = 0.1,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> tuple[DataFrame, SlpaStats]:
     """Full SLPA: loop + threshold post-processing → overlapping cover."""
-    memory, stats = slpa_memories(edges, iterations=iterations, seed=seed)
+    memory, stats = slpa_memories(
+        edges, iterations=iterations, seed=seed, hash_mode=hash_mode
+    )
     return slpa_post_process(memory, r=r), stats

@@ -87,14 +87,22 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> tuple[DataFrame, np.ndarray]:
     """Build an IVF index: centroids = deterministic sample of corpus
     vectors (hash-ordered, reproducible), then one vectorized assignment
     pass. Returns (assignments(vec_id, cell, embedding), centroids array).
-    """
+    ``hash_mode='md5'`` orders the centroid sample by the md5-prefix hash
+    (engine-portable — the DuckDB oracle twin's mode)."""
+    if hash_mode == "md5":
+        hkey = F.conv(
+            F.substring(F.md5((F.col(id_col) + seed).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        hkey = F.xxhash64(F.col(id_col) + seed)
     sample = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(1_000_003)), F.col(id_col))
+        .orderBy(F.pmod(hkey, F.lit(1_000_003)), F.col(id_col))
         .limit(n_centroids)
         .collect()
     )

@@ -2,11 +2,11 @@
 
 The standard large-scale training-data pipeline suite: exact (hash groupBy),
 MinHash+LSH (shingle → minhash → band → bucket join), SimHash, and n-gram
-Jaccard verification. All hashing is deterministic (xxhash64 + fixed
-universal-hash constants) so results are reproducible across runs and
-parallelism levels. Everything is JVM-side column expressions except the
-SimHash bit-vote, which is a vectorized Arrow ``applyInPandas`` (never
-per-row Python).
+Jaccard verification. All hashing is deterministic (xxhash64 by default,
+or the engine-portable md5-prefix mode via ``hash_mode='md5'`` for DuckDB
+oracle twins) so results are reproducible across runs and parallelism
+levels. Everything — including the SimHash bit-vote — is JVM-side column
+expressions; no Python in any hot path.
 
 Scale notes (100 TB): the shingle explode is the big intermediate — it
 stays (doc_id, hash) longs only; LSH buckets self-join within bands with a
@@ -17,7 +17,6 @@ not silently exploded); pair verification joins only candidate pairs.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,7 +47,23 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _hash64(col, hash_mode: str) -> F.Column:
+    """Deterministic 64-bit-ish hash of a string column.
+
+    - ``'xxhash64'``: full 64-bit JVM hash (fastest).
+    - ``'md5'``: first 15 hex chars of md5 as a 60-bit non-negative long —
+      bitwise-reproducible in any engine (the DuckDB oracle twin uses
+      ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``); the same trick as
+      fingerprint.py's hash_mode.
+    """
+    if hash_mode == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(col)
+
+
+def _shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """Distinct word n-gram shingle hashes per doc: (doc_id, sh) longs."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -68,7 +83,7 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
             ).alias("gram"),
         )
     return grams.filter(F.col("gram") != "").select(
-        "doc_id", F.xxhash64("gram").alias("sh")
+        "doc_id", _hash64(F.col("gram"), hash_mode).alias("sh")
     ).distinct()
 
 
@@ -79,12 +94,14 @@ def minhash_signatures(
     shingle_n: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — minhash_i = min over shingles of
     (a_i·h(s)+b_i mod P). One shuffle (groupBy doc), num_hashes column
-    expressions — no UDFs."""
+    expressions — no UDFs. ``hash_mode='md5'`` makes the shingle hash
+    engine-portable (DuckDB twin)."""
     a, b = _hash_params(num_hashes, seed)
-    sh = _shingles(docs, text_col, id_col, shingle_n)
+    sh = _shingles(docs, text_col, id_col, shingle_n, hash_mode=hash_mode)
     # (a*h + b) mod P in long arithmetic; pmod keeps it non-negative
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -106,60 +123,72 @@ def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 8,
     max_bucket: int = 200,
+    num_hashes: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate pairs with the
     estimated Jaccard (= fraction of matching minhashes). Buckets larger
     than ``max_bucket`` (boilerplate content) are dropped with a `capped`
     count in the returned DataFrame's companion — pairs within kept buckets
-    only. Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct."""
-    num_hashes = None  # derived below from the sig array
+    only. Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b, distinct.
+
+    Pass ``num_hashes`` explicitly to avoid a driver ``first()`` action on
+    the signature table (it is only derived from the data as a fallback).
+    ``hash_mode='md5'`` buckets by the md5 hex of the band slice instead of
+    xxhash64 (DuckDB twin)."""
     sig = signatures.select("doc_id", "sig")
-    num_hashes = len(sig.first()["sig"]) if sig.head(1) else 0
+    if num_hashes is None:
+        head = sig.head(1)
+        num_hashes = len(head[0]["sig"]) if head else 0
     if num_hashes == 0:
         return sig.sparkSession.createDataFrame([], "doc_a long, doc_b long, est_jaccard double")
     rows_per_band = max(1, num_hashes // bands)
+
+    def bucket_of(i: int) -> F.Column:
+        slice_str = F.concat_ws(
+            ",",
+            *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)],
+        )
+        return F.md5(slice_str) if hash_mode == "md5" else F.xxhash64(slice_str).cast("string")
+
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", i * rows_per_band + j + 1)
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
                     for i in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
     kept = banded.join(
         sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
         ["band", "bucket"],
     )
-    a = kept.select("band", "bucket", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = kept.select("band", "bucket", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    a = kept.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = kept.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    # distinct over bare (doc_a, doc_b) pairs — the signature arrays join
+    # back AFTER dedup so they are not carried through the pair shuffle
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         )
     ) / F.lit(float(num_hashes))
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).distinct()
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -186,11 +215,18 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # intersection driven by the candidate-pair set: expand each pair with
+    # doc_a's shingles, keep those also present in doc_b. Work is
+    # O(|cand| · doc-size); the old sh ⋈ sh over the unfiltered shingle
+    # table cost k² rows for every stop-shingle appearing in k docs even
+    # when those docs shared nothing rare.
     inter = (
-        sh.select("sh", F.col("doc_id").alias("doc_a"))
-        .join(sh.select("sh", F.col("doc_id").alias("doc_b")), "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+            "left_semi",
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -213,46 +249,55 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document: tokens hashed, each bit position votes
-    ±1 across tokens, sign → bit. Bit-vote runs as a vectorized Arrow
-    ``applyInPandas`` over per-doc token-hash groups."""
+    """SimHash per document: tokens hashed, each bit position votes ±1
+    across tokens, sign → bit.
+
+    The bit-vote is ``bits`` JVM-side ``sum((th >> i) & 1)`` aggregate
+    columns folded into the signature with shiftleft — one map-side-combined
+    shuffle, no Python anywhere (the previous ``applyInPandas`` made one
+    pandas group per document: billions of tiny Python groups at scale).
+    Bit i of token-hash ``th`` survives arithmetic shiftright because
+    ``& 1`` reads the landed bit only. Bit 63's shiftleft(1, 63) IS the
+    signed long min — exactly the two's-complement value wanted.
+
+    ``hash_mode='md5'`` (use with bits=60): 60-bit md5-prefix token hashes,
+    engine-portable for the DuckDB twin."""
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .select("doc_id", F.xxhash64("tok").alias("th"))
+        .select("doc_id", _hash64(F.col("tok"), hash_mode).alias("th"))
     )
-
-    def votes(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["th"].to_numpy().astype(np.uint64)
-        doc = pdf["doc_id"].iloc[0]
-        acc = np.zeros(bits, dtype=np.int64)
-        for i in range(bits):
-            bit = (h >> np.uint64(i)) & np.uint64(1)
-            acc[i] = int(bit.sum() * 2 - len(h))  # (+1 per 1-bit, -1 per 0-bit)
-        sig = 0
-        for i in range(bits):
-            if acc[i] > 0:
-                sig |= 1 << i
-        # store as signed 64-bit
-        sig = sig - (1 << 64) if sig >= (1 << 63) else sig
-        return pd.DataFrame({"doc_id": [doc], "simhash": [sig]})
-
-    return toks.groupBy("doc_id").applyInPandas(votes, "doc_id long, simhash long")
+    ones = [
+        F.sum(F.shiftright("th", i).bitwiseAND(F.lit(1))).alias(f"o{i}")
+        for i in range(bits)
+    ]
+    g = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"o{i}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
-    sims: DataFrame, max_hamming: int = 3, chunk_bits: int = 16
+    sims: DataFrame, max_hamming: int = 3, chunk_bits: int = 16, bits: int = 64
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 16-bit
-    chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk of 4 matches exactly),
-    bucket-join, verify exact hamming distance. Output (doc_a, doc_b,
-    hamming)."""
-    n_chunks = 64 // chunk_bits
+    """Near-dup pairs by SimHash: band the ``bits``-bit signature into
+    ``chunk_bits``-bit chunks (pigeonhole: hamming < n_chunks ⇒ some chunk
+    matches exactly), bucket-join, verify exact hamming distance. Output
+    (doc_a, doc_b, hamming)."""
+    n_chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
     banded = sims.select(
         "doc_id",

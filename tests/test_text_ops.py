@@ -116,3 +116,86 @@ def test_doc_fingerprint_stability(spark):
     shared02 = len(set(got[0]) & set(got[2]))
     shared03 = len(set(got[0]) & set(got[3]))
     assert shared02 > shared03  # near dup shares more sketch entries
+
+
+def test_ngram_jaccard_boilerplate_shingle_not_quadratic(spark):
+    # 20k docs all share one boilerplate trigram but nothing else; the old
+    # unfiltered sh ⋈ sh intersection built ~2·10^8 pair rows here. The
+    # candidate-driven intersection does O(|cand|·doc-size) work: with no
+    # rare-shingle overlap there are zero candidates, so this must return
+    # empty and finish fast.
+    import time
+
+    from dmid_spark.text.dedup import ngram_jaccard_pairs
+
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved "), F.col("id"), F.lit(" unique tail ")
+        ).alias("text"),
+    )
+    t0 = time.time()
+    out = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.1, max_doc_freq=500)
+    assert out.count() == 0
+    assert time.time() - t0 < 60
+
+
+def test_ngram_jaccard_counts_stop_shingles_in_intersection(spark):
+    # stop-shingles are excluded from candidate GENERATION but must still
+    # count in the exact intersection/union arithmetic
+    from dmid_spark.text.dedup import ngram_jaccard_pairs
+
+    filler = [(100 + i, f"common boilerplate line u{i}") for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, "common boilerplate line alpha beta gamma"),
+            (2, "common boilerplate line alpha beta delta"),
+        ]
+        + filler,
+        "doc_id long, text string",
+    )
+    # trigram "common boilerplate line" appears in 12 docs > max_doc_freq=10
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, shingle_n=3, threshold=0.1, max_doc_freq=10
+        ).collect()
+    }
+    # doc1: {c b l, b l alpha, l alpha beta, alpha beta gamma}
+    # doc2: same first three + alpha beta delta → inter=3 (incl. the stop
+    # shingle "common boilerplate line"), union=5 → 0.6
+    assert (1, 2) in out
+    assert abs(out[(1, 2)] - 3 / 5) < 1e-9
+
+
+def test_simhash_jvm_matches_reference_bit_vote(spark):
+    # the 64 JVM sum((th>>i)&1) aggregate columns must reproduce the
+    # original per-doc NumPy bit-vote exactly, including the signed-long
+    # wraparound of bit 63
+    import numpy as np
+
+    from dmid_spark.text.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared common words {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        )
+        .filter("tok <> ''")
+        .select("doc_id", F.xxhash64("tok").alias("th"))
+        .toPandas()
+    )
+    exp = {}
+    for doc, grp in toks.groupby("doc_id"):
+        h = grp["th"].to_numpy().astype(np.uint64)
+        sig = 0
+        for i in range(64):
+            ones = int(((h >> np.uint64(i)) & np.uint64(1)).sum())
+            if 2 * ones > len(h):
+                sig |= 1 << i
+        exp[doc] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got == exp
