@@ -570,6 +570,14 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_neardup_clusters(spark, sf_dir):
+    from dmid_spark.text import minhash_lsh_candidates, minhash_signatures, near_duplicate_clusters
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), shingle_n=3, num_hashes=32, hash_mode="md5")
+    pairs = minhash_lsh_candidates(sigs, bands=8, num_hashes=32, hash_mode="md5")
+    return near_duplicate_clusters(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -607,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash_neardup,
+        "dedup_neardup_clusters": q_neardup_clusters,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_token_stats": q_token_stats,
@@ -747,7 +756,8 @@ def _md5_long(expr: str) -> str:
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200,
-                     seed: int = 42) -> str:
+                     seed: int = 42, upto_pairs: bool = False,
+                     recursive: bool = False) -> str:
     """DuckDB twin of q_minhash_lsh (md5 hash mode): 3-gram shingles →
     universal-hash minima → banded md5 buckets → capped bucket join."""
     from dmid_spark.text.dedup import _hash_params, _P
@@ -769,8 +779,9 @@ def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200
         f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
     gram = "ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]"
-    return f"""
-WITH toks AS (
+    prefix = "WITH RECURSIVE" if recursive else "WITH"
+    ctes = f"""
+{prefix} toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
 ),
 grams AS (
@@ -795,7 +806,10 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
-)
+)"""
+    if upto_pairs:
+        return ctes
+    return ctes + f"""
 SELECT p.doc_a, p.doc_b,
        ROUND(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
 FROM pairs p
@@ -963,6 +977,37 @@ r AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
 FROM r WHERE rn <= {k}"""
+
+
+
+def _neardup_clusters_sql(**minhash_kwargs) -> str:
+    """DuckDB twin of q_neardup_clusters: minhash-LSH candidate pairs →
+    recursive-CTE connected components → (doc_id, canonical_id,
+    cluster_size). Outer DISTINCT on nodes (not a bare UNION) per the
+    DuckDB WITH RECURSIVE union-dedup quirk."""
+    pairs_ctes = _minhash_lsh_sql(upto_pairs=True, recursive=True, **minhash_kwargs)
+    return pairs_ctes + """,
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b AS id FROM pairs
+  )
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT id AS node, id AS lbl FROM nodes
+  UNION
+  SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+cs AS (
+  SELECT component, MIN(node) AS canonical_id, COUNT(*) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT c.node AS doc_id, cs.canonical_id, CAST(cs.cluster_size AS BIGINT) AS cluster_size
+FROM comp c JOIN cs ON c.component = cs.component"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1363,6 +1408,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "slpa_cover": _G + _slpa_sql(iterations=5, r=0.3, seed=42),
         "dedup_minhash_lsh": _minhash_lsh_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
         "dedup_simhash": _simhash_sql(bits=60, chunk_bits=15, max_hamming=10),
+        "dedup_neardup_clusters": _neardup_clusters_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
         "ann_ivf_topk": _ivf_topk_sql(n_centroids=8, k=10, n_probe=3, seed=42, n_queries=5),
         # x1_pagerank_converged, dmid_cover: iterative-to-convergence
         # operators — intentionally no SQL twin (driver rows-only check);

@@ -2,6 +2,7 @@ from .dedup import (  # noqa: F401
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
+    near_duplicate_clusters,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_duplicates,

@@ -248,6 +248,33 @@ def ngram_jaccard_pairs(
     return out
 
 
+def near_duplicate_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into clusters and a canonical
+    keep-list: ``(doc_id, canonical_id, cluster_size)`` — the output shape a
+    training pipeline consumes (keep rows where doc_id == canonical_id,
+    drop the rest). Canonical = min doc id per connected component of the
+    pair graph (small-star/large-star CC — same kernel as X2, so resolution
+    scales like the graph engine, not like the pair count²). Only docs
+    appearing in ``pairs`` are returned (singletons are trivially
+    canonical). Works on the candidate pairs of any near-dup operator:
+    minhash_lsh_candidates, simhash_near_duplicates,
+    cosine_near_duplicates."""
+    from ..algorithms.components import connected_components
+
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).withColumn("weight", F.lit(1.0))
+    labels, _ = connected_components(edges)
+    clusters = labels.groupBy("component").agg(
+        F.min("id").alias("canonical_id"), F.count("*").alias("cluster_size")
+    )
+    return labels.join(clusters, "component").select(
+        F.col("id").alias("doc_id"), "canonical_id", "cluster_size"
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

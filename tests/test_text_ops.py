@@ -199,3 +199,40 @@ def test_simhash_jvm_matches_reference_bit_vote(spark):
         exp[doc] = sig - (1 << 64) if sig >= (1 << 63) else sig
     got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert got == exp
+
+
+def test_near_duplicate_clusters_matches_union_find(spark):
+    from dmid_spark.text import near_duplicate_clusters
+
+    pairs = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (8, 10)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in near_duplicate_clusters(pdf).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    exp = {}
+    for root, members in comps.items():
+        canon, size = min(members), len(members)
+        for m in members:
+            exp[m] = (canon, size)
+    assert got == exp
+    # keep-list semantics: keeping doc_id == canonical_id keeps exactly one
+    # doc per cluster
+    keep = [d for d, (c, _) in got.items() if d == c]
+    assert sorted(keep) == [1, 5, 8]
