@@ -31,19 +31,46 @@ N_COMMITS = int(os.environ.get("BENCH_COMMITS", "150000"))
 
 def get_bench_graph(spark):
     """F8 bench graph: corpus → co-occurrence+import edges, cached parquet
-    (same bytes for every parallelism level)."""
-    from pyspark.sql import functions as F
-
+    (same bytes for every parallelism level). v2: popularity-skewed corpus
+    (heavy-tailed per-cluster repo popularity) so degree distributions are
+    heterogeneous."""
     from dmid_spark import corpus as C
 
-    path = os.path.join(REPO, "BENCH", "data", f"graph_r{N_REPOS}_c{N_COMMITS}")
+    path = os.path.join(REPO, "BENCH", "data", f"graph_v2_r{N_REPOS}_c{N_COMMITS}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         corpus = C.generate_corpus(
-            spark, n_repos=N_REPOS, n_commits=N_COMMITS, n_clusters=max(5, N_REPOS // 200)
+            spark, n_repos=N_REPOS, n_commits=N_COMMITS,
+            n_clusters=max(5, N_REPOS // 200), popularity_skew=True,
         )
         edges, info = C.build_edges(corpus, max_fanout=32)
         edges.repartition(CPUS).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def get_dmid_graph(spark, sym_edges):
+    """Directed DMID bench graph: orient every edge toward the more popular
+    (lower-id) repo — the dependency direction — and drop the global hub.
+
+    Per-dst normalization makes the uniform start an exact fixed point of
+    the DMID random walk on any graph where every vertex has in-edges, so a
+    symmetric graph degenerates to rw_iterations=1 regardless of weights.
+    The oriented graph has true source vertices (the least popular repos) →
+    real walk dynamics (measured: ~30 iterations to 1e-6, 50+ leaders,
+    double-digit cascade rounds), so dmid_full measures the iterative
+    engine, not just the phase-2/3 joins."""
+    from pyspark.sql import functions as F
+
+    from dmid_spark import graph as G
+
+    path = os.path.join(REPO, "BENCH", "data", f"dmid_v2_r{N_REPOS}_c{N_COMMITS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        directed = sym_edges.filter(
+            (F.col("src") > F.col("dst")) & (F.col("dst") != 0)
+        )
+        dense, _ = G.densify_ids(directed)
+        dense.repartition(CPUS).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -89,19 +116,22 @@ def main():
         "edges_per_sec": round(pr_stats.edges_per_sec, 1),
     }
 
-    res = timed("dmid_full", lambda: dmid(edges, DmidParams(tol=1e-6, mode="csr_rdd")))
+    dmid_edges = get_dmid_graph(spark, edges).persist()
+    n_dmid_edges = dmid_edges.count()
+    res = timed("dmid_full", lambda: dmid(dmid_edges, DmidParams(tol=1e-6, mode="csr_rdd")))
     dm_wall = res.stats["wall_sec"]
     dm_supersteps = (
         res.stats["rw_iterations"] + 6 + 3 * res.stats["cascade"]["rounds"]
     )
     detail["dmid"] = {
+        "graph_edges": n_dmid_edges,
         "rw_iterations": res.stats["rw_iterations"],
         "cascade_rounds": res.stats["cascade"]["rounds"],
         "leaders": len(res.leaders),
         "unassigned": res.unassigned,
         "supersteps": dm_supersteps,
         "supersteps_per_sec": round(dm_supersteps / dm_wall, 3),
-        "edges_per_sec": round(n_edges * dm_supersteps / dm_wall, 1),
+        "edges_per_sec": round(n_dmid_edges * dm_supersteps / dm_wall, 1),
     }
 
     labels, cc_stats = timed("connected_components", lambda: connected_components(edges))
@@ -141,6 +171,16 @@ def main():
         return ivf_topk(assigned, cents, emb.limit(64), k=10, n_probe=4).count()
 
     timed("ann_ivf_topk", run_ann)
+    # measured recall@10 vs the brute-force oracle (not timed as a query —
+    # it exists to quantify the approximation, reported per n_probe)
+    from dmid_spark.sim import ivf_recall_at_k
+
+    detail["ann_recall_at_10"] = {
+        str(npb): round(v, 4)
+        for npb, v in ivf_recall_at_k(
+            emb, emb.limit(64), k=10, n_probes=(1, 2, 4, 8), n_centroids=16
+        ).items()
+    }
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed(

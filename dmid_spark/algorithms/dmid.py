@@ -72,6 +72,11 @@ class DmidParams:
     max_rounds: int = 10_000
     mode: str = "join"  # random-walk SpMV mode: 'join'|'csr'|'csr_rdd'|'jvm'
     cascade_algo: str = "giraph"  # 'giraph' (3-phase master game) | 'rawlpa'
+    # broadcast the O(V) side tables (ls, non-leaders, out-degrees) in
+    # phases 2-3. The hint bypasses autoBroadcastJoinThreshold, so disable
+    # at the >~1e9-vertex regime where the vertex state no longer fits an
+    # executor — mirrors the escape hatches in lpa/components/spmv.
+    broadcast_state: bool = True
 
 
 @dataclass
@@ -170,10 +175,17 @@ def random_walk(
     )
 
 
+def _hint(df: DataFrame, broadcast_state: bool) -> DataFrame:
+    """Broadcast hint for O(V) state tables, with the scale escape hatch."""
+    return F.broadcast(df) if broadcast_state else df
+
+
 # ---------------------------------------------------------------------------
 # phase 2
 # ---------------------------------------------------------------------------
-def influence_rows(edges: DataFrame, ls: DataFrame) -> DataFrame:
+def influence_rows(
+    edges: DataFrame, ls: DataFrame, broadcast_state: bool = True
+) -> DataFrame:
     """Surviving influence messages: (follower, candidate, influence)."""
     ls_v = ls.select(F.col("id").alias("_v"), F.col("value").alias("ls_v"))
     ls_u = ls.select(F.col("id").alias("_u"), F.col("value").alias("ls_u"))
@@ -184,8 +196,8 @@ def influence_rows(edges: DataFrame, ls: DataFrame) -> DataFrame:
         # the O(V) leadership vector is broadcast against the edge table —
         # both sides are often checkpointed (stat-less), so without the
         # hint Catalyst sort-merges the big side twice
-        edges.join(F.broadcast(ls_v), edges.dst == F.col("_v"))
-        .join(F.broadcast(ls_u), edges.src == F.col("_u"))
+        edges.join(_hint(ls_v, broadcast_state), edges.dst == F.col("_v"))
+        .join(_hint(ls_u, broadcast_state), edges.src == F.col("_u"))
         .join(
             rev,
             (edges.src == rev.rdst) & (edges.dst == rev.rsrc),
@@ -250,6 +262,7 @@ def cascade_adoption_round(
     ls_req: DataFrame | None = None,
     restart_count: int = 0,
     delta: float = 0.3,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """One request/echo/adopt round (BasicDMIDComputation.java:32-66 /
     LeadershipDMIDComputation.java:56-66): per non-leader requester v and
@@ -266,12 +279,14 @@ def cascade_adoption_round(
         .groupBy(F.col("src").alias("node"), "community")
         .agg(F.count("*").alias("cnt"))
     )
-    counts = counts.join(F.broadcast(non_leader_verts), "node", "left_semi").join(
+    counts = counts.join(
+        _hint(non_leader_verts, broadcast_state), "node", "left_semi"
+    ).join(
         members.select("node", "community"), ["node", "community"], "left_anti"
     )
-    counts = counts.join(F.broadcast(out_deg), "node")
+    counts = counts.join(_hint(out_deg, broadcast_state), "node")
     if ls_req is not None:
-        counts = counts.join(F.broadcast(ls_req), "node")
+        counts = counts.join(_hint(ls_req, broadcast_state), "node")
         cond = (F.col("cnt") / F.col("out_deg")) > (
             F.col("ls_v") - F.lit(restart_count * delta)
         )
@@ -352,13 +367,26 @@ def cascade(
                 ls_req=ls_req if params.variant == "leadership" else None,
                 restart_count=restart_count,
                 delta=delta,
+                broadcast_state=params.broadcast_state,
             )
         )
-        n_joins = joins.count()
         members = K.materialize(members.unionByName(joins))
-        unassigned = non_leader_verts.join(
-            members, "node", "left_anti"
-        ).count()
+        # ONE aggregate action per round: new-join rows and still-unassigned
+        # non-leaders counted in a single job over the two cached tables
+        # (was joins.count() + an anti-join count = two driver actions)
+        metric_rows = (
+            joins.select(F.lit("j").alias("k"))
+            .unionByName(
+                non_leader_verts.join(members, "node", "left_anti")
+                .select(F.lit("u").alias("k"))
+            )
+            .groupBy("k")
+            .count()
+            .collect()
+        )
+        metrics = {r["k"]: r["count"] for r in metric_rows}
+        n_joins = int(metrics.get("j", 0))
+        unassigned = int(metrics.get("u", 0))
         new_member = n_joins > 0
         not_all_assigned = unassigned > 0
         if ckpt is not None:
@@ -387,6 +415,7 @@ def rawlpa_cascade(
     delta: float = 0.1,
     max_outer: int = 100,
     max_inner: int = 10_000,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The sequential RAWLPA label-propagation phase (SURVEY.md §2.3 R6/R7),
     transliterated from RandomWalkLabelPropagationAlgorithm.java:294-416 and
@@ -462,7 +491,7 @@ def rawlpa_cascade(
             # divides to null → never joins (Java NaN comparison)
             joins = K.materialize(
                 cand.join(cnt, ["node", "community"], "left")
-                .join(F.broadcast(out_deg), "node")
+                .join(_hint(out_deg, broadcast_state), "node")
                 .filter(
                     F.coalesce(F.col("cnt"), F.lit(0)) / F.col("out_deg")
                     > F.lit(threshold)
@@ -547,12 +576,13 @@ def dmid(
     ls = K.materialize(
         w_in.join(da, "id").select("id", (F.col("w_in") * F.col("value")).alias("value"))
     )
-    inf = influence_rows(edges, ls)
+    inf = influence_rows(edges, ls, broadcast_state=params.broadcast_state)
     fd = K.materialize(follower_degrees(inf))
     leaders_df = global_leaders(fd, strict=params.strict_global_leaders)
     if params.cascade_algo == "rawlpa":
         cover, cascade_stats = rawlpa_cascade(
-            edges, leaders_df, verts, delta=params.profitability_delta
+            edges, leaders_df, verts, delta=params.profitability_delta,
+            broadcast_state=params.broadcast_state,
         )
     else:
         cover, cascade_stats = cascade(

@@ -20,8 +20,12 @@ falls below ``tol`` (BASELINE.json convergence rule). Two execution modes:
   hash-join + hash-aggregate with the rank vector shipped driver↔JVM as
   single Arrow batches. Zero Python in the hot loop.
 
-All modes produce identical results (tested) and share checkpoint/lineage.
-Dense ids [0, n) required except in join mode, which accepts any long ids.
+All modes produce identical results (tested) on gap-free dense id spaces
+and share checkpoint/lineage. Dense ids [0, n) required except in join
+mode, which accepts any long ids. Caveat: csr_rdd derives n = max(id)+1;
+if the id space has gaps, the absent ids become teleport-only phantom
+vertices there while the verts-derived modes never emit them — run
+graph.densify_ids first when ids may be sparse.
 """
 
 from __future__ import annotations
@@ -123,8 +127,9 @@ def pagerank(
                 jv = K.build_jvm_edges(norm, n)
                 spmv, release = (lambda v: K.spmv_jvm_collect(jv, v), jv.unpersist)
             has_out = np.zeros(n, dtype=bool)
-            for r in norm.select("src").distinct().collect():
-                has_out[r["src"]] = True
+            # Arrow batch transfer (like out_weight_vector), not O(V) py4j rows
+            srcs = norm.select("src").distinct().toPandas()["src"].to_numpy()
+            has_out[srcs] = True
         x = np.full(n, 1.0 / n)
         start_it = 0
         if resume and ckpt is not None:
@@ -133,8 +138,8 @@ def pagerank(
                 start_it, xdf, meta = got
                 stats.deltas = list(meta.get("deltas", []))
                 x = np.zeros(n)
-                for r in xdf.collect():
-                    x[r["id"]] = r["value"]
+                pdf = xdf.toPandas()
+                x[pdf["id"].to_numpy()] = pdf["value"].to_numpy()
         for i in range(start_it + 1, max_iter + 1):
             t_it = time.time()
             dm = x[~has_out].sum()

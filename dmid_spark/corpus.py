@@ -42,6 +42,7 @@ def generate_corpus(
     seed: int = 42,
     hub_fraction: int = 5,  # 1/hub_fraction of commits touch the hub repo
     cross_pct: int = 5,  # % of slots landing outside the commit's cluster
+    popularity_skew: bool = False,
 ) -> DataFrame:
     """Deterministic synthetic corpus (FIXTURES.md F1).
 
@@ -50,6 +51,13 @@ def generate_corpus(
     co-occurrence graph has planted community structure. Repo 0 is a hub
     appearing in ~1/hub_fraction of commits (exercises degree skew).
     Contents embed ``import repoNNNN`` lines (the import-edge driver).
+
+    ``popularity_skew=True`` draws the within-cluster repo index as the
+    scaled product of two uniforms (min-biased), giving each cluster a
+    heavy-tailed popularity profile instead of uniform touch counts — a
+    heterogeneous degree distribution so DMID's random walk has real
+    structure to converge over (non-degenerate bench graphs). Default off:
+    every existing fixture and oracle-verified result is byte-identical.
     """
     cluster_size = max(1, n_repos // n_clusters)
     commits = (
@@ -63,7 +71,15 @@ def generate_corpus(
         "id", "commit", "cluster", "is_hub", F.explode(F.sequence(F.lit(0), F.col("fanout") - 1)).alias("slot")
     )
     slot_h = _h("id", "slot", F.lit(seed + 4))
-    in_cluster = F.col("cluster") * cluster_size + (slot_h % cluster_size)
+    if popularity_skew:
+        # product of two uniforms over [0, c) scaled back to [0, c):
+        # min-biased → heavy-tailed per-repo popularity within the cluster
+        local = (
+            (slot_h % cluster_size) * (_h("id", "slot", F.lit(seed + 13)) % cluster_size)
+        ) / F.lit(cluster_size)
+        in_cluster = F.col("cluster") * cluster_size + F.floor(local)
+    else:
+        in_cluster = F.col("cluster") * cluster_size + (slot_h % cluster_size)
     anywhere = _h("id", "slot", F.lit(seed + 5)) % n_repos
     rows = slots.withColumn(
         "repo_id",

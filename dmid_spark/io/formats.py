@@ -144,7 +144,16 @@ def read_ucinet(spark: SparkSession, path_or_df) -> tuple[DataFrame, DataFrame]:
     lines = (
         path_or_df if isinstance(path_or_df, DataFrame) else spark.read.text(path_or_df)
     )
-    numbered = lines.coalesce(1).withColumn("ln", F.monotonically_increasing_id())
+    # order-guaranteed line numbering: zipWithIndex over the single
+    # partition indexes rows in iterator order (= file order for a text
+    # scan), unlike monotonically_increasing_id which only promises
+    # monotonicity, not file-order row layout after future split changes
+    numbered = (
+        lines.coalesce(1)
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[0]["value"], t[1]))
+        .toDF(["value", "ln"])
+    )
     last_int = F.regexp_extract("value", r"(\d+)\s*$", 1)
     directed_row = (
         numbered.filter(F.col("value").startswith("  directed "))

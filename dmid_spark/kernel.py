@@ -277,6 +277,12 @@ def spmv_rdd_collect(blocks: CsrRddBlocks, x_np: np.ndarray) -> np.ndarray:
         if not empty:
             yield y
 
+    # treeReduce raises on an empty RDD; an empty block set yields the zero
+    # vector (parity with the dst-partitioned path). blocks is persisted, so
+    # isEmpty() is a cheap cached take(1), not a recompute of the multiply.
+    if blocks.blocks.isEmpty():
+        bx.destroy()
+        return np.zeros(n)
     partials = blocks.blocks.mapPartitions(mult_dense)
     y = partials.treeReduce(lambda a, b: a + b, depth=2)
     bx.destroy()

@@ -3,5 +3,6 @@ from .ann import (  # noqa: F401
     brute_force_topk,
     cosine_near_duplicates,
     ivf_build,
+    ivf_recall_at_k,
     ivf_topk,
 )

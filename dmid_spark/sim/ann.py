@@ -198,6 +198,40 @@ def ivf_topk(
     )
 
 
+def ivf_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict[int, float]:
+    """Measured recall@k of the IVF index vs the brute-force oracle:
+    ``recall = |topk_ivf ∩ topk_brute| / |topk_brute|`` averaged over the
+    query set, per n_probe. An approximate operator without a measured
+    recall number is unfinished — this is the number."""
+    truth = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id").persist()
+    denom = truth.count()
+    assigned, cents = ivf_build(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    assigned = assigned.persist()
+    out: dict[int, float] = {}
+    for npb in n_probes:
+        approx = ivf_topk(
+            assigned, cents, queries, k=k, n_probe=npb, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id")
+        hit = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+        out[npb] = hit / denom if denom else 1.0
+    truth.unpersist()
+    assigned.unpersist()
+    return out
+
+
 def brute_force_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

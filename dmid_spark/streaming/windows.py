@@ -68,7 +68,15 @@ def sessionize_stream(
     (``applyInPandasWithState``): state = (last event ts, running counts);
     a gap > ``gap_seconds`` starts a new session. Emits the running
     per-user totals on every trigger — the streaming twin of the batch
-    lag-window sessionizer (__spark_entry__.q_sessionize)."""
+    lag-window sessionizer (__spark_entry__.q_sessionize).
+
+    Ordering contract: timestamps sort within a micro-batch, and the stored
+    ``last_ts`` acts as a per-user watermark across triggers — an event
+    arriving in a later trigger with ``t < last_ts`` is LATE and is dropped
+    (state never regresses, sessions are never double-counted). Exact
+    batch parity therefore holds for in-order or single-batch
+    (availableNow) input; late cross-trigger events are lost rather than
+    miscounted."""
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -80,6 +88,9 @@ def sessionize_stream(
             last_ts, n_events, n_sessions = state.get
         else:
             last_ts, n_events, n_sessions = None, 0, 0
+        if last_ts is not None:
+            # per-user watermark: drop events older than already-folded state
+            ts_all = [t for t in ts_all if t >= last_ts]
         for t in ts_all:
             if last_ts is None or t - last_ts > gap_seconds:
                 n_sessions += 1
