@@ -1,5 +1,7 @@
+from . import codecs  # noqa: F401
 from .binary_ops import (  # noqa: F401
     MEDIA_SCHEMA,
+    decode_audio,
     decode_image,
     extract_features,
     frame_sample,

@@ -1,15 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schema, partition-friendly batching, Arrow UDF
-signatures, output shapes — is real and tested; the codec step itself is
-stubbed (image/audio libraries are not in this container): each operator
-takes ``impl='fake'`` (deterministic bytes-derived output, used by tests)
-or ``impl='real'`` which raises NotImplementedError at the decode boundary,
-marking exactly where a PIL/ffmpeg call plugs in.
+signatures, output shapes — is real and tested. The codec step is real for
+*uncompressed* containers (BMP / PGM / PPM images, PCM16 WAV audio — pure
+NumPy, see ``codecs``); compressed formats (JPEG/PNG/H.264) raise
+NotImplementedError at the decode boundary, marking exactly where a
+PIL/ffmpeg call plugs in (those libs are not in this container). Each
+operator takes ``impl='fake'`` (deterministic bytes-derived output) or
+``impl='real'`` (container sniff + NumPy decode).
 
 All operators are ``mapInPandas`` (Arrow batch iterators): one Python
 worker round-trip per batch, never per row; binary payloads stream through
-Arrow buffers without copies on the JVM side.
+Arrow buffers without copies on the JVM side. Decode itself iterates rows
+within a batch — inherent to variable-length payloads — but every
+per-payload step is a vectorized NumPy reshape/slice, not a pixel loop.
 """
 
 from __future__ import annotations
@@ -21,16 +25,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import codecs
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, channels:int, sample_rate:int, n_frames:int>"
 )
 
 
-def synth_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/benches: payload bytes are
-    seeded by id; metadata is consistent with the payload size."""
-    return (
+def synth_media_table(
+    spark: SparkSession, n: int = 64, seed: int = 42, payload: str = "hash"
+) -> DataFrame:
+    """Deterministic fake media table for tests/benches.
+
+    ``payload='hash'``: opaque sha256-derived bytes (exercises the fake
+    decode path and the unknown-container error path).
+    ``payload='encoded'``: real container bytes — BMP for images, PCM16 WAV
+    for audio — generated per-row from a payload-seeded PRNG, so the *real*
+    decode path round-trips. Video stays opaque (no uncompressed container
+    worth faking)."""
+    base = (
         spark.range(n)
         .select(
             F.col("id").alias("media_id"),
@@ -50,6 +64,33 @@ def synth_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataF
             ).alias("meta"),
         )
     )
+    if payload == "hash":
+        return base
+
+    def encode(it):
+        for pdf in it:
+            payloads = []
+            for mid, kind, raw, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                rng = np.random.default_rng(
+                    int.from_bytes(hashlib.sha256(bytes(raw)).digest()[:8], "big")
+                )
+                if kind == "image":
+                    w, h = int(meta["width"]), int(meta["height"])
+                    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    payloads.append(codecs.encode_bmp(img))
+                elif kind == "audio":
+                    sr = int(meta["sample_rate"])
+                    samples = rng.integers(-(2**15), 2**15, size=sr // 10, dtype=np.int16)
+                    payloads.append(codecs.encode_wav(samples, sr))
+                else:
+                    payloads.append(bytes(raw))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return base.mapInPandas(encode, MEDIA_SCHEMA)
 
 
 def _fake_pixels(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
@@ -61,21 +102,21 @@ def _fake_pixels(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
 
 
 def decode_image(df: DataFrame, impl: str = "fake") -> DataFrame:
-    """binary payload → flat pixel array + dims. Arrow-batched; the `real`
-    impl is the single marked point where PIL/turbojpeg plugs in."""
+    """binary payload → flat pixel array + dims. Arrow-batched. ``impl='real'``
+    sniffs the container and decodes BMP/PGM/PPM with pure NumPy
+    (``codecs.decode_image_payload``); compressed containers raise at the
+    declared PIL/turbojpeg plug point."""
 
     def run(it):
         for pdf in it:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
                 if impl == "fake":
+                    w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
                     px = _fake_pixels(bytes(payload), w, h, c)
                 else:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/libjpeg (not in this container); "
-                        "plug the codec in here"
-                    )
+                    px = codecs.decode_image_payload(bytes(payload))
+                    h, w, c = px.shape
                 rows.append((int(mid), w, h, c, px.reshape(-1).astype(np.int32)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "channels", "pixels"]
@@ -83,6 +124,42 @@ def decode_image(df: DataFrame, impl: str = "fake") -> DataFrame:
 
     return df.filter(F.col("kind") == "image").mapInPandas(
         run, "media_id long, width int, height int, channels int, pixels array<int>"
+    )
+
+
+def decode_audio(df: DataFrame, impl: str = "fake") -> DataFrame:
+    """binary payload → float32 samples in [-1, 1) + rate/shape. ``impl='real'``
+    parses RIFF/WAVE PCM16 with pure NumPy (``codecs.decode_wav``); compressed
+    audio (mp3/ogg/aac) raises at the declared plug point."""
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                if impl == "fake":
+                    sr = int(meta["sample_rate"])
+                    seed = int.from_bytes(hashlib.sha256(bytes(payload)).digest()[:8], "big")
+                    rng = np.random.default_rng(seed)
+                    s = rng.integers(-(2**15), 2**15, size=(sr // 10, 1), dtype=np.int16)
+                else:
+                    raw = bytes(payload)
+                    if codecs.sniff(raw) != "wav":
+                        raise NotImplementedError(
+                            "compressed audio codec requires ffmpeg/soundfile — not in "
+                            "this container; plug the codec in here"
+                        )
+                    s, sr = codecs.decode_wav(raw)
+                rows.append(
+                    (int(mid), int(sr), s.shape[0], s.shape[1],
+                     (s.astype(np.float32) / 32768.0).reshape(-1))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples", "channels", "samples"]
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        run,
+        "media_id long, sample_rate int, n_samples int, channels int, samples array<float>",
     )
 
 

@@ -108,11 +108,61 @@ def test_multimodal_plumbing_fake_decode(spark):
     assert frames and all(r.frame_index % 5 == 0 for r in frames)
 
 
-def test_multimodal_real_impl_raises_cleanly(spark):
+def test_multimodal_real_impl_raises_cleanly_on_unknown_container(spark):
+    # hash payloads are not a recognized container → the declared plug point
     media = synth_media_table(spark, n=4)
     with pytest.raises(Exception) as ei:
         decode_image(media, impl="real").collect()
-    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_codec_roundtrips_pure_numpy():
+    from dmid_spark.multimodal import codecs
+
+    rng = np.random.default_rng(7)
+    # BMP with a width forcing row padding (w*3 not a multiple of 4)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+    assert codecs.sniff(codecs.encode_bmp(img)) == "bmp"
+    # PNM gray + color, with a comment line in the header
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_pnm(codecs.encode_pnm(gray)), gray)
+    color = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    enc = codecs.encode_pnm(color)
+    commented = enc[:2] + b"\n# a comment\n" + enc[3:]
+    assert np.array_equal(codecs.decode_pnm(commented), color)
+    # WAV mono + stereo, plus an extra chunk before data
+    mono = rng.integers(-(2**15), 2**15, size=300, dtype=np.int16)
+    s, rate = codecs.decode_wav(codecs.encode_wav(mono, 16000))
+    assert rate == 16000 and np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-(2**15), 2**15, size=(200, 2), dtype=np.int16)
+    enc = codecs.encode_wav(stereo, 8000)
+    padded = enc[:12] + b"LIST\x05\x00\x00\x00INFOx\x00" + enc[12:]
+    s2, rate2 = codecs.decode_wav(padded)
+    assert rate2 == 8000 and np.array_equal(s2, stereo)
+    # compressed magic routes to the plug point
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image_payload(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_multimodal_real_decode_of_encoded_payloads(spark):
+    from dmid_spark.multimodal import decode_audio
+
+    media = synth_media_table(spark, n=48, payload="encoded")
+    imgs = decode_image(media, impl="real").collect()
+    assert imgs
+    for r in imgs:
+        assert r.channels == 3 and len(r.pixels) == r.width * r.height * 3
+    # real decode is deterministic and differs from the fake path
+    fake = {r.media_id: r.pixels for r in decode_image(media, impl="fake").collect()}
+    assert any(fake[r.media_id] != r.pixels for r in imgs)
+
+    audio = decode_audio(media, impl="real").collect()
+    assert audio
+    for r in audio:
+        assert r.n_samples == r.sample_rate // 10 and r.channels == 1
+        assert len(r.samples) == r.n_samples
+        assert all(-1.0 <= x < 1.0 for x in r.samples[:50])
 
 
 def test_ivf_recall_at_k_measured_on_real_embeddings(spark):
