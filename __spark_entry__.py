@@ -578,6 +578,15 @@ def q_neardup_clusters(spark, sf_dir):
     return near_duplicate_clusters(pairs)
 
 
+def q_clean_corpus(spark, sf_dir):
+    from dmid_spark.text import CleanCorpusParams, clean_corpus
+
+    params = CleanCorpusParams(
+        min_quality=0.8, keep_langs=("de", "en", "es", "fr"), hash_mode="md5"
+    )
+    return clean_corpus(_docs(spark, sf_dir), params)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -616,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash_neardup,
         "dedup_neardup_clusters": q_neardup_clusters,
+        "pipeline_clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_token_stats": q_token_stats,
@@ -757,9 +767,12 @@ def _md5_long(expr: str) -> str:
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200,
                      seed: int = 42, upto_pairs: bool = False,
-                     recursive: bool = False) -> str:
+                     recursive: bool = False, source: str = "documents",
+                     with_prefix: bool = True) -> str:
     """DuckDB twin of q_minhash_lsh (md5 hash mode): 3-gram shingles →
-    universal-hash minima → banded md5 buckets → capped bucket join."""
+    universal-hash minima → banded md5 buckets → capped bucket join.
+    ``source`` is the (doc_id, text) relation to shingle; ``with_prefix=False``
+    emits the CTE list without the leading WITH for mid-chain composition."""
     from dmid_spark.text.dedup import _hash_params, _P
 
     a, b = _hash_params(num_hashes, seed)
@@ -779,17 +792,17 @@ def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200
         f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
     gram = "ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]"
-    prefix = "WITH RECURSIVE" if recursive else "WITH"
+    prefix = ("WITH RECURSIVE " if recursive else "WITH ") if with_prefix else ""
     ctes = f"""
-{prefix} toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents
+{prefix}toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM {source}
 ),
 grams AS (
   SELECT DISTINCT doc_id, {_md5_long(gram)} AS sh
   FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
   WHERE ({gram}) <> ''
 ),
-mins AS (
+mins AS MATERIALIZED (
   SELECT doc_id, {mins}
   FROM grams GROUP BY doc_id
 ),
@@ -797,12 +810,12 @@ banded AS (
   {banded}
 ),
 sizes AS (SELECT band, bucket, COUNT(*) AS bsz FROM banded GROUP BY 1, 2),
-kept AS (
+kept AS MATERIALIZED (
   SELECT b.doc_id, b.band, b.bucket FROM banded b
   JOIN sizes s ON b.band = s.band AND b.bucket = s.bucket
   WHERE s.bsz <= {max_bucket}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
@@ -1008,6 +1021,104 @@ cs AS (
 )
 SELECT c.node AS doc_id, cs.canonical_id, CAST(cs.cluster_size AS BIGINT) AS cluster_size
 FROM comp c JOIN cs ON c.component = cs.component"""
+
+
+def _clean_corpus_sql(min_quality: float = 0.5,
+                      keep_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+                      **minhash_kwargs) -> str:
+    """DuckDB twin of q_clean_corpus (md5 minhash mode): quality score →
+    language filter → exact dedup (min-id per identical text among
+    survivors) → minhash-LSH pairs over the canonical survivor set →
+    recursive-CTE components → per-doc decision column."""
+    langs = {
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "la", "de", "que", "los"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "les", "et", "est"],
+    }
+    sw = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+          "that", "for", "on", "with", "as", "at", "by", "this"]
+    hits_cols = ",\n    ".join(
+        f"{_lang_hits_sql(ws)} AS hits_{lang}" for lang, ws in langs.items()
+    )
+    best = "GREATEST(hits_de, hits_en, hits_es, hits_fr)"
+    lang_case = (
+        f"CASE WHEN hits_de = {best} AND {best} > 0 THEN 'de' "
+        f"WHEN hits_en = {best} AND {best} > 0 THEN 'en' "
+        f"WHEN hits_es = {best} AND {best} > 0 THEN 'es' "
+        f"WHEN hits_fr = {best} AND {best} > 0 THEN 'fr' ELSE 'und' END"
+    )
+    n_tokens = ("CASE WHEN trim(text) = '' THEN 0 "
+                "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    # char class mirrors quality.py's punct regexp ([] and {} escaped for RE2)
+    punct = r"length(regexp_replace(text, '[^.,;:!?''\"()\[\]{}]', '', 'g'))"
+    lang_list = ", ".join(f"'{l}'" for l in keep_langs)
+    minhash_ctes = _minhash_lsh_sql(
+        upto_pairs=True, source="canon_docs", with_prefix=False, **minhash_kwargs
+    )
+    return f"""
+WITH RECURSIVE qf AS MATERIALIZED (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    {n_tokens} AS n_tokens,
+    {punct} AS punct,
+    {_lang_hits_sql(sw)} AS stop_hits,
+    {hits_cols}
+  FROM documents
+),
+q AS MATERIALIZED (
+  SELECT doc_id, text, {lang_case} AS lang_pred,
+    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END
+     * CASE WHEN n_chars / GREATEST(n_tokens, 1) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+     * CASE WHEN punct / GREATEST(n_chars, 1) <= 0.2 THEN 1.0 ELSE 0.5 END
+     * CASE WHEN stop_hits / GREATEST(n_tokens, 1) >= 0.05 THEN 1.0 ELSE 0.7 END
+    ) AS quality_score
+  FROM qf
+),
+survivors AS MATERIALIZED (
+  SELECT doc_id, text FROM q
+  WHERE quality_score >= {min_quality} AND lang_pred IN ({lang_list})
+),
+ex AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canon FROM survivors
+),
+exact_dropped AS (SELECT doc_id FROM ex WHERE doc_id <> canon),
+canon_docs AS MATERIALIZED (
+  SELECT s.doc_id, s.text FROM survivors s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM exact_dropped)
+),
+{minhash_ctes},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b AS id FROM pairs
+  )
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT id AS node, id AS lbl FROM nodes
+  UNION
+  SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+cs AS (SELECT component, MIN(node) AS canonical_id FROM comp GROUP BY component),
+near_dropped AS (
+  SELECT c.node AS doc_id FROM comp c
+  JOIN cs ON c.component = cs.component
+  WHERE c.node <> cs.canonical_id
+)
+SELECT q.doc_id, q.lang_pred,
+  ROUND(CAST(q.quality_score AS DOUBLE), 6) AS quality_score,
+  CASE WHEN q.quality_score < {min_quality} THEN 'quality'
+       WHEN q.lang_pred NOT IN ({lang_list}) THEN 'language'
+       WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'keep' END AS decision
+FROM q
+LEFT JOIN exact_dropped ed ON q.doc_id = ed.doc_id
+LEFT JOIN near_dropped nd ON q.doc_id = nd.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1409,6 +1520,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "dedup_minhash_lsh": _minhash_lsh_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
         "dedup_simhash": _simhash_sql(bits=60, chunk_bits=15, max_hamming=10),
         "dedup_neardup_clusters": _neardup_clusters_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
+        "pipeline_clean_corpus": _clean_corpus_sql(min_quality=0.8, num_hashes=32, bands=8, max_bucket=200, seed=42),
         "ann_ivf_topk": _ivf_topk_sql(n_centroids=8, k=10, n_probe=3, seed=42, n_queries=5),
         # x1_pagerank_converged, dmid_cover: iterative-to-convergence
         # operators — intentionally no SQL twin (driver rows-only check);

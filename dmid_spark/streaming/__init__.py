@@ -1,3 +1,7 @@
+from .dedup import (  # noqa: F401
+    dedup_batch_twin,
+    dedup_stream,
+)
 from .windows import (  # noqa: F401
     stream_events,
     sessionize_stream,

@@ -7,6 +7,10 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_near_duplicates,
 )
+from .pipeline import (  # noqa: F401
+    CleanCorpusParams,
+    clean_corpus,
+)
 from .fingerprint import (  # noqa: F401
     document_fingerprints,
     fingerprint_overlap_pairs,

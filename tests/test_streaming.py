@@ -93,3 +93,70 @@ def test_sessionize_stream_matches_batch(spark, events_path):
     )
     want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()}
     assert got == want
+
+
+def test_dedup_stream_matches_batch_twin(spark, tmp_path):
+    from dmid_spark.streaming import dedup_batch_twin, dedup_stream
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant exact dupes: re-emit 5 docs under fresh ids
+    dupes = base.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(dupes)
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in run_stream_to_memory(dedup_stream(stream), output_mode="update").collect()
+    }
+    want = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in dedup_batch_twin(spark.read.parquet(path)).collect()
+    }
+    assert got == want
+    assert any(dup for _, dup in got.values())  # testdata plants real dupes
+
+
+def test_dedup_stream_state_survives_across_triggers(spark, tmp_path):
+    from dmid_spark.streaming import dedup_stream
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def drain(name):
+        # foreachBatch sink: supports checkpoint recovery (memory does not)
+        rows = []
+
+        def sink(bdf, _bid):
+            rows.extend(bdf.collect())
+
+        q = (
+            dedup_stream(spark.readStream.schema(schema).parquet(in_dir))
+            .writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r["doc_id"]: r for r in rows}
+
+    first = drain("dedup_t1")
+    assert first[1]["is_duplicate"] is False
+    assert first[3]["canonical_id"] == 1 and first[3]["is_duplicate"] is True
+
+    # second trigger: new file with a repeat of 'alpha' and fresh content —
+    # the hash state from trigger 1 must still name doc 1 canonical
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], "doc_id long, text string"
+    ).write.mode("append").parquet(in_dir)
+    second = drain("dedup_t2")
+    assert second[10]["canonical_id"] == 1 and second[10]["is_duplicate"] is True
+    assert second[11]["is_duplicate"] is False
+    assert 1 not in second  # only the new batch re-emits

@@ -236,3 +236,62 @@ def test_near_duplicate_clusters_matches_union_find(spark):
     # doc per cluster
     keep = [d for d, (c, _) in got.items() if d == c]
     assert sorted(keep) == [1, 5, 8]
+
+
+def test_clean_corpus_decision_table(spark):
+    from dmid_spark.text import CleanCorpusParams, clean_corpus
+
+    good_en = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs to the forest with a friend of the pack in the morning"
+    )
+    near_en = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs to the forest with a friend of the pack in the evening"
+    )
+    good_de = (
+        "der schnelle braune fuchs springt und das tier ist mude und der "
+        "wald ist die heimat und das leben ist gut und der tag ist lang"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good_en),           # keep (canonical of exact + near cluster)
+            (2, good_en),           # exact_dup of 1
+            (3, near_en),           # near_dup of 1 (one word differs)
+            (4, good_de),           # keep (german allowed)
+            (5, "short text"),      # quality: < 10 tokens
+            (6, "x y z " * 20),     # quality: no stopwords → und + low score
+        ],
+        "doc_id long, text string",
+    )
+    params = CleanCorpusParams(
+        min_quality=0.5, keep_langs=("de", "en", "es", "fr"),
+        num_hashes=32, bands=8,
+    )
+    out = {r["doc_id"]: r for r in clean_corpus(docs, params).collect()}
+    assert len(out) == 6  # one decision row per input doc
+    assert out[1]["decision"] == "keep"
+    assert out[2]["decision"] == "exact_dup"
+    assert out[3]["decision"] == "near_dup"
+    assert out[4]["decision"] == "keep" and out[4]["lang_pred"] == "de"
+    assert out[5]["decision"] == "quality"
+    assert out[6]["decision"] in ("quality", "language")  # quality wins first
+    # the kept set is what a training run consumes
+    kept = sorted(d for d, r in out.items() if r["decision"] == "keep")
+    assert kept == [1, 4]
+
+
+def test_clean_corpus_language_reason_fires_after_quality(spark):
+    from dmid_spark.text import CleanCorpusParams, clean_corpus
+
+    # high-quality english doc, but english not in the allowlist →
+    # 'language' (not 'quality') is the recorded reason
+    good_en = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs to the forest with a friend of the pack in the morning"
+    )
+    docs = spark.createDataFrame([(1, good_en)], "doc_id long, text string")
+    out = clean_corpus(
+        docs, CleanCorpusParams(min_quality=0.5, keep_langs=("de",))
+    ).collect()
+    assert out[0]["decision"] == "language"
