@@ -202,3 +202,17 @@ def test_rawlpa_fixed_iteration_parity(spark):
     got_da = vec(res.da, n)
     assert np.allclose(got_da, exp["da"], atol=1e-9)
     assert sorted(res.leaders) == sorted(exp["leaders"])
+
+
+def test_dmid_no_broadcast_escape_hatch_matches_default(spark):
+    # at ~1e9 vertices the O(V) broadcast of ls/out_deg/non-leader tables
+    # stops fitting; broadcast_state=False must be a working configuration
+    # (sort-merge plans) with bit-identical results
+    rows, n = GRAPHS["random"]
+    edges = G.edges_from_rows(spark, rows)
+    r_def = dmid(edges, DmidParams(tol=1e-8))
+    r_off = dmid(edges, DmidParams(tol=1e-8, broadcast_state=False))
+    assert r_def.leaders == r_off.leaders
+    c1 = sorted(map(tuple, r_def.cover.collect()))
+    c2 = sorted(map(tuple, r_off.cover.collect()))
+    assert c1 == c2
