@@ -56,20 +56,47 @@ def get_dmid_graph(spark, sym_edges):
     the DMID random walk on any graph where every vertex has in-edges, so a
     symmetric graph degenerates to rw_iterations=1 regardless of weights.
     The oriented graph has true source vertices (the least popular repos) →
-    real walk dynamics (measured: ~30 iterations to 1e-6, 50+ leaders,
+    real walk dynamics (measured: ~40 iterations to 1e-6, 300+ leaders,
     double-digit cascade rounds), so dmid_full measures the iterative
-    engine, not just the phase-2/3 joins."""
+    engine, not just the phase-2/3 joins.
+
+    v3: vertices with no out-edges (locally-most-popular repos — every
+    neighbor has a larger id) can never join a community (profitability =
+    cnt/out_deg is null), which forces the master's restart schedule all
+    the way to a negative threshold; that final epoch admits every vertex
+    into every reachable community — a ~V x C membership closure that is
+    faithful to the reference's schedule but measures a degenerate regime.
+    Flipping ONE incident edge per such vertex (the max-src in-edge) gives
+    every vertex an out-edge, so the cascade terminates at a meaningful
+    threshold and the bench measures the iterative game, not the closure."""
     from pyspark.sql import functions as F
 
     from dmid_spark import graph as G
 
-    path = os.path.join(REPO, "BENCH", "data", f"dmid_v2_r{N_REPOS}_c{N_COMMITS}")
+    path = os.path.join(REPO, "BENCH", "data", f"dmid_v3_r{N_REPOS}_c{N_COMMITS}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         directed = sym_edges.filter(
             (F.col("src") > F.col("dst")) & (F.col("dst") != 0)
         )
-        dense, _ = G.densify_ids(directed)
+        srcs = directed.select("src").distinct()
+        # local minima: appear as dst but never as src
+        zero_out = directed.select(F.col("dst").alias("v")).distinct().join(
+            srcs.withColumnRenamed("src", "v"), "v", "left_anti"
+        )
+        flip = (
+            directed.join(zero_out, directed.dst == F.col("v"))
+            .groupBy("v")
+            .agg(F.max("src").alias("u"), F.max_by("weight", "src").alias("weight"))
+        )
+        kept = directed.join(
+            flip.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            ["src", "dst"], "left_anti",
+        )
+        fixed = kept.unionByName(
+            flip.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
+        )
+        dense, _ = G.densify_ids(fixed)
         dense.repartition(CPUS).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -149,7 +149,7 @@ def hardware_ceiling(pairs) -> dict:
 
 
 def ensure_graph() -> str:
-    path = os.path.join(REPO, "BENCH", "data", f"graph_r{N_REPOS}_c{N_COMMITS}")
+    path = os.path.join(REPO, "BENCH", "data", f"graph_v2_r{N_REPOS}_c{N_COMMITS}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         print(f"--- generating scaling graph {N_REPOS} repos / {N_COMMITS} commits ---", flush=True)
         env = dict(os.environ, BENCH_REPOS=str(N_REPOS), BENCH_COMMITS=str(N_COMMITS))

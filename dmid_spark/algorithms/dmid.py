@@ -333,6 +333,39 @@ def cascade(
             )
         )
 
+    def member_counts(delta_members: DataFrame) -> DataFrame:
+        """(node, community, cnt): per requester, how many of its
+        out-neighbors are in ``delta_members`` of each community."""
+        mem = delta_members.select(
+            F.col("node").alias("m_node"), F.col("community").alias("community")
+        )
+        return (
+            edges.join(_hint(mem, params.broadcast_state), edges.dst == F.col("m_node"))
+            .groupBy(F.col("src").alias("node"), "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def round_joins(counts_tbl: DataFrame, members: DataFrame, r: int,
+                    threshold: float, restart_count: int) -> DataFrame:
+        """Filter the maintained counts table down to this round's joiners
+        (same predicate as cascade_adoption_round, which recomputes counts
+        from scratch and is kept as the single-round reference API)."""
+        c = counts_tbl.join(
+            _hint(non_leader_verts, params.broadcast_state), "node", "left_semi"
+        ).join(
+            members.select("node", "community"), ["node", "community"], "left_anti"
+        ).join(_hint(out_deg, params.broadcast_state), "node")
+        if params.variant == "leadership":
+            c = c.join(_hint(ls_req, params.broadcast_state), "node")
+            cond = (F.col("cnt") / F.col("out_deg")) > (
+                F.col("ls_v") - F.lit(restart_count * delta)
+            )
+        else:
+            cond = (F.col("cnt") / F.col("out_deg")) > F.lit(threshold)
+        return c.filter(cond).select(
+            "node", "community", F.lit(1.0 / r**2).alias("degree")
+        )
+
     delta = params.profitability_delta
     threshold = 0.5
     restart_count = 1
@@ -340,6 +373,12 @@ def cascade(
     not_all_assigned = True
     r = 0
     members = init_members()
+    # incremental membership counts: members only grow within a threshold
+    # epoch, so each round costs O(E x new-members) instead of recomputing
+    # the O(E x total-memberships) join — at a few hundred overlapping
+    # communities the full recompute is ~10x the per-round wall, and at
+    # 100x scale it is the cascade's dominant shuffle
+    counts_tbl = K.materialize(member_counts(members))
 
     while stats["rounds"] < params.max_rounds:
         # --- phase-1 master: restart / termination (DMIDMasterCompute:93-117)
@@ -350,6 +389,7 @@ def cascade(
             restart_count += 1
             r = 0
             members = init_members()
+            counts_tbl = K.materialize(member_counts(members))
             stats["restarts"] += 1
             stats["thresholds"].append(threshold)
         if not not_all_assigned:
@@ -357,18 +397,7 @@ def cascade(
         stats["rounds"] += 1
         r += 1
         joins = K.materialize(
-            cascade_adoption_round(
-                edges,
-                members,
-                non_leader_verts,
-                out_deg,
-                r,
-                threshold=threshold,
-                ls_req=ls_req if params.variant == "leadership" else None,
-                restart_count=restart_count,
-                delta=delta,
-                broadcast_state=params.broadcast_state,
-            )
+            round_joins(counts_tbl, members, r, threshold, restart_count)
         )
         members = K.materialize(members.unionByName(joins))
         # ONE aggregate action per round: new-join rows and still-unassigned
@@ -389,6 +418,12 @@ def cascade(
         unassigned = int(metrics.get("u", 0))
         new_member = n_joins > 0
         not_all_assigned = unassigned > 0
+        if new_member:
+            counts_tbl = K.materialize(
+                counts_tbl.unionByName(member_counts(joins))
+                .groupBy("node", "community")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
         if ckpt is not None:
             members = ckpt.save(
                 members,
