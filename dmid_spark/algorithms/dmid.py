@@ -487,6 +487,33 @@ def rawlpa_cascade(
     )
     stats: dict = {"outer_rounds": 0, "thresholds": [], "inner_rounds": []}
     members = None
+
+    def preds_of(rows: DataFrame) -> DataFrame:
+        """Distinct predecessors (node, community) of the given behavior
+        rows, excluding each community's own leader."""
+        return (
+            edges.join(
+                _hint(rows.select(F.col("node").alias("_b"), "community"),
+                      broadcast_state),
+                edges.dst == F.col("_b"),
+            )
+            .select(F.col("src").alias("node"), "community")
+            .distinct()
+            .filter(F.col("node") != F.col("community"))
+        )
+
+    def counts_of(rows: DataFrame) -> DataFrame:
+        """(node, community, cnt): out-neighbors of node among ``rows``."""
+        return (
+            edges.join(
+                _hint(rows.select(F.col("node").alias("_t"), "community"),
+                      broadcast_state),
+                edges.dst == F.col("_t"),
+            )
+            .groupBy(F.col("src").alias("node"), "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+
     for k in range(1, max_outer + 1):
         threshold = 1 - k * delta
         stats["outer_rounds"] = k
@@ -494,38 +521,23 @@ def rawlpa_cascade(
         members = K.materialize(
             spark.createDataFrame([], "node long, community long, join_iter int")
         )
+        # incremental state (members only grow within an epoch, and the
+        # strictly-earlier-joiners rule makes every current member countable
+        # by the time the next round runs — so counts/candidates accumulate):
+        # cand = predecessors of behavior not yet members; cnt_tbl = per
+        # (node, community) countable-neighbor totals. Each round costs
+        # O(E x new-members), not O(E x total-memberships).
+        cand = K.materialize(preds_of(leader_rows))
+        cnt_tbl = K.materialize(counts_of(leader_rows))
         r = 0
         while r < max_inner:
             r += 1
-            behavior = members.unionByName(leader_rows)
-            # candidates: predecessors of behavior nodes for that community,
-            # not already members, never the community's own leader
-            cand = (
-                edges.join(
-                    behavior.select(F.col("node").alias("_b"), "community"),
-                    edges.dst == F.col("_b"),
-                )
-                .select(F.col("src").alias("node"), "community")
-                .distinct()
-                .join(members.select("node", "community"), ["node", "community"], "left_anti")
-                .filter(F.col("node") != F.col("community"))
-            )
-            # countable out-neighbors: the leader (join_iter 0) or members
-            # joined strictly before this round
-            targets = behavior.filter(F.col("join_iter") < r).select(
-                F.col("node").alias("_t"), "community"
-            )
-            cnt = (
-                edges.join(targets, edges.dst == F.col("_t"))
-                .groupBy(F.col("src").alias("node"), "community")
-                .agg(F.count("*").alias("cnt"))
-            )
             # left join: a candidate with zero countable neighbors still has
             # profitability 0, which passes a negative threshold (the
             # reference's final do-while round can use one); out_deg == 0
             # divides to null → never joins (Java NaN comparison)
             joins = K.materialize(
-                cand.join(cnt, ["node", "community"], "left")
+                cand.join(cnt_tbl, ["node", "community"], "left")
                 .join(_hint(out_deg, broadcast_state), "node")
                 .filter(
                     F.coalesce(F.col("cnt"), F.lit(0)) / F.col("out_deg")
@@ -536,6 +548,20 @@ def rawlpa_cascade(
             if joins.count() == 0:
                 break
             members = K.materialize(members.unionByName(joins))
+            joined = joins.select("node", "community")
+            remaining = cand.join(joined, ["node", "community"], "left_anti")
+            fresh = (
+                preds_of(joins)
+                .join(members.select("node", "community"),
+                      ["node", "community"], "left_anti")
+                .join(remaining, ["node", "community"], "left_anti")
+            )
+            cand = K.materialize(remaining.unionByName(fresh))
+            cnt_tbl = K.materialize(
+                cnt_tbl.unionByName(counts_of(joins))
+                .groupBy("node", "community")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
         stats["inner_rounds"].append(r)
         assigned = members.select("node").distinct().count()
         if not (threshold > 0 and assigned < n):

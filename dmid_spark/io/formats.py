@@ -205,8 +205,11 @@ def read_ground_truth_cover(
     """M8 (Main.java:281-376): ground-truth cover reader — broken node ids
     remapped through the ``densify_ids`` dictionary (the BrokenNodeList
     analog) and community ids re-indexed densely from 0 in ascending
-    community-id order (the reference's growing-matrix column allocation)."""
-    from pyspark.sql import Window
+    community-id order (the reference's growing-matrix column allocation).
+    The community re-index uses the distributed zipWithIndex rank (distinct
+    community ids can be O(V) on fine-grained ground truths — no
+    single-partition window on a reader path)."""
+    from .. import kernel as _K
 
     cover = read_cover_json(spark, path_or_df)
     if id_map is not None:
@@ -214,13 +217,8 @@ def read_ground_truth_cover(
         cover = cover.join(m, cover.node == m.orig_id).select(
             F.col("dense_id").alias("node"), "community", "degree"
         )
-    remap = (
-        cover.select("community")
-        .distinct()
-        .withColumn(
-            "community_idx",
-            F.dense_rank().over(Window.orderBy("community")).cast("long") - 1,
-        )
+    remap = _K.distributed_rank(
+        cover.select("community").distinct(), ["community"], out_col="community_idx"
     )
     return cover.join(F.broadcast(remap), "community").select(
         "node", F.col("community_idx").alias("community"), "degree"

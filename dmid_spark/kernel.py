@@ -228,7 +228,16 @@ def build_csr_rdd(
     payloads = edges.select("src", "dst", *([] if unit_weights else ["weight"])).mapInPandas(
         to_payload, "payload binary"
     )
-    blocks = payloads.rdd.map(lambda r: pickle.loads(bytes(r.payload))).persist()
+    from pyspark import StorageLevel
+
+    # MEMORY_AND_DISK: evicting a block must spill, never drop — recompute
+    # replays the entire upstream plan (degree aggs + joins + normalization)
+    # per superstep, which showed up as 10x superstep variance when two
+    # block RDDs shared the heap
+    blocks = (
+        payloads.rdd.map(lambda r: pickle.loads(bytes(r.payload)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     blocks.count()  # materialize (and validate bounds)
     return CsrRddBlocks(
         blocks=blocks, n=n, num_parts=num_parts, dst_partitioned=shuffle
