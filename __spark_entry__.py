@@ -587,6 +587,49 @@ def q_clean_corpus(spark, sf_dir):
     return clean_corpus(_docs(spark, sf_dir), params)
 
 
+def q_kcore(spark, sf_dir):
+    """92-core of the co-occurrence graph (to fixpoint; 9 peel rounds at
+    sf0.01 — non-trivial multi-round cascade, 979 survivors). The SQL twin
+    unrolls 12 rounds; peeling past the fixpoint is a no-op (tested in
+    test_structure.py::test_kcore_extra_rounds_are_noop)."""
+    from dmid_spark.algorithms import kcore
+
+    core, _ = kcore(_edges(spark, sf_dir), k=92)
+    return core.select("id", "core_deg")
+
+
+def q_clustering(spark, sf_dir):
+    from dmid_spark.algorithms import clustering_coefficients
+
+    out = clustering_coefficients(_edges(spark, sf_dir))
+    return out.select(
+        "id", "degree", "triangles", F.round("lcc", 9).alias("lcc")
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    from dmid_spark.algorithms import degree_assortativity
+
+    row = degree_assortativity(_edges(spark, sf_dir))
+    return row.select(F.round("assortativity", 9).alias("assortativity"), "n_edges")
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction, kept to the high-signal tail
+    (cn ≥ 20 ≈ p97 on this dense graph) so the comparison set stays a few
+    thousand rows; no wedge cap (max degree 148 at sf0.01)."""
+    from dmid_spark.algorithms import link_prediction
+
+    out, _ = link_prediction(_edges(spark, sf_dir))
+    return out.filter(F.col("common_neighbors") >= 20).select(
+        "a",
+        "b",
+        "common_neighbors",
+        F.round("jaccard", 9).alias("jaccard"),
+        F.round("adamic_adar", 9).alias("adamic_adar"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -611,6 +654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_connected_components": q_cc,
         "x3_lpa_1iter": q_lpa1,
         "x4_triangle_counts": q_triangles,
+        "x5_kcore": q_kcore,
+        "x6_clustering_coeff": q_clustering,
+        "x7_degree_assortativity": q_assortativity,
+        "x8_link_prediction": q_link_prediction,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -649,6 +696,38 @@ def _lang_hits_sql(words: list[str]) -> str:
         for w in words
     ]
     return " + ".join(terms)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel: each round recomputes degrees over the current
+    edge set and keeps edges whose both endpoints have degree ≥ k. Running
+    more rounds than the peel needs is a no-op (the k-core peels to itself),
+    so a fixed unroll ≥ the convergence depth equals the fixpoint."""
+    # AS MATERIALIZED is load-bearing: every round references the previous
+    # one three times (degree scan + two alive joins), so DuckDB's default
+    # CTE inlining re-expands the whole chain 3^rounds times (observed as a
+    # too-many-open-files parquet re-scan storm) — same gotcha as the
+    # recursive-CTE oracles (x2/m3).
+    steps = ["e0 AS MATERIALIZED (SELECT u, v FROM und)"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY id HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN a{i} x ON e.u = x.id JOIN a{i} y ON e.v = y.id
+)""")
+        prev = f"e{i}"
+    return ",\n".join(steps) + f"""
+, core AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+    SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY id
+)"""
 
 
 def _pagerank5_sql() -> str:
@@ -1310,6 +1389,90 @@ pv AS (
 )
 SELECT v.id, CAST(COALESCE(t.c, 0) AS BIGINT) AS triangles
 FROM verts v LEFT JOIN (SELECT id, COUNT(*) AS c FROM pv GROUP BY id) t ON v.id = t.id""",
+        "x5_kcore": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+""" + _kcore_sql(k=92, rounds=12) + """
+SELECT id, core_deg FROM core""",
+        "x6_clustering_coeff": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY id
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pv AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT id, COUNT(*) AS c FROM pv GROUP BY id)
+SELECT v.id,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(tc.c, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN COALESCE(d.degree, 0) >= 2
+         THEN 2.0 * COALESCE(tc.c, 0) / (d.degree * (d.degree - 1))
+         ELSE 0.0 END, 9) AS lcc
+FROM verts v
+LEFT JOIN deg d ON v.id = d.id
+LEFT JOIN tc ON v.id = tc.id""",
+        "x7_degree_assortativity": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS DOUBLE) AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY id
+),
+ends AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und) b
+  JOIN deg du ON b.u = du.id JOIN deg dv ON b.v = dv.id
+)
+SELECT ROUND(CORR(du, dv), 9) AS assortativity,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+FROM ends""",
+        "x8_link_prediction": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY id
+),
+adj AS (
+  SELECT b.u AS w, b.v AS nbr, dw.d AS deg_w
+  FROM (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und) b
+  JOIN deg dw ON b.u = dw.id
+),
+wedges AS (
+  SELECT l.nbr AS a, r.nbr AS b, l.deg_w AS deg_w
+  FROM adj l JOIN adj r ON l.w = r.w AND l.nbr < r.nbr
+),
+scores AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+         SUM(1.0 / LN(CAST(deg_w AS DOUBLE))) AS aa
+  FROM wedges GROUP BY a, b
+),
+nonedge AS (
+  SELECT s.* FROM scores s
+  LEFT JOIN und e ON s.a = e.u AND s.b = e.v
+  WHERE e.u IS NULL
+)
+SELECT n.a, n.b, n.cn AS common_neighbors,
+       ROUND(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 9) AS jaccard,
+       ROUND(n.aa, 9) AS adamic_adar
+FROM nonedge n
+JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
+WHERE n.cn >= 20""",
         "m1_extended_modularity": _G + """
 , counts AS (SELECT e.dst AS v, e.src AS label, COUNT(*) AS c FROM edges e GROUP BY 1, 2),
 best AS (

@@ -4,3 +4,9 @@ from .lpa import label_propagation  # noqa: F401
 from .triangles import triangle_counts, total_triangles  # noqa: F401
 from .dmid import dmid, rawlpa, DmidParams, DmidResult  # noqa: F401
 from .slpa import slpa, slpa_memories, slpa_post_process  # noqa: F401
+from .structure import (  # noqa: F401
+    kcore,
+    clustering_coefficients,
+    degree_assortativity,
+    link_prediction,
+)
