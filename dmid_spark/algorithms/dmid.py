@@ -633,13 +633,17 @@ def dmid(
         # join mode re-reads dis every superstep — pin it; the block/cache
         # builds of the other modes consume the plan exactly once
         dis = K.materialize(dis)
+    t_prep = time.time() - t0
     da, rw_stats = random_walk(dis, verts, n, params, ckpt=ckpt)
+    t_rw = time.time() - t0 - t_prep
     ls = K.materialize(
         w_in.join(da, "id").select("id", (F.col("w_in") * F.col("value")).alias("value"))
     )
     inf = influence_rows(edges, ls, broadcast_state=params.broadcast_state)
     fd = K.materialize(follower_degrees(inf))
     leaders_df = global_leaders(fd, strict=params.strict_global_leaders)
+    leaders = sorted(r["id"] for r in leaders_df.collect())
+    t_leaders = time.time() - t0 - t_prep - t_rw
     if params.cascade_algo == "rawlpa":
         cover, cascade_stats = rawlpa_cascade(
             edges, leaders_df, verts, delta=params.profitability_delta,
@@ -649,7 +653,7 @@ def dmid(
         cover, cascade_stats = cascade(
             edges, leaders_df, verts, params, ls=ls, ckpt=ckpt
         )
-    leaders = sorted(r["id"] for r in leaders_df.collect())
+    t_cascade = time.time() - t0 - t_prep - t_rw - t_leaders
     return DmidResult(
         cover=cover,
         leaders=leaders,
@@ -664,5 +668,11 @@ def dmid(
             "rw_deltas": rw_stats.deltas[-3:],
             "cascade": cascade_stats,
             "wall_sec": time.time() - t0,
+            "phase_sec": {
+                "prep": round(t_prep, 3),
+                "random_walk": round(t_rw, 3),
+                "leaders": round(t_leaders, 3),
+                "cascade": round(t_cascade, 3),
+            },
         },
     )

@@ -58,11 +58,18 @@ def slpa_memories(
     iterations: int = 20,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, SlpaStats]:
     """Run the speaker-listener loop; returns (memory(node, label, cnt),
     stats). Listeners receive along *in*-edges (speaker = src, listener =
     dst), matching the reference's neighbor iteration over the undirected
     jgrapht view — feed a symmetrized edge table for undirected semantics.
+
+    ``broadcast_state`` hints the O(V·labels) cumulative-memory table into
+    the per-iteration edge join, so each superstep is a map-side join plus
+    ONE shuffle (the listener groupBy) instead of re-shuffling the edge
+    table every iteration; disable at the ≳10⁹-vertex regime (same escape
+    hatch as lpa/components/dmid).
     """
     import time
 
@@ -93,6 +100,8 @@ def slpa_memories(
                 * F.lit(float(total))
             ).alias("r"),
         )
+        if broadcast_state:
+            mem_cum = F.broadcast(mem_cum)
         heard = draws.join(mem_cum, "speaker").filter(
             (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi"))
         )
@@ -152,9 +161,11 @@ def slpa(
     r: float = 0.1,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, SlpaStats]:
     """Full SLPA: loop + threshold post-processing → overlapping cover."""
     memory, stats = slpa_memories(
-        edges, iterations=iterations, seed=seed, hash_mode=hash_mode
+        edges, iterations=iterations, seed=seed, hash_mode=hash_mode,
+        broadcast_state=broadcast_state,
     )
     return slpa_post_process(memory, r=r), stats

@@ -105,3 +105,49 @@ def test_distributed_rank_is_not_single_partition(spark):
     got = {r["id"]: r["rank"] for r in out.collect()}
     exp = {v: i for i, v in enumerate(sorted(got))}
     assert got == exp
+
+
+def test_kcore_round_uses_broadcast_semi_joins(spark):
+    # each peel round must semi-join the alive set broadcast-side (no
+    # sort-merge re-shuffle of the shrinking edge relation), and never
+    # funnel through a single partition
+    from dmid_spark.algorithms import kcore
+
+    rows, n = random_graph(n=200, seed=5)
+    edges = G.edges_from_rows(spark, rows)
+    core, stats = kcore(edges, k=4)
+    core.collect()
+    plan = plan_of(core)
+    assert "SinglePartition" not in plan and "Window" not in plan
+    assert stats.converged
+
+
+def test_link_prediction_plan_quality(spark):
+    # wedge self-join keyed by center; degree attach must broadcast (the
+    # O(V) degree table), and the aggregate must have a map-side combiner
+    from dmid_spark.algorithms import link_prediction
+
+    rows, n = random_graph(n=200, seed=5)
+    edges = G.edges_from_rows(spark, rows)
+    out, _ = link_prediction(edges)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_slpa_iteration_join_is_broadcast(spark, monkeypatch):
+    # the per-iteration edge x memory join must be broadcast-side memory
+    # (one shuffle per superstep: the listener groupBy), not a re-shuffle
+    # of the edge table. materialize() is stubbed out so the returned
+    # DataFrame keeps the full iteration lineage for plan inspection.
+    import importlib
+
+    # the package re-exports the slpa *function*; fetch the module itself
+    slpa_mod = importlib.import_module("dmid_spark.algorithms.slpa")
+    monkeypatch.setattr(slpa_mod.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=120, seed=9)
+    edges = G.edges_from_rows(spark, rows)
+    mem, _ = slpa_mod.slpa_memories(edges, iterations=1)
+    plan = plan_of(mem)
+    assert "BroadcastHashJoin" in plan
