@@ -27,6 +27,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # bench-graph scale knobs (deterministic; override for quick local runs)
 N_REPOS = int(os.environ.get("BENCH_REPOS", "20000"))
 N_COMMITS = int(os.environ.get("BENCH_COMMITS", "150000"))
+# k=80 peels the bench graph in 6 non-trivial rounds (17.4k of 20k repos
+# survive); the wedge cap bounds link-prediction candidate generation to
+# <=cap^2 rows per center — 150 ~= the median undirected degree on this
+# dense co-occurrence graph (13.1M scored pairs, 7.8k hub centers dropped,
+# counted in detail.link_prediction.dropped_centers)
+KCORE_K = int(os.environ.get("BENCH_KCORE_K", "80"))
+LINKPRED_CAP = int(os.environ.get("BENCH_LINKPRED_CAP", "150"))
 
 
 def get_bench_graph(spark):
@@ -123,6 +130,12 @@ def main():
     detail: dict[str, dict] = {}
 
     def timed(name, fn):
+        # drop dead localCheckpoint references from the previous query so
+        # Spark's ContextCleaner reclaims executor memory before timing the
+        # next one (checkpointed RDDs linger until a driver GC otherwise)
+        import gc
+
+        gc.collect()
         t0 = time.time()
         out = fn()
         queries[name] = round(time.time() - t0, 3)
@@ -152,6 +165,7 @@ def main():
     )
     detail["dmid"] = {
         "graph_edges": n_dmid_edges,
+        "phase_sec": res.stats["phase_sec"],
         "rw_iterations": res.stats["rw_iterations"],
         "cascade_rounds": res.stats["cascade"]["rounds"],
         "leaders": len(res.leaders),
@@ -173,6 +187,26 @@ def main():
 
     n_slpa = timed("slpa_3iter", lambda: slpa(edges, iterations=3, r=0.2)[0].count())
     detail["slpa"] = {"cover_rows": int(n_slpa)}
+
+    from dmid_spark.algorithms import kcore, link_prediction
+
+    core, kc_stats = timed("kcore", lambda: kcore(edges, k=KCORE_K))
+    detail["kcore"] = {
+        "k": KCORE_K,
+        "rounds": kc_stats.rounds,
+        "survivors": int(core.count()),
+    }
+
+    def run_linkpred():
+        out, lp_stats = link_prediction(edges, max_wedge_degree=LINKPRED_CAP)
+        return out.count(), lp_stats
+
+    (n_lp, lp_stats) = timed("link_prediction", run_linkpred)
+    detail["link_prediction"] = {
+        "max_wedge_degree": LINKPRED_CAP,
+        "pairs": int(n_lp),
+        "dropped_centers": lp_stats.dropped_centers,
+    }
 
     # --- training-data pipeline workload on the SF tables -----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -399,7 +399,10 @@ def cascade(
         joins = K.materialize(
             round_joins(counts_tbl, members, r, threshold, restart_count)
         )
-        members = K.materialize(members.unionByName(joins))
+        # members stays a LAZY union of checkpointed per-round join tables:
+        # every child is already materialized, so scans just re-union ~r
+        # small cached relations — one fewer localCheckpoint job per round
+        members = members.unionByName(joins)
         # ONE aggregate action per round: new-join rows and still-unassigned
         # non-leaders counted in a single job over the two cached tables
         # (was joins.count() + an anti-join count = two driver actions)
@@ -437,7 +440,10 @@ def cascade(
                     "unassigned": unassigned,
                 },
             )
-    stats["unassigned"] = int(
+    # the per-round metric already counted still-unassigned non-leaders
+    # against the CURRENT members table on every exit path (threshold guard
+    # breaks before the wipe; all-assigned exits with 0) — no extra job
+    stats["unassigned"] = unassigned if stats["rounds"] > 0 else int(
         non_leader_verts.join(members, "node", "left_anti").count()
     )
     return members, stats
