@@ -630,6 +630,29 @@ def q_link_prediction(spark, sf_dir):
     )
 
 
+def q_hits5(spark, sf_dir):
+    """HITS, 5 fixed synchronous iterations (SQL-expressible twin of the
+    to-convergence variant, same device as x1_pagerank_5iter)."""
+    from dmid_spark.algorithms import hits
+
+    out, _ = hits(_edges(spark, sf_dir), tol=-1.0, max_iter=5)
+    return out.select(
+        "id", F.round("hub", 9).alias("hub"), F.round("authority", 9).alias("authority")
+    )
+
+
+def q_ppr5(spark, sf_dir):
+    """Personalized PageRank from the deterministic seed set id % 100 == 0,
+    5 fixed iterations."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import personalized_pagerank
+
+    e = _edges(spark, sf_dir)
+    seeds = G.vertices(e).filter(F.col("id") % 100 == 0)
+    ranks, _ = personalized_pagerank(e, seeds, tol=-1.0, max_iter=5)
+    return ranks.select("id", F.round("value", 9).alias("ppr"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -658,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_clustering_coeff": q_clustering,
         "x7_degree_assortativity": q_assortativity,
         "x8_link_prediction": q_link_prediction,
+        "x9_hits_5iter": q_hits5,
+        "x10_ppr_5iter": q_ppr5,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -728,6 +753,84 @@ e{i} AS MATERIALIZED (
     SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}
   ) GROUP BY id
 )"""
+
+
+def _hits5_sql(iters: int = 5) -> str:
+    """Unrolled synchronous HITS: authority from hubs over in-edges, hub
+    from authorities over out-edges, each L2-normalized per iteration.
+    MATERIALIZED per step (multi-referenced CTEs — see _kcore_sql)."""
+    steps = ["h0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM verts)"]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+araw{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.s) AS s FROM edges e
+    JOIN {prev_h} p ON e.src = p.id GROUP BY e.dst
+  ) c ON v.id = c.id
+),
+anrm{i} AS (SELECT SQRT(SUM(s * s)) AS n FROM araw{i}),
+a{i} AS MATERIALIZED (
+  SELECT a.id, CASE WHEN n.n > 0 THEN a.s / n.n ELSE a.s END AS s
+  FROM araw{i} a CROSS JOIN anrm{i} n
+),
+hraw{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, SUM(p.s) AS s FROM edges e
+    JOIN a{i} p ON e.dst = p.id GROUP BY e.src
+  ) c ON v.id = c.id
+),
+hnrm{i} AS (SELECT SQRT(SUM(s * s)) AS n FROM hraw{i}),
+h{i} AS MATERIALIZED (
+  SELECT h.id, CASE WHEN n.n > 0 THEN h.s / n.n ELSE h.s END AS s
+  FROM hraw{i} h CROSS JOIN hnrm{i} n
+)""")
+        prev_h = f"h{i}"
+    return ",\n".join(steps) + f"""
+SELECT h.id, ROUND(h.s, 9) AS hub, ROUND(a.s, 9) AS authority
+FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+
+
+def _ppr5_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled personalized PageRank: teleport + dangling mass restricted
+    to the seed set id % 100 == 0; start vector uniform over seeds."""
+    steps = [
+        "seeds AS MATERIALIZED (SELECT id FROM verts WHERE id % 100 = 0)",
+        "sk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds)",
+        """pp0 AS MATERIALIZED (
+  SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / sk.k ELSE 0.0 END AS pr
+  FROM verts v LEFT JOIN seeds s ON v.id = s.id CROSS JOIN sk
+)""",
+    ]
+    prev = "pp0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+pdang{i} AS (
+  SELECT COALESCE(SUM(p.pr), 0) AS dm FROM {prev} p
+  WHERE p.id NOT IN (SELECT DISTINCT src FROM edges)
+),
+pp{i} AS MATERIALIZED (
+  SELECT v.id,
+         {d} * COALESCE(c.contrib, 0)
+         + CASE WHEN s.id IS NOT NULL
+             THEN (1 - {d}) / sk.k + {d} * dg.dm / sk.k
+             ELSE 0.0 END AS pr
+  FROM verts v
+  LEFT JOIN seeds s ON v.id = s.id
+  CROSS JOIN sk CROSS JOIN pdang{i} dg
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.pr / od.o) AS contrib
+    FROM edges e
+    JOIN {prev} p ON e.src = p.id
+    JOIN (SELECT src, CAST(COUNT(*) AS DOUBLE) AS o FROM edges GROUP BY src) od
+      ON e.src = od.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+        prev = f"pp{i}"
+    return ",\n".join(steps) + f"\nSELECT id, ROUND(pr, 9) AS ppr FROM {prev}"
 
 
 def _pagerank5_sql() -> str:
@@ -1354,6 +1457,8 @@ FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
 WHERE a.l_partkey < b.l_partkey
 GROUP BY 1, 2""",
         "x1_pagerank_5iter": _G + ", " + _pagerank5_sql(),
+        "x9_hits_5iter": _G + ", " + _hits5_sql(),
+        "x10_ppr_5iter": _G + ", " + _ppr5_sql(),
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (

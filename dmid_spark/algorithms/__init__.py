@@ -10,3 +10,4 @@ from .structure import (  # noqa: F401
     degree_assortativity,
     link_prediction,
 )
+from .spectral import hits, personalized_pagerank  # noqa: F401

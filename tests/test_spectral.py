@@ -1,0 +1,155 @@
+"""Tests for HITS and personalized PageRank (algorithms/spectral.py)
+against independent NumPy re-derivations on the shared fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures import directed_path, random_graph, star, two_cliques_bridge
+from dmid_spark import graph as G
+from dmid_spark.algorithms import hits, personalized_pagerank
+
+
+def vec(df, n, key="id", val="value", default=0.0):
+    out = np.full(n, default)
+    for r in df.collect():
+        out[r[key]] = r[val]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracles
+# ---------------------------------------------------------------------------
+def hits_oracle(rows, n, iters=200, tol=1e-6, weighted=False):
+    A = np.zeros((n, n))
+    for s, d, w in rows:
+        A[s, d] = w if weighted else 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        na = A.T @ h
+        nrm = np.linalg.norm(na)
+        if nrm > 0:
+            na = na / nrm
+        nh = A @ na
+        nrm = np.linalg.norm(nh)
+        if nrm > 0:
+            nh = nh / nrm
+        delta = np.abs(na - a).sum() + np.abs(nh - h).sum()
+        a, h = na, nh
+        if delta < tol:
+            break
+    return h, a
+
+
+def ppr_oracle(rows, n, seeds, d=0.85, iters=500, tol=1e-9, weighted=False):
+    W = np.zeros((n, n))
+    for s, t, w in rows:
+        W[s, t] = w if weighted else 1.0
+    outw = W.sum(axis=1)
+    P = np.divide(W, outw[:, None], out=np.zeros_like(W), where=outw[:, None] > 0)
+    s_vec = np.zeros(n)
+    s_vec[list(seeds)] = 1.0 / len(seeds)
+    x = s_vec.copy()
+    for _ in range(iters):
+        dm = x[outw == 0].sum()
+        y = d * (P.T @ x) + (1 - d + d * dm) * s_vec
+        if np.abs(y - x).sum() < tol:
+            x = y
+            break
+        x = y
+    return x
+
+
+GRAPHS = {
+    "two_cliques": two_cliques_bridge(),
+    "star": star(),
+    "path": directed_path(),
+    "random": random_graph(n=100, seed=17),
+}
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name", ["two_cliques", "star", "random"])
+def test_hits_matches_oracle(spark, name):
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    out, stats = hits(edges, tol=1e-8)
+    eh, ea = hits_oracle(rows, n, tol=1e-8)
+    assert stats.converged
+    assert np.allclose(vec(out, n, val="hub"), eh, atol=1e-6)
+    assert np.allclose(vec(out, n, val="authority"), ea, atol=1e-6)
+
+
+def test_hits_directed_path_sink_has_zero_hub(spark):
+    rows, n = directed_path()
+    out, _ = hits(G.edges_from_rows(spark, rows), tol=1e-8, max_iter=500)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in out.collect()}
+    assert got[n - 1][0] == 0.0  # sink points at nothing
+    assert got[0][1] == 0.0  # source has no in-edges
+
+
+def test_hits_weighted_differs_from_unweighted(spark):
+    rows, n = random_graph(n=60, seed=5, weighted=True)
+    edges = G.edges_from_rows(spark, rows)
+    uw, _ = hits(edges, tol=1e-8)
+    ww, _ = hits(edges, tol=1e-8, weighted=True)
+    eh, ea = hits_oracle(rows, n, tol=1e-8, weighted=True)
+    assert np.allclose(vec(ww, n, val="hub"), eh, atol=1e-6)
+    assert not np.allclose(vec(uw, n, val="hub"), vec(ww, n, val="hub"), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("name,seeds", [
+    ("two_cliques", [0]),
+    ("star", [1, 2]),
+    ("random", [0, 7, 23]),
+])
+def test_ppr_matches_oracle(spark, name, seeds):
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    ranks, stats = personalized_pagerank(edges, seed_df, tol=1e-9)
+    exp = ppr_oracle(rows, n, seeds)
+    got = vec(ranks, n)
+    assert stats.converged
+    assert stats.n_seeds == len(seeds)
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_ppr_mass_concentrates_near_seed(spark):
+    # teleporting only to clique A keeps most mass there; the bridge leaks
+    # a little into clique B
+    rows, n = two_cliques_bridge()
+    edges = G.edges_from_rows(spark, rows)
+    seed_df = spark.createDataFrame([(0,)], "id long")
+    ranks, _ = personalized_pagerank(edges, seed_df, tol=1e-9)
+    got = vec(ranks, n)
+    assert got[: n // 2].sum() > 0.8
+    assert got[n // 2 :].sum() > 0.0
+
+
+def test_ppr_unreachable_vertices_get_zero(spark):
+    # two disconnected components; seeding in one leaves the other at 0
+    rows = [(0, 1, 1.0), (1, 0, 1.0), (2, 3, 1.0), (3, 2, 1.0)]
+    edges = G.edges_from_rows(spark, rows)
+    seed_df = spark.createDataFrame([(0,)], "id long")
+    ranks, _ = personalized_pagerank(edges, seed_df, tol=1e-10)
+    got = {r["id"]: r["value"] for r in ranks.collect()}
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert abs(got[0] + got[1] - 1.0) < 1e-8
+
+
+def test_ppr_empty_seeds_raises(spark):
+    rows, n = GRAPHS["random"]
+    edges = G.edges_from_rows(spark, rows)
+    empty = spark.createDataFrame([], "id long")
+    with pytest.raises(ValueError, match="empty seed"):
+        personalized_pagerank(edges, empty)
