@@ -630,6 +630,16 @@ def q_link_prediction(spark, sf_dir):
     )
 
 
+def q_coreness(spark, sf_dir):
+    """Full core-number decomposition to fixpoint (16 h-index rounds at
+    sf0.01; the SQL twin unrolls 18 — iterating past the fixpoint is a
+    no-op, tested in test_structure.py::test_coreness_extra_rounds_are_noop)."""
+    from dmid_spark.algorithms import coreness
+
+    core, _ = coreness(_edges(spark, sf_dir))
+    return core.select("id", "coreness")
+
+
 def q_hits5(spark, sf_dir):
     """HITS, 5 fixed synchronous iterations (SQL-expressible twin of the
     to-convergence variant, same device as x1_pagerank_5iter)."""
@@ -683,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_link_prediction": q_link_prediction,
         "x9_hits_5iter": q_hits5,
         "x10_ppr_5iter": q_ppr5,
+        "x11_coreness": q_coreness,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -753,6 +764,34 @@ e{i} AS MATERIALIZED (
     SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}
   ) GROUP BY id
 )"""
+
+
+def _coreness_sql(rounds: int = 18) -> str:
+    """Unrolled neighborhood-H-index iteration from degrees: converges to
+    the core numbers; extra rounds past the fixpoint are no-ops.
+    MATERIALIZED per step (see _kcore_sql)."""
+    steps = [
+        """bdir AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+)""",
+        """hx0 AS MATERIALIZED (
+  SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS h FROM bdir GROUP BY u
+)""",
+    ]
+    prev = "hx0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+hx{i} AS MATERIALIZED (
+  SELECT node AS id, CAST(COALESCE(MAX(CASE WHEN hn >= rn THEN rn END), 0) AS BIGINT) AS h
+  FROM (
+    SELECT b.u AS node, p.h AS hn,
+           ROW_NUMBER() OVER (PARTITION BY b.u ORDER BY p.h DESC) AS rn
+    FROM bdir b JOIN {prev} p ON b.v = p.id
+  )
+  GROUP BY node
+)""")
+        prev = f"hx{i}"
+    return ",\n".join(steps) + f"\nSELECT id, h AS coreness FROM {prev}"
 
 
 def _hits5_sql(iters: int = 5) -> str:
@@ -1459,6 +1498,11 @@ GROUP BY 1, 2""",
         "x1_pagerank_5iter": _G + ", " + _pagerank5_sql(),
         "x9_hits_5iter": _G + ", " + _hits5_sql(),
         "x10_ppr_5iter": _G + ", " + _ppr5_sql(),
+        "x11_coreness": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+""" + _coreness_sql(rounds=18),
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (

@@ -18,6 +18,7 @@ from fixtures import (
 from dmid_spark import graph as G
 from dmid_spark.algorithms import (
     clustering_coefficients,
+    coreness,
     degree_assortativity,
     kcore,
     link_prediction,
@@ -130,6 +131,61 @@ def test_kcore_extra_rounds_are_noop(spark):
     edges = G.edges_from_rows(spark, rows)
     c1, s1 = kcore(edges, k=4)
     c2, _ = kcore(edges, k=4, max_rounds=s1.rounds + 5)
+    assert {tuple(r) for r in c1.collect()} == {tuple(r) for r in c2.collect()}
+
+
+# ---------------------------------------------------------------------------
+# coreness (full decomposition via iterated neighborhood H-index)
+# ---------------------------------------------------------------------------
+def coreness_oracle(rows, n):
+    """Core numbers by the standard min-degree peel."""
+    nbrs = und_adj(rows, n)
+    alive = {v for v in range(n) if nbrs[v]}
+    deg = {v: len(nbrs[v]) for v in alive}
+    core = {}
+    k = 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        stack = [v for v in alive if deg[v] <= k]
+        while stack:
+            v = stack.pop()
+            if v not in alive:
+                continue
+            alive.remove(v)
+            core[v] = k
+            for u in nbrs[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        stack.append(u)
+    return core
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "ring", "star", "random"])
+def test_coreness_matches_peel_oracle(spark, name):
+    rows, n = GRAPHS[name]
+    core, stats = coreness(G.edges_from_rows(spark, rows))
+    got = {r["id"]: r["coreness"] for r in core.collect()}
+    assert stats.converged
+    assert got == coreness_oracle(rows, n)
+
+
+def test_coreness_consistent_with_kcore(spark):
+    rows, n = GRAPHS["random"]
+    edges = G.edges_from_rows(spark, rows)
+    core, _ = coreness(edges)
+    k = 4
+    kc, _ = kcore(edges, k=k)
+    in_core = {r["id"] for r in kc.collect()}
+    by_number = {r["id"] for r in core.collect() if r["coreness"] >= k}
+    assert in_core == by_number
+
+
+def test_coreness_extra_rounds_are_noop(spark):
+    rows, n = GRAPHS["random"]
+    edges = G.edges_from_rows(spark, rows)
+    c1, s1 = coreness(edges)
+    c2, _ = coreness(edges, max_rounds=s1.rounds + 4)
     assert {tuple(r) for r in c1.collect()} == {tuple(r) for r in c2.collect()}
 
 
