@@ -640,6 +640,15 @@ def q_coreness(spark, sf_dir):
     return core.select("id", "coreness")
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components, min-id labels. The DuckDB twin is the
+    directed two-closure definition: scc(v) = min{u : u →* v and v →* u}."""
+    from dmid_spark.algorithms import strongly_connected_components
+
+    labels, _ = strongly_connected_components(_edges(spark, sf_dir))
+    return labels.select("id", F.col("scc").cast("long").alias("scc"))
+
+
 def q_hits5(spark, sf_dir):
     """HITS, 5 fixed synchronous iterations (SQL-expressible twin of the
     to-convergence variant, same device as x1_pagerank_5iter)."""
@@ -694,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_hits_5iter": q_hits5,
         "x10_ppr_5iter": q_ppr5,
         "x11_coreness": q_coreness,
+        "x12_scc": q_scc,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1503,6 +1513,20 @@ GROUP BY 1, 2""",
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
 ),
 """ + _coreness_sql(rounds=18),
+        "x12_scc": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
+, fwd AS (
+  SELECT id AS node, id AS lbl FROM verts
+  UNION
+  SELECT e.dst AS node, r.lbl FROM fwd r JOIN edges e ON e.src = r.node
+),
+bwd AS (
+  SELECT id AS node, id AS lbl FROM verts
+  UNION
+  SELECT e.src AS node, r.lbl FROM bwd r JOIN edges e ON e.dst = r.node
+)
+SELECT f.node AS id, CAST(MIN(f.lbl) AS BIGINT) AS scc
+FROM fwd f JOIN bwd b ON f.node = b.node AND f.lbl = b.lbl
+GROUP BY f.node""",
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (

@@ -12,3 +12,4 @@ from .structure import (  # noqa: F401
     link_prediction,
 )
 from .spectral import hits, personalized_pagerank  # noqa: F401
+from .scc import strongly_connected_components  # noqa: F401
