@@ -140,6 +140,9 @@ def personalized_pagerank(
     max_iter: int = 200,
     weighted: bool = False,
     broadcast_state: bool = True,
+    ckpt=None,
+    ckpt_every: int = 10,
+    resume: bool = False,
 ) -> tuple[DataFrame, PprStats]:
     """PageRank with teleport restricted to ``seeds(id)``: at every step a
     walker follows an out-edge with probability ``d`` and teleports to a
@@ -193,7 +196,10 @@ def personalized_pagerank(
         "id", F.lit(1.0 / k).alias("value")
     )
     x0 = K.complete_vector(x0, verts)
-    ranks, it_stats = K.iterate(x0, step, tol=tol, max_iter=max_iter, name="ppr")
+    ranks, it_stats = K.iterate(
+        x0, step, tol=tol, max_iter=max_iter, name="ppr",
+        ckpt=ckpt, ckpt_every=ckpt_every, resume=resume,
+    )
     stats.iterations = it_stats.iterations
     stats.converged = it_stats.converged
     stats.deltas = it_stats.deltas

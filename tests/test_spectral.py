@@ -147,6 +147,27 @@ def test_ppr_unreachable_vertices_get_zero(spark):
     assert abs(got[0] + got[1] - 1.0) < 1e-8
 
 
+def test_ppr_checkpoint_resume_bit_identical(spark, tmp_ckpt_dir):
+    from dmid_spark.checkpoint import CheckpointManager
+
+    rows, n = GRAPHS["random"]
+    edges = G.edges_from_rows(spark, rows)
+    seed_df = spark.createDataFrame([(0,), (7,)], "id long")
+    full, _ = personalized_pagerank(edges, seed_df, tol=1e-9)
+    ckpt = CheckpointManager(spark, tmp_ckpt_dir, "pprresume")
+    # partial run checkpoints every iteration, then a fresh call resumes
+    personalized_pagerank(
+        edges, seed_df, tol=1e-9, max_iter=4, ckpt=ckpt, ckpt_every=1
+    )
+    resumed, stats = personalized_pagerank(
+        edges, seed_df, tol=1e-9, ckpt=ckpt, ckpt_every=1, resume=True
+    )
+    assert stats.converged
+    got = {r["id"]: r["value"] for r in resumed.collect()}
+    exp = {r["id"]: r["value"] for r in full.collect()}
+    assert got == exp  # bit-identical, not just allclose
+
+
 def test_ppr_empty_seeds_raises(spark):
     rows, n = GRAPHS["random"]
     edges = G.edges_from_rows(spark, rows)
