@@ -58,3 +58,41 @@ def test_spark_submit_pyfiles_pagerank(spark, tmp_path):
         got[row["id"]] = row["value"]
     exp, _, _ = O.pagerank(rows, n, tol=1e-8)
     assert np.allclose(got, exp, atol=1e-6)
+
+
+def test_spark_submit_scc_job(spark, tmp_path):
+    """The job-runner dispatch for the round-2 operators, driven through a
+    real spark-submit (two cycles joined by a one-way bridge)."""
+    from dmid_spark import graph as G
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+            (10, 11, 1.0), (11, 12, 1.0), (12, 10, 1.0),
+            (2, 10, 1.0)]
+    edges_path = str(tmp_path / "edges")
+    G.edges_from_rows(spark, rows).write.parquet(edges_path)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.modules["pyspark"].__file__)),
+        "pyspark", "bin", "spark-submit",
+    )
+    out_path = str(tmp_path / "scc")
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_job.py"),
+            "scc", "--edges", edges_path, "--output", out_path,
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["converged"] is True
+    got = {row["id"]: row["scc"] for row in spark.read.parquet(out_path).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}

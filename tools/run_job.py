@@ -24,7 +24,10 @@ import sys
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="dmid_spark job runner")
-    p.add_argument("job", choices=["pagerank", "dmid", "rawlpa", "components", "corpus-edges"])
+    p.add_argument("job", choices=[
+        "pagerank", "dmid", "rawlpa", "components", "corpus-edges",
+        "scc", "kcore", "coreness", "hits", "ppr",
+    ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
     p.add_argument("--output", required=True)
@@ -33,6 +36,8 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--variant", default="basic")
+    p.add_argument("--k", type=int, default=3, help="kcore: the k")
+    p.add_argument("--seeds", help="ppr: parquet path of seed (id) rows")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -93,6 +98,40 @@ def main(argv=None):
             labels, st = connected_components(edges)
             labels.write.mode("overwrite").parquet(args.output)
             stats = {"rounds": st.rounds, "converged": st.converged}
+        elif args.job == "scc":
+            from dmid_spark.algorithms import strongly_connected_components
+
+            labels, st = strongly_connected_components(edges)
+            labels.write.mode("overwrite").parquet(args.output)
+            stats = {"outer_rounds": st.outer_rounds, "converged": st.converged}
+        elif args.job == "kcore":
+            from dmid_spark.algorithms import kcore
+
+            core, st = kcore(edges, k=args.k)
+            core.write.mode("overwrite").parquet(args.output)
+            stats = {"k": args.k, "rounds": st.rounds, "converged": st.converged}
+        elif args.job == "coreness":
+            from dmid_spark.algorithms import coreness
+
+            core, st = coreness(edges)
+            core.write.mode("overwrite").parquet(args.output)
+            stats = {"rounds": st.rounds, "converged": st.converged}
+        elif args.job == "hits":
+            from dmid_spark.algorithms import hits
+
+            scores, st = hits(edges, tol=args.tol)
+            scores.write.mode("overwrite").parquet(args.output)
+            stats = {"iterations": st.iterations, "converged": st.converged}
+        elif args.job == "ppr":
+            from dmid_spark.algorithms import personalized_pagerank
+
+            seeds = spark.read.parquet(args.seeds)
+            ranks, st = personalized_pagerank(
+                edges, seeds, tol=args.tol, ckpt=ckpt, resume=args.resume
+            )
+            ranks.write.mode("overwrite").parquet(args.output)
+            stats = {"iterations": st.iterations, "converged": st.converged,
+                     "n_seeds": st.n_seeds}
 
     print(json.dumps({"job": args.job, **{k: v for k, v in stats.items() if not isinstance(v, list)}}))
     spark.stop()
