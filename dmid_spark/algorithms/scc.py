@@ -88,6 +88,7 @@ def strongly_connected_components(
     for outer in range(1, max_outer + 1):
         stats.outer_rounds = outer
         # --- 1. trim pure-DAG vertices to fixpoint ------------------------
+        n_prev = n_next = cur.count()
         while stats.trim_rounds < max_inner:
             srcs = cur.select(F.col("src").alias("id")).distinct()
             dsts = cur.select(F.col("dst").alias("id")).distinct()
@@ -98,12 +99,13 @@ def strongly_connected_components(
                 cur.join(_hint(keep, broadcast_state), cur.src == F.col("_k"), "left_semi")
                 .join(_hint(keep, broadcast_state), cur.dst == F.col("_k"), "left_semi")
             )
-            n_prev, n_next = cur.count(), nxt.count()
+            n_next = nxt.count()
             stats.trim_rounds += 1
             cur = nxt
             if n_next == n_prev or n_next == 0:
                 break
-        if cur.count() == 0:
+            n_prev = n_next
+        if n_next == 0:
             break
 
         active = K.materialize(
