@@ -134,6 +134,22 @@ def test_kcore_extra_rounds_are_noop(spark):
     assert {tuple(r) for r in c1.collect()} == {tuple(r) for r in c2.collect()}
 
 
+def test_structural_ops_handle_empty_graph(spark):
+    """Every structural operator must return an empty (or degenerate)
+    result on an empty edge table, never raise."""
+    from dmid_spark.algorithms import hits, strongly_connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert kcore(empty, k=2)[0].count() == 0
+    assert coreness(empty)[0].count() == 0
+    assert clustering_coefficients(empty).count() == 0
+    row = degree_assortativity(empty).first()
+    assert row["assortativity"] is None and row["n_edges"] == 0
+    assert link_prediction(empty)[0].count() == 0
+    assert hits(empty, max_iter=2)[0].count() == 0
+    assert strongly_connected_components(empty)[0].count() == 0
+
+
 # ---------------------------------------------------------------------------
 # coreness (full decomposition via iterated neighborhood H-index)
 # ---------------------------------------------------------------------------
