@@ -151,3 +151,30 @@ def test_slpa_iteration_join_is_broadcast(spark, monkeypatch):
     mem, _ = slpa_mod.slpa_memories(edges, iterations=1)
     plan = plan_of(mem)
     assert "BroadcastHashJoin" in plan
+
+
+def test_coreness_round_has_no_single_partition_exchange(spark):
+    # the per-vertex H-index window is partitioned by vertex — a global
+    # (unpartitioned) window would funnel the adjacency through one task
+    from dmid_spark.algorithms import coreness
+
+    rows, n = random_graph(n=150, seed=7)
+    edges = G.edges_from_rows(spark, rows)
+    core, stats = coreness(edges)
+    core.collect()
+    plan = plan_of(core)
+    assert "SinglePartition" not in plan
+    assert stats.converged
+
+
+def test_hits_iteration_join_is_broadcast(spark, monkeypatch):
+    import importlib
+
+    spectral = importlib.import_module("dmid_spark.algorithms.spectral")
+    monkeypatch.setattr(spectral.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=100, seed=13)
+    edges = G.edges_from_rows(spark, rows)
+    out, _ = spectral.hits(edges, tol=-1.0, max_iter=1)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
