@@ -672,6 +672,54 @@ def q_ppr5(spark, sf_dir):
     return ranks.select("id", F.round("value", 9).alias("ppr"))
 
 
+def q_bfs(spark, sf_dir):
+    """Multi-source directed BFS from the deterministic sample id % 50 == 0,
+    depth-capped at 12 (the sf0.01 graph's eccentricity from the sample is
+    ~4, so the cap equals the fixpoint — same device as the bounded-round
+    kcore/coreness twins)."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import bfs_distances
+
+    e = _edges(spark, sf_dir)
+    sources = G.vertices(e).filter(F.col("id") % 50 == 0)
+    dist, _ = bfs_distances(e, sources, max_depth=12)
+    return dist.select("source", "id", F.col("dist").cast("long").alias("dist"))
+
+
+def q_harmonic(spark, sf_dir):
+    """Sampled harmonic + closeness centrality from id % 20 == 0 (50
+    sources at sf0.01) — the Eppstein-Wang estimator over bfs_distances."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import harmonic_centrality
+
+    e = _edges(spark, sf_dir)
+    sources = G.vertices(e).filter(F.col("id") % 20 == 0)
+    out, _ = harmonic_centrality(e, sources, max_depth=12)
+    return out.select(
+        "id",
+        "n_reached",
+        F.round("harmonic", 9).alias("harmonic"),
+        F.round("closeness", 9).alias("closeness"),
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic 4-step random walk from every non-sink vertex
+    (hash_mode='md5' → bitwise DuckDB twin, same device as the
+    minhash/simhash/SLPA oracles)."""
+    from dmid_spark.algorithms import random_walks
+
+    out, _ = random_walks(_edges(spark, sf_dir), walk_length=4, seed=42, hash_mode="md5")
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "node")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style word/n-gram repetition filters over documents."""
+    from dmid_spark.text import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -704,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_ppr_5iter": q_ppr5,
         "x11_coreness": q_coreness,
         "x12_scc": q_scc,
+        "x13_bfs_distances": q_bfs,
+        "x14_harmonic_centrality": q_harmonic,
+        "x15_random_walks": q_random_walks,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -723,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_token_stats": q_token_stats,
         "text_fingerprint_winnow": q_fingerprint,
+        "text_repetition": q_repetition,
         "ann_cosine_topk": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_ivf_topk": q_ann_ivf,
@@ -1352,6 +1404,56 @@ LEFT JOIN exact_dropped ed ON q.doc_id = ed.doc_id
 LEFT JOIN near_dropped nd ON q.doc_id = nd.doc_id"""
 
 
+def _bfs_reach_sql(src_mod: int, depth: int = 12) -> str:
+    """Recursive multi-source BFS: all (source, id, dist≤depth) walk rows;
+    MIN(dist) per (source, id) is the hop distance. The depth cap bounds the
+    recursion (UNION dedup alone cannot terminate it on cyclic graphs); any
+    cap ≥ the sample's eccentricity equals the fixpoint — the same
+    bounded-iteration device as the kcore/coreness twins."""
+    return f"""
+, srcs AS (SELECT id FROM verts WHERE id % {src_mod} = 0),
+reach AS (
+  SELECT id AS source, id, 0 AS dist FROM srcs
+  UNION
+  SELECT r.source, e.dst AS id, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.dist < {depth}
+),
+sp AS (SELECT source, id, MIN(dist) AS dist FROM reach GROUP BY source, id)
+"""
+
+
+def _walks_sql(length: int, seed: int) -> str:
+    """Unrolled deterministic random walk: rank-ordered adjacency + md5
+    draws (the engine-portable _md5_long hash). Each step CTE is referenced
+    twice (next step + final union) → AS MATERIALIZED, per the multi-
+    reference CTE gotcha documented on _kcore_sql."""
+    steps = [
+        "w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM adj)"
+    ]
+    unions = ["SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0"]
+    for t in range(1, length + 1):
+        h = _md5_long(f"w.walk_id || ':{t}:{seed}'")
+        steps.append(f"""w{t} AS MATERIALIZED (
+  SELECT w.walk_id, n.dst AS node
+  FROM w{t - 1} w JOIN nbr n
+    ON n.src = w.node AND n.rnk = {h} % n.outdeg
+)""")
+        unions.append(f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM w{t}")
+    steps_sql = ",\n".join(steps)
+    unions_sql = "\nUNION ALL ".join(unions)
+    return f"""
+, adj AS MATERIALIZED (SELECT src, dst FROM edges GROUP BY src, dst),
+nbr AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS outdeg
+  FROM adj
+),
+{steps_sql}
+{unions_sql}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
           "that", "for", "on", "with", "as", "at", "by", "this"]
@@ -1527,6 +1629,22 @@ bwd AS (
 SELECT f.node AS id, CAST(MIN(f.lbl) AS BIGINT) AS scc
 FROM fwd f JOIN bwd b ON f.node = b.node AND f.lbl = b.lbl
 GROUP BY f.node""",
+        "x13_bfs_distances": _G.replace("WITH edges", "WITH RECURSIVE edges")
+        + _bfs_reach_sql(src_mod=50)
+        + "SELECT source, id, CAST(dist AS BIGINT) AS dist FROM sp",
+        "x14_harmonic_centrality": _G.replace("WITH edges", "WITH RECURSIVE edges")
+        + _bfs_reach_sql(src_mod=20)
+        + """
+, scores AS (
+  SELECT id, COUNT(*) AS n_reached, SUM(1.0 / dist) AS harmonic,
+         COUNT(*) / CAST(SUM(dist) AS DOUBLE) AS closeness
+  FROM sp WHERE dist > 0 GROUP BY id
+)
+SELECT v.id, CAST(COALESCE(s.n_reached, 0) AS BIGINT) AS n_reached,
+       ROUND(COALESCE(s.harmonic, 0.0), 9) AS harmonic,
+       ROUND(COALESCE(s.closeness, 0.0), 9) AS closeness
+FROM verts v LEFT JOIN scores s ON v.id = s.id""",
+        "x15_random_walks": _G + _walks_sql(length=4, seed=42),
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (
@@ -1813,6 +1931,35 @@ grams AS (
 SELECT DISTINCT doc_id,
   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
 FROM grams""",
+        "text_repetition": r"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents WHERE trim(text) <> ''
+),
+uni AS (SELECT doc_id, ts[i] AS g FROM toks, LATERAL unnest(range(1, len(ts) + 1)) AS t(i)),
+big AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        FROM toks, LATERAL unnest(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+tri AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3),
+s1 AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT g) AS dist FROM uni GROUP BY doc_id),
+s2 AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS top
+       FROM (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2) GROUP BY doc_id),
+s3 AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS top
+       FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2) GROUP BY doc_id),
+m AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(s1.total, 0) AS BIGINT) AS n_words,
+    ROUND(CASE WHEN s1.total > 0 THEN 1.0 - s1.dist / CAST(s1.total AS DOUBLE) ELSE 0.0 END, 9) AS dup_word_frac,
+    ROUND(CASE WHEN s2.total > 0 THEN s2.top / CAST(s2.total AS DOUBLE) ELSE 0.0 END, 9) AS top_bigram_ratio,
+    ROUND(CASE WHEN s3.total > 0 THEN s3.top / CAST(s3.total AS DOUBLE) ELSE 0.0 END, 9) AS top_trigram_ratio,
+    ROUND(CASE WHEN s3.total > 0 THEN 1.0 - s3.dist / CAST(s3.total AS DOUBLE) ELSE 0.0 END, 9) AS dup_trigram_frac
+  FROM documents d
+  LEFT JOIN s1 ON d.doc_id = s1.doc_id
+  LEFT JOIN s2 ON d.doc_id = s2.doc_id
+  LEFT JOIN s3 ON d.doc_id = s3.doc_id
+)
+SELECT m.*, (top_bigram_ratio > 0.20 OR dup_trigram_frac > 0.60 OR dup_word_frac > 0.90) AS repetitive
+FROM m""",
         "ann_cosine_neardup": """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
 p AS (

@@ -13,3 +13,9 @@ from .structure import (  # noqa: F401
 )
 from .spectral import hits, personalized_pagerank  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
+from .paths import (  # noqa: F401
+    bfs_distances,
+    harmonic_centrality,
+    random_walks,
+    ranked_adjacency,
+)

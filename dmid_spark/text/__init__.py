@@ -19,4 +19,5 @@ from .quality import (  # noqa: F401
     doc_fingerprint,
     language_id,
     quality_scores,
+    repetition_scores,
 )

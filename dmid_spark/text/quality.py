@@ -112,3 +112,101 @@ def doc_fingerprint(
     )
     bottom_k = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
     return docs.select(F.col(id_col).alias("doc_id"), bottom_k.alias("fingerprint"))
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters → one row per document:
+
+    - ``n_words`` (whitespace tokens, lowercased)
+    - ``dup_word_frac``     = 1 − distinct words / words
+    - ``top_bigram_ratio``  = occurrences of the most frequent word bigram
+      / total bigrams (0.0 for <2-word docs)
+    - ``top_trigram_ratio`` = same for trigrams
+    - ``dup_trigram_frac``  = 1 − distinct trigrams / trigrams
+    - ``repetitive``        = the composite flag a cleaning pipeline keys on
+      (Gopher-inspired thresholds, documented inline)
+
+    Rationale: the reference corpus rows are single-line token streams, so
+    the repetition signals operate at word/n-gram granularity — the exact
+    intent of Gopher's "fraction of characters in duplicate lines / most
+    common n-gram" rules (Rae et al. 2021 §A1.1) transposed to line-less
+    documents.
+
+    Scale: one explode of the tokenized text (the same scan-stage shape as
+    the shingle builders in dedup.py) followed by two partial-aggregating
+    groupBys keyed (doc_id, n[, gram]) — fully distributed, no windows, no
+    Python. Empty documents score zeros.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def grams(n: int):
+        return F.transform(
+            F.slice(words, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+
+    long = None
+    for n in (1, 2, 3):
+        part = docs.filter(F.trim(F.col(text_col)) != "").select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(n).alias("n"),
+            F.explode(grams(n)).alias("gram"),
+        )
+        long = part if long is None else long.unionByName(part)
+    per_gram = long.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("distinct"),
+        F.max("c").alias("top"),
+    )
+    stats = per_doc.groupBy("doc_id").pivot("n", [1, 2, 3]).agg(
+        F.first("total").alias("total"),
+        F.first("distinct").alias("distinct"),
+        F.first("top").alias("top"),
+    )
+    z = F.lit(0).cast("long")
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("1_total", z).alias("n_words"),
+            F.round(
+                F.when(
+                    F.coalesce("1_total", z) > 0,
+                    1.0 - F.col("1_distinct") / F.col("1_total"),
+                ).otherwise(0.0),
+                9,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.when(
+                    F.coalesce("2_total", z) > 0, F.col("2_top") / F.col("2_total")
+                ).otherwise(0.0),
+                9,
+            ).alias("top_bigram_ratio"),
+            F.round(
+                F.when(
+                    F.coalesce("3_total", z) > 0, F.col("3_top") / F.col("3_total")
+                ).otherwise(0.0),
+                9,
+            ).alias("top_trigram_ratio"),
+            F.round(
+                F.when(
+                    F.coalesce("3_total", z) > 0,
+                    1.0 - F.col("3_distinct") / F.col("3_total"),
+                ).otherwise(0.0),
+                9,
+            ).alias("dup_trigram_frac"),
+        )
+        # Gopher §A1.1-inspired: docs dominated by one bigram, heavily
+        # repeated trigrams, or a tiny vocabulary are flagged
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_ratio") > 0.20)
+            | (F.col("dup_trigram_frac") > 0.60)
+            | (F.col("dup_word_frac") > 0.90),
+        )
+    )
+    return out

@@ -1,0 +1,225 @@
+"""Tests for path-based analytics: multi-source BFS distances, sampled
+harmonic/closeness centrality, and deterministic random walks
+(algorithms/paths.py), each against an independent NumPy/pure-Python
+re-derivation on the shared fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import deque
+
+import pytest
+
+from fixtures import directed_path, random_graph, star, two_cliques_bridge
+from dmid_spark import graph as G
+from dmid_spark.algorithms import (
+    bfs_distances,
+    harmonic_centrality,
+    random_walks,
+    ranked_adjacency,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python oracles
+# ---------------------------------------------------------------------------
+def out_adj(rows, n):
+    nbrs = [set() for _ in range(n)]
+    for s, d, _ in rows:
+        if s != d:
+            nbrs[s].add(d)
+    return nbrs
+
+
+def bfs_oracle(rows, n, sources):
+    """dict[(source, id)] -> hop distance, directed."""
+    nbrs = out_adj(rows, n)
+    dist = {}
+    for s in sources:
+        dist[(s, s)] = 0
+        q = deque([(s, 0)])
+        while q:
+            v, d = q.popleft()
+            for u in nbrs[v]:
+                if (s, u) not in dist:
+                    dist[(s, u)] = d + 1
+                    q.append((u, d + 1))
+    return dist
+
+
+def harmonic_oracle(rows, n, sources):
+    dist = bfs_oracle(rows, n, sources)
+    out = {}
+    for v in range(n):
+        ds = [d for (s, u), d in dist.items() if u == v and d > 0]
+        out[v] = (
+            len(ds),
+            sum(1.0 / d for d in ds),
+            (len(ds) / sum(ds)) if ds else 0.0,
+        )
+    return out
+
+
+def md5_60bit(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def walks_oracle(rows, n, walk_length, seed):
+    """dict[(walk_id, step)] -> node, md5 hash mode."""
+    nbrs = out_adj(rows, n)
+    ranked = {v: sorted(nbrs[v]) for v in range(n) if nbrs[v]}
+    out = {}
+    for w in sorted(ranked):
+        cur = w
+        out[(w, 0)] = w
+        for t in range(1, walk_length + 1):
+            if cur not in ranked:
+                break
+            pick = md5_60bit(f"{w}:{t}:{seed}") % len(ranked[cur])
+            cur = ranked[cur][pick]
+            out[(w, t)] = cur
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BFS distances
+# ---------------------------------------------------------------------------
+def test_bfs_distances_random(spark):
+    rows, n = random_graph(n=120, seed=23)
+    sources = [0, 7, 40, 111]
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    dist, stats = bfs_distances(G.edges_from_rows(spark, rows), src_df)
+    got = {(r["source"], r["id"]): r["dist"] for r in dist.collect()}
+    assert got == bfs_oracle(rows, n, sources)
+    assert stats.converged
+    assert stats.frontier_sizes[-1] == 0
+
+
+def test_bfs_depth_cap_prefix(spark):
+    """A depth cap returns exactly the ≤cap prefix of the full table."""
+    rows, n = directed_path(8)
+    src_df = spark.createDataFrame([(0,)], "id long")
+    e = G.edges_from_rows(spark, rows)
+    full, full_stats = bfs_distances(e, src_df)
+    capped, capped_stats = bfs_distances(e, src_df, max_depth=3)
+    want = {
+        (r["source"], r["id"]): r["dist"] for r in full.collect() if r["dist"] <= 3
+    }
+    got = {(r["source"], r["id"]): r["dist"] for r in capped.collect()}
+    assert got == want
+    assert not capped_stats.converged and full_stats.converged
+    # a cap at/above the eccentricity equals the fixpoint
+    over, over_stats = bfs_distances(e, src_df, max_depth=20)
+    assert sorted(over.collect()) == sorted(full.collect())
+    assert over_stats.converged
+
+
+def test_bfs_no_broadcast_matches(spark):
+    rows, n = two_cliques_bridge()
+    src_df = spark.createDataFrame([(0,), (6,)], "id long")
+    e = G.edges_from_rows(spark, rows)
+    a, _ = bfs_distances(e, src_df, broadcast_frontier=True)
+    b, _ = bfs_distances(e, src_df, broadcast_frontier=False)
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+# ---------------------------------------------------------------------------
+# Harmonic / closeness centrality
+# ---------------------------------------------------------------------------
+def test_harmonic_centrality_random(spark):
+    rows, n = random_graph(n=120, seed=23)
+    sources = list(range(0, 120, 10))
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    out, _ = harmonic_centrality(G.edges_from_rows(spark, rows), src_df)
+    exp = harmonic_oracle(rows, n, sources)
+    got = {r["id"]: (r["n_reached"], r["harmonic"], r["closeness"]) for r in out.collect()}
+    assert set(got) == {v for v in range(n)}
+    for v, (nr, h, c) in got.items():
+        env, eh, ec = exp[v]
+        assert nr == env
+        assert h == pytest.approx(eh, abs=1e-12)
+        assert c == pytest.approx(ec, abs=1e-12)
+
+
+def test_harmonic_star(spark):
+    """Undirected star sampled at the leaves: the hub is 1 hop from every
+    sampled leaf; each leaf is 2 hops from the other 8 samples."""
+    rows, n = star(n_leaves=9)
+    src_df = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    out, _ = harmonic_centrality(G.edges_from_rows(spark, rows), src_df)
+    got = {r["id"]: (r["n_reached"], r["harmonic"], r["closeness"]) for r in out.collect()}
+    assert got[0] == (9, pytest.approx(9.0), pytest.approx(1.0))
+    for leaf in range(1, 10):
+        assert got[leaf] == (8, pytest.approx(4.0), pytest.approx(0.5))
+
+
+# ---------------------------------------------------------------------------
+# Random walks
+# ---------------------------------------------------------------------------
+def test_ranked_adjacency(spark):
+    rows, n = random_graph(n=60, seed=5)
+    nbr = ranked_adjacency(G.edges_from_rows(spark, rows)).collect()
+    adj = out_adj(rows, n)
+    got = {}
+    for r in nbr:
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"], r["outdeg"]))
+    for v, lst in got.items():
+        lst.sort()
+        assert [d for _, d, _ in lst] == sorted(adj[v])
+        assert [k for k, _, _ in lst] == list(range(len(adj[v])))
+        assert all(od == len(adj[v]) for _, _, od in lst)
+
+
+def test_random_walks_md5_oracle(spark):
+    rows, n = random_graph(n=80, seed=11)
+    out, stats = random_walks(
+        G.edges_from_rows(spark, rows), walk_length=5, seed=7, hash_mode="md5"
+    )
+    got = {(r["walk_id"], r["step"]): r["node"] for r in out.collect()}
+    assert got == walks_oracle(rows, n, walk_length=5, seed=7)
+    assert stats.walkers == len({s for s, d, _ in rows if s != d})
+
+
+def test_random_walks_sink_stops(spark):
+    """On a directed path every walker slides to the sink and stops —
+    walker w emits exactly the steps that keep it on the path."""
+    rows, n = directed_path(5)
+    out, _ = random_walks(G.edges_from_rows(spark, rows), walk_length=10)
+    got = {(r["walk_id"], r["step"]): r["node"] for r in out.collect()}
+    exp = {}
+    for w in range(4):  # vertex 4 is the sink: no walker starts there
+        for t in range(0, 5 - w):
+            exp[(w, t)] = w + t
+    assert got == exp
+
+
+def test_random_walks_deterministic_across_parallelism(spark):
+    rows, _ = random_graph(n=60, seed=3)
+    e = G.edges_from_rows(spark, rows)
+    a, _ = random_walks(e, walk_length=4, seed=9)
+    b, _ = random_walks(e.repartition(13), walk_length=4, seed=9)
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_random_walks_custom_starts_and_no_broadcast(spark):
+    rows, _ = random_graph(n=60, seed=3)
+    e = G.edges_from_rows(spark, rows)
+    starts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    a, sa = random_walks(e, walk_length=3, starts=starts, broadcast_state=True)
+    b, sb = random_walks(e, walk_length=3, starts=starts, broadcast_state=False)
+    assert sa.walkers == 3
+    assert sorted(a.collect()) == sorted(b.collect())
+    assert {r["walk_id"] for r in a.collect()} <= {1, 2, 3}
+
+
+def test_paths_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    src_df = spark.createDataFrame([(0,)], "id long")
+    dist, stats = bfs_distances(empty, src_df)
+    assert [(r["source"], r["id"], r["dist"]) for r in dist.collect()] == [(0, 0, 0)]
+    assert stats.converged
+    cent, _ = harmonic_centrality(empty, src_df)
+    assert cent.collect() == []
+    walks, wstats = random_walks(empty, walk_length=3)
+    assert walks.collect() == []
+    assert wstats.walkers == 0

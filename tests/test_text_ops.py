@@ -295,3 +295,48 @@ def test_clean_corpus_language_reason_fires_after_quality(spark):
         docs, CleanCorpusParams(min_quality=0.5, keep_langs=("de",))
     ).collect()
     assert out[0]["decision"] == "language"
+
+
+def repetition_oracle(text):
+    ws = text.lower().strip().split()
+    def grams(n):
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    from collections import Counter
+    out = {"n_words": len(ws)}
+    out["dup_word_frac"] = 1 - len(set(ws)) / len(ws) if ws else 0.0
+    for n, name in ((2, "top_bigram_ratio"), (3, "top_trigram_ratio")):
+        g = grams(n)
+        out[name] = max(Counter(g).values()) / len(g) if g else 0.0
+    g3 = grams(3)
+    out["dup_trigram_frac"] = 1 - len(set(g3)) / len(g3) if g3 else 0.0
+    return out
+
+
+def test_repetition_scores(spark):
+    from dmid_spark.text import repetition_scores
+
+    docs = docs_df(spark).union(
+        spark.createDataFrame(
+            [
+                (10, "spam spam spam spam spam spam spam"),
+                (11, "buy now buy now buy now buy now limited offer"),
+                (12, "one two"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_scores(docs).collect()}
+    assert set(got) == {d for d, _ in DOCS} | {10, 11, 12}
+    for doc_id, text in list(DOCS) + [
+        (10, "spam spam spam spam spam spam spam"),
+        (11, "buy now buy now buy now buy now limited offer"),
+        (12, "one two"),
+    ]:
+        exp = repetition_oracle(text)
+        r = got[doc_id]
+        assert r["n_words"] == exp["n_words"], doc_id
+        for k in ("dup_word_frac", "top_bigram_ratio", "top_trigram_ratio", "dup_trigram_frac"):
+            assert r[k] == pytest.approx(exp[k], abs=1e-9), (doc_id, k)
+    # the spam docs trip the flag; clean English prose does not
+    assert got[10]["repetitive"] and got[11]["repetitive"]
+    assert not got[0]["repetitive"] and not got[3]["repetitive"]

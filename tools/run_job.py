@@ -26,7 +26,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="dmid_spark job runner")
     p.add_argument("job", choices=[
         "pagerank", "dmid", "rawlpa", "components", "corpus-edges",
-        "scc", "kcore", "coreness", "hits", "ppr",
+        "scc", "kcore", "coreness", "hits", "ppr", "bfs", "harmonic", "walks",
     ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
@@ -37,7 +37,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--variant", default="basic")
     p.add_argument("--k", type=int, default=3, help="kcore: the k")
-    p.add_argument("--seeds", help="ppr: parquet path of seed (id) rows")
+    p.add_argument("--seeds", help="ppr/bfs/harmonic: parquet path of seed (id) rows")
+    p.add_argument("--max-depth", type=int, default=None, help="bfs/harmonic depth cap")
+    p.add_argument("--walk-length", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42, help="walks: hash seed")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -122,6 +125,23 @@ def main(argv=None):
             scores, st = hits(edges, tol=args.tol)
             scores.write.mode("overwrite").parquet(args.output)
             stats = {"iterations": st.iterations, "converged": st.converged}
+        elif args.job in ("bfs", "harmonic"):
+            from dmid_spark.algorithms import bfs_distances, harmonic_centrality
+
+            seeds = spark.read.parquet(args.seeds)
+            fn = bfs_distances if args.job == "bfs" else harmonic_centrality
+            out, st = fn(edges, seeds, max_depth=args.max_depth)
+            out.write.mode("overwrite").parquet(args.output)
+            stats = {"levels": st.levels, "converged": st.converged}
+        elif args.job == "walks":
+            from dmid_spark.algorithms import random_walks
+
+            starts = spark.read.parquet(args.seeds) if args.seeds else None
+            out, st = random_walks(
+                edges, walk_length=args.walk_length, seed=args.seed, starts=starts
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            stats = {"walkers": st.walkers, "steps": st.steps}
         elif args.job == "ppr":
             from dmid_spark.algorithms import personalized_pagerank
 
