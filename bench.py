@@ -242,6 +242,15 @@ def main():
             emb, emb.limit(64), k=10, n_probes=(1, 2, 4, 8), n_centroids=16
         ).items()
     }
+    # same index after 2 spherical-k-means refinement rounds (the FAISS-style
+    # training step) — quantifies what centroid training buys on this corpus
+    detail["ann_recall_at_10_lloyd2"] = {
+        str(npb): round(v, 4)
+        for npb, v in ivf_recall_at_k(
+            emb, emb.limit(64), k=10, n_probes=(1, 2, 4, 8), n_centroids=16,
+            lloyd_iters=2,
+        ).items()
+    }
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed(

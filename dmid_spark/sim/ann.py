@@ -88,12 +88,24 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    lloyd_iters: int = 0,
 ) -> tuple[DataFrame, np.ndarray]:
     """Build an IVF index: centroids = deterministic sample of corpus
-    vectors (hash-ordered, reproducible), then one vectorized assignment
-    pass. Returns (assignments(vec_id, cell, embedding), centroids array).
-    ``hash_mode='md5'`` orders the centroid sample by the md5-prefix hash
-    (engine-portable — the DuckDB oracle twin's mode)."""
+    vectors (hash-ordered, reproducible), optionally refined by
+    ``lloyd_iters`` rounds of spherical k-means (the FAISS-style training
+    step: assign → per-cell mean of unit vectors → renormalize), then one
+    vectorized assignment pass. Returns (assignments(vec_id, cell,
+    embedding), centroids array). ``hash_mode='md5'`` orders the centroid
+    sample by the md5-prefix hash (engine-portable — the DuckDB oracle
+    twin's mode).
+
+    Each Lloyd round is one ``mapInPandas`` pass emitting per-partition
+    per-cell partial sums (≤ partitions × n_centroids tiny rows, Arrow
+    transfer) reduced on the driver — the same driver-resident-vector shape
+    as the CSR PageRank modes; nothing O(N) centralizes. Note: partition-
+    order float summation makes refined centroids deterministic only for a
+    fixed partition layout, so the bitwise-reproducible driver oracle keeps
+    ``lloyd_iters=0``; empty cells keep their previous centroid."""
     if hash_mode == "md5":
         hkey = F.conv(
             F.substring(F.md5((F.col(id_col) + seed).cast("string")), 1, 15), 16, 10
@@ -109,6 +121,51 @@ def ivf_build(
     cents = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     spark = corpus.sparkSession
+
+    prepared = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+
+    k = len(cents)
+    for _ in range(lloyd_iters):
+        bc_it = spark.sparkContext.broadcast(cents)
+
+        def partials(it, _bc=bc_it, _k=k):
+            sums, counts = None, None
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                vecs = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+                unit = vecs / np.maximum(
+                    np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+                )
+                cell = (unit @ _bc.value.T).argmax(axis=1)
+                if sums is None:
+                    sums = np.zeros((_k, unit.shape[1]))
+                    counts = np.zeros(_k, dtype=np.int64)
+                np.add.at(sums, cell, unit)
+                np.add.at(counts, cell, 1)
+            if sums is not None:
+                yield pd.DataFrame(
+                    {"cell": np.arange(_k, dtype=np.int32), "s": list(sums), "n": counts}
+                )
+
+        part = prepared.select("__vec").mapInPandas(
+            partials, "cell int, s array<double>, n long"
+        ).toPandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for _, row in part.iterrows():
+            sums[row["cell"]] += np.asarray(row["s"])
+            counts[row["cell"]] += row["n"]
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        bc_it.destroy()
+
     bc = spark.sparkContext.broadcast(cents)
 
     def assign(it):
@@ -120,11 +177,6 @@ def ivf_build(
             pdf["cell"] = sims.argmax(axis=1).astype(np.int32)
             yield pdf
 
-    prepared = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        F.col(vec_col).cast("array<double>").alias("__vec"),
-    )
     out_schema = "vec_id long, embedding array<float>, cell int"
     return prepared.mapInPandas(assign, out_schema), cents
 
@@ -207,6 +259,7 @@ def ivf_recall_at_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    lloyd_iters: int = 0,
 ) -> dict[int, float]:
     """Measured recall@k of the IVF index vs the brute-force oracle:
     ``recall = |topk_ivf ∩ topk_brute| / |topk_brute|`` averaged over the
@@ -217,7 +270,8 @@ def ivf_recall_at_k(
     ).select("query_id", "neighbor_id").persist()
     denom = truth.count()
     assigned, cents = ivf_build(
-        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
+        lloyd_iters=lloyd_iters,
     )
     assigned = assigned.persist()
     out: dict[int, float] = {}
