@@ -37,7 +37,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import graph as G
@@ -144,16 +144,21 @@ def harmonic_centrality(
 def ranked_adjacency(edges: DataFrame) -> DataFrame:
     """Deterministic rank-ordered adjacency ``(src, rank, dst, outdeg)``:
     each vertex's out-neighbors ranked 0..outdeg-1 in ascending dst order
-    (duplicate (src, dst) edges collapse first, so ranks are unique). The
-    window partitions by src — per-vertex, never a single-partition sort."""
-    simple = edges.select("src", "dst").distinct()
-    w = Window.partitionBy("src")
-    return simple.select(
-        "src",
-        (F.row_number().over(w.orderBy("dst")) - 1).alias("rank"),
-        "dst",
-        F.count("*").over(w).alias("outdeg"),
+    (duplicate (src, dst) edges collapse first, so ranks are unique).
+
+    One shuffle keyed by src: dedup + sort happen inside the per-vertex
+    aggregate (array_distinct + array_sort), replacing the distinct-then-
+    window formulation's two shuffles. Per-task memory is O(max out-degree)
+    — the same skew bound a src-partitioned window has, since either way
+    one vertex's adjacency lands in one task."""
+    arr = edges.groupBy("src").agg(
+        F.array_sort(F.array_distinct(F.collect_list("dst"))).alias("ns")
     )
+    return arr.select(
+        "src",
+        F.posexplode("ns").alias("rank", "dst"),
+        F.size("ns").cast("long").alias("outdeg"),
+    ).select("src", "rank", "dst", "outdeg")
 
 
 @dataclass
@@ -183,29 +188,53 @@ def random_walks(
     reproducible and, under ``hash_mode='md5'``, bitwise-verifiable in any
     engine.
 
-    Scale: the ranked adjacency is computed once (per-src window). Each
-    step joins the O(#walkers) state to the O(V) outdeg table
-    (broadcastable; ``broadcast_state=False`` is the ≳10⁹-vertex escape
-    hatch, same as lpa.py/components.py) and then equi-joins on
-    (node, rank) against the adjacency — exactly one match per walker,
-    so a step shuffles O(#walkers) rows. No Python in the loop.
+    Scale: the ranked adjacency is computed once (one src-keyed shuffle),
+    enriched
+    with each destination's out-degree so the walker state carries its
+    current node's degree and the step needs no degree join. Each step is
+    ONE broadcast-hash join of the O(#walkers) state into the adjacency —
+    the big table never shuffles (the same broadcast-state device as
+    lpa.py/components.py; ``broadcast_state=False`` is the ≳10⁹-walker
+    escape hatch, falling back to a shuffled equi-join on (node, rank)).
+    No Python in the loop.
     """
     t0 = time.time()
-    nbr = K.materialize(ranked_adjacency(edges))
-    outdeg = K.materialize(nbr.groupBy(F.col("src").alias("node")).agg(
-        F.first("outdeg").alias("outdeg")
-    ))
-    if starts is None:
-        starts = outdeg.select(F.col("node").alias("id"))
-    cur = K.materialize(
-        starts.select(F.col("id").alias("walk_id"), F.col("id").alias("node"))
+    # materialize the ranked adjacency ONCE — outdeg and the enriched nbr
+    # both derive from it, and without the cut the window chain would be
+    # recomputed for each derivation
+    base = K.materialize(ranked_adjacency(edges))
+    outdeg = base.groupBy(F.col("src").alias("node")).agg(
+        F.first("outdeg").alias("node_outdeg")
     )
+    # (src, rank, dst, outdeg, dst_outdeg) — dst_outdeg=0 marks a sink hop
+    nbr = K.materialize(
+        base.join(
+            F.broadcast(outdeg.select(F.col("node").alias("dst"),
+                                      F.col("node_outdeg").alias("dst_outdeg"))),
+            "dst",
+            "left",
+        ).select(
+            "src", "rank", "dst", "outdeg",
+            F.coalesce("dst_outdeg", F.lit(0).cast("long")).alias("dst_outdeg"),
+        )
+    )
+    if starts is None:
+        cur = outdeg.select(
+            F.col("node").alias("walk_id"), F.col("node"), F.col("node_outdeg")
+        )
+    else:
+        cur = starts.select(F.col("id").alias("walk_id"), F.col("id").alias("node")).join(
+            F.broadcast(outdeg), "node", "left"
+        ).select(
+            "walk_id", "node",
+            F.coalesce("node_outdeg", F.lit(0).cast("long")).alias("node_outdeg"),
+        )
+    cur = K.materialize(cur)
     stats = WalkStats(walkers=cur.count())
     rows = [cur.select("walk_id", F.lit(0).alias("step"), "node")]
     alive = cur
     for t in range(1, walk_length + 1):
-        od = F.broadcast(outdeg) if broadcast_state else outdeg
-        draw = alive.join(od, "node").select(
+        draw = alive.filter(F.col("node_outdeg") > 0).select(
             "walk_id",
             "node",
             F.pmod(
@@ -213,14 +242,19 @@ def random_walks(
                     F.concat_ws(":", F.col("walk_id"), F.lit(t), F.lit(seed)),
                     hash_mode,
                 ),
-                F.col("outdeg"),
+                F.col("node_outdeg"),
             ).alias("pick"),
         )
+        if broadcast_state:
+            draw = F.broadcast(draw)
         alive = K.materialize(
-            draw.join(
-                nbr,
-                (draw.node == nbr.src) & (draw.pick == nbr.rank),
-            ).select("walk_id", F.col("dst").alias("node"))
+            nbr.join(
+                draw, (nbr.src == draw.node) & (nbr.rank == draw.pick)
+            ).select(
+                "walk_id",
+                F.col("dst").alias("node"),
+                F.col("dst_outdeg").alias("node_outdeg"),
+            )
         )
         rows.append(alive.select("walk_id", F.lit(t).alias("step"), "node"))
         stats.steps = t
