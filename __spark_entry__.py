@@ -720,6 +720,26 @@ def q_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog registers (p=8) for distinct user_id per event_type —
+    the mergeable sketch itself is the verified output (pure integer rows);
+    estimation accuracy is pytest-verified against exact counts."""
+    from dmid_spark.sketch import hll_registers
+
+    return hll_registers(
+        _events(spark, sf_dir), "user_id", ["event_type"], p=8, hash_mode="md5"
+    )
+
+
+def q_cms_counters(spark, sf_dir):
+    """Count-min sketch grid (4×64) of per-user event counts — the
+    mergeable counter table is the verified output; the ≥true / ≤true+εN
+    estimate bounds are pytest-verified."""
+    from dmid_spark.sketch import cms_build
+
+    return cms_build(_events(spark, sf_dir), "user_id", depth=4, width=64, hash_mode="md5")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -780,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "events_sessionize": q_sessionize,
         "events_tumbling_window": q_tumbling,
+        "sketch_hll_registers": q_hll_registers,
+        "sketch_cms_counters": q_cms_counters,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -1931,6 +1953,28 @@ grams AS (
 SELECT DISTINCT doc_id,
   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
 FROM grams""",
+        "sketch_hll_registers": """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, CAST(h >> 52 AS INT) AS register,
+         CAST(CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+              ELSE instr(lpad(bin(h & ((CAST(1 AS BIGINT) << 52) - 1)), 52, '0'), '1')
+              END AS INT) AS rho
+  FROM h
+)
+SELECT event_type, register, MAX(rho) AS rho FROM r GROUP BY event_type, register""",
+        "sketch_cms_counters": """
+SELECT d, w, CAST(COUNT(*) AS BIGINT) AS count FROM (
+  SELECT CAST(t.d AS INT) AS d,
+         CAST(CAST(('0x' || substr(md5(
+             CAST(t.d AS VARCHAR) || ':42:' || CAST(user_id AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % 64 AS INT) AS w
+  FROM events, range(4) t(d)
+) GROUP BY d, w""",
         "text_repetition": r"""
 WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts

@@ -1,0 +1,123 @@
+"""HyperLogLog distinct-count sketch as a DataFrame aggregate.
+
+The registers are the operator's real output: an HLL sketch over a key
+column, per group, is ``2^p`` integer registers ``M[j] = max rho`` — a
+tiny, MERGEABLE summary (register-wise max) that a 100 TB pipeline ships
+between stages instead of exact distinct sets. Register construction is
+pure integer/string column expressions (hash → bucket index + leading-zero
+rank), so the driver query is bitwise-verifiable against the DuckDB twin
+under ``hash_mode='md5'`` (the engine-portable 60-bit md5-prefix hash,
+dedup.py::_hash64); estimation (floating point) is a driver-side function
+over the collected ≤2^p rows per group, tested against exact counts.
+
+Flajolet et al. 2007 (HyperLogLog) with the standard small-range
+linear-counting correction; bias constant alpha_m per the paper.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..text.dedup import _hash64
+
+# hash width in bits: md5 mode yields a 60-bit non-negative value; xxhash64
+# is folded to the same width so both modes share the register math
+_HASH_BITS = 60
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """HLL registers per group: ``(*group_cols, register, rho)`` with
+    ``register = first p hash bits`` and ``rho = max over keys of
+    (1 + leading zeros of the remaining bits)``. Only non-empty registers
+    are emitted (≤ 2^p rows per group).
+
+    Scale: one scan + one partial-aggregating groupBy keyed
+    (group, register) — the sketch never exceeds 2^p rows per group, so
+    downstream merges/collects are O(2^p), not O(distinct)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    gcols = list(group_cols or [])
+    h = _hash64(F.col(key_col).cast("string"), hash_mode)
+    if hash_mode != "md5":
+        # fold the signed 64-bit xxhash into the shared 60-bit width
+        h = F.pmod(h, F.lit(1 << _HASH_BITS))
+    rem_bits = _HASH_BITS - p
+    reg = F.shiftright(h, rem_bits).cast("int").alias("register")
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    # rho = 1 + leading zeros of rem within rem_bits = position of the first
+    # '1' in the zero-padded binary string (rem_bits + 1 when rem == 0).
+    # Integer/string ops only — bitwise-portable across engines.
+    bits = F.lpad(F.bin(rem), rem_bits, "0")
+    rho = (
+        F.when(rem == 0, F.lit(rem_bits + 1))
+        .otherwise(F.instr(bits, "1"))
+        .cast("int")
+    )
+    return (
+        df.select(*gcols, reg, rho.alias("rho"))
+        .groupBy(*gcols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_registers(a: DataFrame, b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge two register tables (the HLL union): register-wise max."""
+    gcols = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*gcols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 8) -> float:
+    """Cardinality estimate from one group's (register, rho) rows —
+    driver-side math over ≤ 2^p values (the sketch is tiny by design).
+    Standard HLL estimator with the small-range linear-counting switch."""
+    m = 1 << p
+    if p >= 7:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif p == 6:
+        alpha = 0.709
+    elif p == 5:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    filled = {reg: rho for reg, rho in registers}
+    s = sum(2.0 ** -rho for rho in filled.values()) + (m - len(filled))
+    est = alpha * m * m / s
+    zeros = m - len(filled)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def hll_distinct_counts(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    hash_mode: str = "xxhash64",
+) -> dict[tuple, float]:
+    """Convenience end-to-end: registers → per-group estimates (driver-side
+    dict keyed by the group tuple; () for the global group)."""
+    gcols = list(group_cols or [])
+    pdf = hll_registers(df, key_col, gcols, p=p, hash_mode=hash_mode).toPandas()
+    out: dict[tuple, float] = {}
+    if not len(pdf):
+        return out
+    groups = pdf.groupby(gcols) if gcols else [((), pdf)]
+    for key, sub in groups:
+        if gcols and not isinstance(key, tuple):
+            key = (key,)
+        out[key] = hll_estimate(list(zip(sub["register"], sub["rho"])), p=p)
+    return out

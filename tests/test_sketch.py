@@ -1,0 +1,149 @@
+"""Tests for the mergeable sketches (sketch/hll.py, sketch/cms.py):
+register/counter construction against a pure-Python transliteration of the
+same hash math, merge = split-then-merge equivalence, and estimation
+accuracy against exact counts."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from dmid_spark.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    hll_distinct_counts,
+    hll_estimate,
+    hll_registers,
+    merge_registers,
+)
+
+HASH_BITS = 60
+
+
+def md5_60bit(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def hll_oracle(keys, p):
+    """(register, rho) dict via the same md5 hash math."""
+    regs = {}
+    rem_bits = HASH_BITS - p
+    for k in keys:
+        h = md5_60bit(str(k))
+        reg = h >> rem_bits
+        rem = h & ((1 << rem_bits) - 1)
+        rho = rem_bits + 1 if rem == 0 else rem_bits - rem.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def cms_oracle(keys, depth, width, seed):
+    grid = {}
+    for k in keys:
+        for d in range(depth):
+            w = md5_60bit(f"{d}:{seed}:{k}") % width
+            grid[(d, w)] = grid.get((d, w), 0) + 1
+    return grid
+
+
+def kv_df(spark, n=500, mod=97):
+    rows = [(i, f"user{i % mod}", f"t{i % 3}") for i in range(n)]
+    return spark.createDataFrame(rows, "event_id long, user string, typ string")
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+def test_hll_registers_match_oracle_md5(spark):
+    df = kv_df(spark)
+    got = {
+        r["register"]: r["rho"]
+        for r in hll_registers(df, "user", p=6, hash_mode="md5").collect()
+    }
+    assert got == hll_oracle({f"user{i}" for i in range(97)}, p=6)
+
+
+def test_hll_registers_grouped_and_bounded(spark):
+    df = kv_df(spark)
+    regs = hll_registers(df, "user", ["typ"], p=4).collect()
+    per_group = {}
+    for r in regs:
+        per_group.setdefault(r["typ"], set()).add(r["register"])
+    assert set(per_group) == {"t0", "t1", "t2"}
+    for s in per_group.values():
+        assert len(s) <= 16 and all(0 <= x < 16 for x in s)
+
+
+def test_hll_estimate_accuracy(spark):
+    # p=8 → expected relative error ~1.04/sqrt(256) ≈ 6.5%
+    df = kv_df(spark, n=6000, mod=1500)
+    est = hll_distinct_counts(df, "user", p=8)[()]
+    assert est == pytest.approx(1500, rel=0.15)
+
+
+def test_hll_merge_equals_whole(spark):
+    df = kv_df(spark, n=1000, mod=211)
+    a = hll_registers(df.filter("event_id % 2 = 0"), "user", p=6, hash_mode="md5")
+    b = hll_registers(df.filter("event_id % 2 = 1"), "user", p=6, hash_mode="md5")
+    merged = {(r["register"], r["rho"]) for r in merge_registers(a, b).collect()}
+    whole = {
+        (r["register"], r["rho"])
+        for r in hll_registers(df, "user", p=6, hash_mode="md5").collect()
+    }
+    assert merged == whole
+
+
+def test_hll_estimate_small_range_exactish(spark):
+    # linear-counting regime: tiny cardinality, many empty registers
+    df = kv_df(spark, n=200, mod=7)
+    est = hll_distinct_counts(df, "user", p=8)[()]
+    assert est == pytest.approx(7, abs=1.0)
+
+
+# ---------------------------------------------------------------------------
+# CMS
+# ---------------------------------------------------------------------------
+def test_cms_grid_matches_oracle_md5(spark):
+    df = kv_df(spark, n=300, mod=23)
+    got = {
+        (r["d"], r["w"]): r["count"]
+        for r in cms_build(df, "user", depth=3, width=32, hash_mode="md5").collect()
+    }
+    keys = [f"user{i % 23}" for i in range(300)]
+    assert got == cms_oracle(keys, depth=3, width=32, seed=42)
+
+
+def test_cms_estimate_bounds(spark):
+    n, mod = 2000, 150
+    df = kv_df(spark, n=n, mod=mod)
+    sk = cms_build(df, "user", depth=4, width=256)
+    keys = df.select("user").distinct()
+    est = {r["key"]: r["estimate"] for r in
+           cms_estimate(sk, keys, "user", depth=4, width=256).collect()}
+    true = {f"user{i}": len(range(i, n, mod)) for i in range(mod)}
+    assert set(est) == set(true)
+    for k, e in est.items():
+        assert e >= true[k]  # CMS never underestimates
+        assert e <= true[k] + (2.72 / 256) * n * 3  # loose e/w·N bound
+    # with width >> distinct keys, most estimates are exact
+    exact = sum(1 for k in est if est[k] == true[k])
+    assert exact / len(est) > 0.5
+
+
+def test_cms_merge_equals_whole(spark):
+    df = kv_df(spark, n=400, mod=31)
+    a = cms_build(df.filter("event_id < 200"), "user", depth=3, width=64)
+    b = cms_build(df.filter("event_id >= 200"), "user", depth=3, width=64)
+    merged = {(r["d"], r["w"]): r["count"] for r in cms_merge(a, b).collect()}
+    whole = {(r["d"], r["w"]): r["count"]
+             for r in cms_build(df, "user", depth=3, width=64).collect()}
+    assert merged == whole
+
+
+def test_sketches_empty_input(spark):
+    empty = spark.createDataFrame([], "event_id long, user string, typ string")
+    assert hll_registers(empty, "user", p=5).collect() == []
+    assert hll_distinct_counts(empty, "user", p=5) == {}
+    assert cms_build(empty, "user").collect() == []
