@@ -720,6 +720,13 @@ def q_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smoothed idf, term-order ties)."""
+    from dmid_spark.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog registers (p=8) for distinct user_id per event_type —
     the mergeable sketch itself is the verified output (pure integer rows);
@@ -795,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_token_stats,
         "text_fingerprint_winnow": q_fingerprint,
         "text_repetition": q_repetition,
+        "text_tfidf_topk": q_tfidf,
         "ann_cosine_topk": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_ivf_topk": q_ann_ivf,
@@ -1953,6 +1961,27 @@ grams AS (
 SELECT DISTINCT doc_id,
   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
 FROM grams""",
+        "text_tfidf_topk": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((nd.n + 1.0) / (dft.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, ROUND(tfidf, 9) AS tfidf, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5""",
         "sketch_hll_registers": """
 WITH h AS (
   SELECT event_type,

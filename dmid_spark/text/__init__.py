@@ -20,4 +20,5 @@ from .quality import (  # noqa: F401
     language_id,
     quality_scores,
     repetition_scores,
+    tfidf_top_terms,
 )

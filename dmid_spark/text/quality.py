@@ -210,3 +210,59 @@ def repetition_scores(
         )
     )
     return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF → ``(doc_id, term, tf, tfidf,
+    rank)``. tf = in-doc occurrences; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed scikit-style variant); ties break by ascending term
+    (deterministic). Documents with no tokens yield no rows.
+
+    Scale: tokenize-explode (scan stage) → one groupBy (doc_id, term) for
+    tf → one groupBy (term) for df (broadcast back: O(vocab) rows) → per-doc
+    top-k via the bounded sorted-list aggregate (the same device as
+    brute_force_topk — no global or per-doc window)."""
+    n_docs = docs.count()
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("tfidf"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("tfidf")).alias("neg"), "term", "tf")
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("doc_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "doc_id",
+            F.col("t.term").alias("term"),
+            F.col("t.tf").alias("tf"),
+            F.round(-F.col("t.neg"), 9).alias("tfidf"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
+    )

@@ -340,3 +340,29 @@ def test_repetition_scores(spark):
     # the spam docs trip the flag; clean English prose does not
     assert got[10]["repetitive"] and got[11]["repetitive"]
     assert not got[0]["repetitive"] and not got[3]["repetitive"]
+
+
+def test_tfidf_top_terms(spark):
+    import math
+    from collections import Counter
+    from dmid_spark.text import tfidf_top_terms
+
+    docs = docs_df(spark)
+    out = tfidf_top_terms(docs, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["tfidf"]))
+    # oracle
+    texts = {d: t.lower().strip().split() for d, t in DOCS if t.strip()}
+    n = len(DOCS)
+    df_t = Counter()
+    for ws in texts.values():
+        df_t.update(set(ws))
+    for d, ws in texts.items():
+        tf = Counter(ws)
+        scored = sorted(
+            ((-(tf[t] * (math.log((n + 1) / (df_t[t] + 1)) + 1)), t, tf[t]) for t in tf)
+        )[:3]
+        exp = [(i + 1, t, c, pytest.approx(-neg, abs=1e-9)) for i, (neg, t, c) in enumerate(scored)]
+        assert sorted(got[d]) == exp, d
+    assert 6 not in got  # empty doc yields no rows
