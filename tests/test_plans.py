@@ -178,3 +178,77 @@ def test_hits_iteration_join_is_broadcast(spark, monkeypatch):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
+
+
+def test_random_walk_step_broadcasts_state_not_adjacency(spark, monkeypatch):
+    # each walk step must be a broadcast-hash join of the O(walkers) state
+    # into the ranked adjacency — the edge-scale table must NOT re-shuffle
+    # (no sort-merge join, no Window anywhere in the step plan)
+    import importlib
+
+    paths = importlib.import_module("dmid_spark.algorithms.paths")
+    monkeypatch.setattr(paths.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=120, seed=9)
+    edges = G.edges_from_rows(spark, rows)
+    out, _ = paths.random_walks(edges, walk_length=1)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+
+
+def test_bfs_level_joins_have_no_single_partition(spark, monkeypatch):
+    import importlib
+
+    paths = importlib.import_module("dmid_spark.algorithms.paths")
+    monkeypatch.setattr(paths.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=120, seed=9)
+    edges = G.edges_from_rows(spark, rows)
+    sources = spark.createDataFrame([(0,), (5,)], "id long")
+    dist, _ = paths.bfs_distances(edges, sources, max_depth=2)
+    plan = plan_of(dist)
+    assert "SinglePartition" not in plan and "Window" not in plan
+
+
+def test_repetition_scores_has_partial_aggregation(spark):
+    # the (doc_id, n, gram) counts must combine map-side (the hub-doc
+    # combiner) and never use a window
+    from dmid_spark.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b") for i in range(50)], "doc_id long, text string"
+    )
+    out = repetition_scores(docs)
+    out.collect()
+    plan = plan_of(out)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+
+
+def test_sketch_builds_are_single_shuffle_partial_agg(spark):
+    # sketches reduce map-side to the fixed grid — the shuffle must carry
+    # partial aggregates, not raw rows
+    from dmid_spark.sketch import cms_build, hll_registers
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 20}") for i in range(200)], "event_id long, user string"
+    )
+    for sk in (hll_registers(df, "user", p=5), cms_build(df, "user", depth=2, width=16)):
+        sk.collect()
+        plan = plan_of(sk)
+        assert "partial_max" in plan or "partial_count" in plan
+        assert "Window" not in plan and "SinglePartition" not in plan
+
+
+def test_tfidf_df_attach_is_broadcast(spark):
+    # the O(vocab) document-frequency table must broadcast into the tf rows
+    from dmid_spark.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(40)], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(docs, k=2)
+    out.collect()
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
