@@ -738,6 +738,18 @@ def q_hll_registers(spark, sf_dir):
     )
 
 
+def q_window_hll(spark, sf_dir):
+    """Composition: HLL distinct-user registers per (5-minute tumbling
+    window, event_type) — the hypertable-rollup shape (a per-window sketch
+    a streaming pipeline merges downstream instead of exact distinct sets)."""
+    from dmid_spark.sketch import hll_registers
+
+    ev = _events(spark, sf_dir).withColumn(
+        "win", F.floor(F.col("ts").cast("timestamp").cast("long") / 300).cast("long")
+    )
+    return hll_registers(ev, "user_id", ["win", "event_type"], p=6, hash_mode="md5")
+
+
 def q_cms_counters(spark, sf_dir):
     """Count-min sketch grid (4×64) of per-user event counts — the
     mergeable counter table is the verified output; the ≥true / ≤true+εN
@@ -810,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": q_tumbling,
         "sketch_hll_registers": q_hll_registers,
         "sketch_cms_counters": q_cms_counters,
+        "sketch_window_hll": q_window_hll,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -1996,6 +2009,22 @@ r AS (
   FROM h
 )
 SELECT event_type, register, MAX(rho) AS rho FROM r GROUP BY event_type, register""",
+        "sketch_window_hll": """
+WITH h AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300.0) AS BIGINT) AS win,
+         event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT win, event_type, CAST(h >> 54 AS INT) AS register,
+         CAST(CASE WHEN (h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 55
+              ELSE instr(lpad(bin(h & ((CAST(1 AS BIGINT) << 54) - 1)), 54, '0'), '1')
+              END AS INT) AS rho
+  FROM h
+)
+SELECT win, event_type, register, MAX(rho) AS rho
+FROM r GROUP BY win, event_type, register""",
         "sketch_cms_counters": """
 SELECT d, w, CAST(COUNT(*) AS BIGINT) AS count FROM (
   SELECT CAST(t.d AS INT) AS d,
