@@ -79,6 +79,10 @@ def bfs_distances(
     frontier = K.materialize(
         sources.select(F.col("id").alias("source"), "id", F.lit(0).alias("dist"))
     )
+    # settled holds one MATERIALIZED frame per level; the anti-join target is
+    # their lazy union — scanning L checkpointed frontiers costs the same as
+    # one big table but never re-writes the O(|S|·V) settled set per level
+    settled = [frontier]
     dist = frontier
     level = 0
     while max_depth is None or level < max_depth:
@@ -97,7 +101,10 @@ def bfs_distances(
         if n == 0:
             stats.converged = True
             break
-        dist = K.materialize(dist.unionByName(frontier))
+        settled.append(frontier)
+        dist = settled[0]
+        for fr in settled[1:]:
+            dist = dist.unionByName(fr)
     stats.wall_sec = time.time() - t0
     return dist, stats
 
