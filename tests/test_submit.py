@@ -96,3 +96,49 @@ def test_spark_submit_scc_job(spark, tmp_path):
     assert report["converged"] is True
     got = {row["id"]: row["scc"] for row in spark.read.parquet(out_path).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_spark_submit_pyfiles_random_walks(spark, tmp_path):
+    """The session-3 runner dispatch (walks) through the full packaged
+    launch: results must equal the in-process operator bit-for-bit (the
+    seeded draws are parallelism-independent)."""
+    from fixtures import random_graph
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import random_walks
+
+    rows, n = random_graph(n=60, seed=9)
+    edges_df = G.edges_from_rows(spark, rows)
+    edges_path = str(tmp_path / "edges")
+    edges_df.write.parquet(edges_path)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1]
+
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.modules["pyspark"].__file__)),
+        "pyspark", "bin", "spark-submit",
+    )
+    out_path = str(tmp_path / "walks")
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_job.py"),
+            "walks", "--edges", edges_path, "--output", out_path,
+            "--walk-length", "4", "--seed", "11",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["job"] == "walks" and report["walkers"] > 0
+
+    got = {(x["walk_id"], x["step"], x["node"])
+           for x in spark.read.parquet(out_path).collect()}
+    exp_df, _ = random_walks(edges_df, walk_length=4, seed=11)
+    exp = {(x["walk_id"], x["step"], x["node"]) for x in exp_df.collect()}
+    assert got == exp
