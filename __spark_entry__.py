@@ -703,6 +703,19 @@ def q_harmonic(spark, sf_dir):
     )
 
 
+def q_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness from id % 100 == 0 (10 sources at
+    sf0.01), depth-capped at 12 ≥ the sample's eccentricity (~4) so the
+    cap equals the fixpoint."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import betweenness_sample
+
+    e = _edges(spark, sf_dir)
+    sources = G.vertices(e).filter(F.col("id") % 100 == 0)
+    out, _ = betweenness_sample(e, sources, max_depth=12)
+    return out.select("id", F.round("betweenness", 9).alias("betweenness"))
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic 4-step random walk from every non-sink vertex
     (hash_mode='md5' → bitwise DuckDB twin, same device as the
@@ -794,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_bfs_distances": q_bfs,
         "x14_harmonic_centrality": q_harmonic,
         "x15_random_walks": q_random_walks,
+        "x16_betweenness_sample": q_betweenness,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1447,12 +1461,57 @@ LEFT JOIN exact_dropped ed ON q.doc_id = ed.doc_id
 LEFT JOIN near_dropped nd ON q.doc_id = nd.doc_id"""
 
 
-def _bfs_reach_sql(src_mod: int, depth: int = 12) -> str:
+def _betweenness_sql(src_mod: int, levels: int = 12) -> str:
+    """Unrolled Brandes: forward σ per BFS level, backward δ from the
+    deepest level — every per-level CTE AS MATERIALIZED (each is referenced
+    by the next level AND the final union). A level unroll ≥ the sample's
+    eccentricity equals the fixpoint: empty levels are no-ops in both
+    engines (the Spark loop just stops earlier)."""
+    parts = [f"""
+, e AS MATERIALIZED (SELECT src, dst FROM edges GROUP BY src, dst),
+s0 AS MATERIALIZED (
+  SELECT source, id, CAST(1 AS DOUBLE) AS sigma FROM sp WHERE dist = 0
+)"""]
+    for l in range(1, levels + 1):
+        parts.append(f""",
+s{l} AS MATERIALIZED (
+  SELECT c.source, c.id, SUM(c.sigma) AS sigma FROM (
+    SELECT p.source, e.dst AS id, p.sigma FROM s{l - 1} p JOIN e ON p.id = e.src
+  ) c JOIN sp ON sp.source = c.source AND sp.id = c.id AND sp.dist = {l}
+  GROUP BY c.source, c.id
+)""")
+    parts.append(f""",
+d{levels} AS MATERIALIZED (SELECT source, id, CAST(0 AS DOUBLE) AS delta FROM s{levels})""")
+    for l in range(levels - 1, -1, -1):
+        parts.append(f""",
+d{l} AS MATERIALIZED (
+  SELECT v.source, v.id, COALESCE(t.t, 0) * v.sigma AS delta
+  FROM s{l} v LEFT JOIN (
+    SELECT w.source, e.src AS id, SUM((1 + w.delta) / w2.sigma) AS t
+    FROM d{l + 1} w JOIN s{l + 1} w2 ON w.source = w2.source AND w.id = w2.id
+    JOIN e ON e.dst = w.id
+    GROUP BY w.source, e.src
+  ) t ON t.source = v.source AND t.id = v.id
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM d{l}" for l in range(0, levels + 1)
+    )
+    parts.append(f""",
+alld AS ({unions}),
+bc AS (SELECT id, SUM(delta) AS b FROM alld WHERE id <> source GROUP BY id)
+SELECT v.id, ROUND(COALESCE(bc.b, 0.0), 9) AS betweenness
+FROM verts v LEFT JOIN bc ON v.id = bc.id""")
+    return "".join(parts)
+
+
+def _bfs_reach_sql(src_mod: int, depth: int = 12, materialized: bool = False) -> str:
     """Recursive multi-source BFS: all (source, id, dist≤depth) walk rows;
     MIN(dist) per (source, id) is the hop distance. The depth cap bounds the
     recursion (UNION dedup alone cannot terminate it on cyclic graphs); any
     cap ≥ the sample's eccentricity equals the fixpoint — the same
-    bounded-iteration device as the kcore/coreness twins."""
+    bounded-iteration device as the kcore/coreness twins. ``materialized``
+    pins sp when a downstream unroll references it many times."""
+    mat = "MATERIALIZED " if materialized else ""
     return f"""
 , srcs AS (SELECT id FROM verts WHERE id % {src_mod} = 0),
 reach AS (
@@ -1462,7 +1521,7 @@ reach AS (
   FROM reach r JOIN edges e ON e.src = r.id
   WHERE r.dist < {depth}
 ),
-sp AS (SELECT source, id, MIN(dist) AS dist FROM reach GROUP BY source, id)
+sp AS {mat}(SELECT source, id, MIN(dist) AS dist FROM reach GROUP BY source, id)
 """
 
 
@@ -1688,6 +1747,9 @@ SELECT v.id, CAST(COALESCE(s.n_reached, 0) AS BIGINT) AS n_reached,
        ROUND(COALESCE(s.closeness, 0.0), 9) AS closeness
 FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         "x15_random_walks": _G + _walks_sql(length=4, seed=42),
+        "x16_betweenness_sample": _G.replace("WITH edges", "WITH RECURSIVE edges")
+        + _bfs_reach_sql(src_mod=100, materialized=True)
+        + _betweenness_sql(src_mod=100, levels=12),
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (

@@ -19,3 +19,4 @@ from .paths import (  # noqa: F401
     random_walks,
     ranked_adjacency,
 )
+from .paths import betweenness_sample  # noqa: F401

@@ -272,3 +272,106 @@ def random_walks(
         out = out.unionByName(r)
     stats.wall_sec = time.time() - t0
     return out, stats
+
+
+def betweenness_sample(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int | None = None,
+    broadcast_frontier: bool = True,
+) -> tuple[DataFrame, BfsStats]:
+    """Sampled betweenness centrality (Brandes 1-5, directed, unnormalized):
+    ``betweenness(v) = Σ_{s ∈ S} δ_s(v)`` where δ_s is the shortest-path
+    dependency of source s — the standard source-sampled estimator
+    (Brandes/Pich 2007); exact all-sources betweenness is O(V·E) and not a
+    thing at web scale.
+
+    Level-synchronous DataFrame formulation over the ``bfs_distances``
+    table:
+
+    - forward: σ(s, v) = Σ σ(s, u) over BFS-DAG predecessors u (one
+      edge join + one (source, v)-keyed aggregate per level; σ exact
+      shortest-path counts, kept as doubles for the δ division),
+    - backward: δ(s, v) = Σ_w σ(s,v)/σ(s,w) · (1 + δ(s,w)) over DAG
+      successors w, processed from the deepest level up (same per-level
+      join shape).
+
+    Level count is bounded by the sample's eccentricity; every join is
+    keyed by vertex (or (source, vertex)) — nothing centralizes. Returns
+    ``(betweenness(id, betweenness), stats)`` where stats are the forward
+    BFS's (levels = eccentricity+1 when converged).
+    """
+    dist, stats = bfs_distances(edges, sources, max_depth, broadcast_frontier)
+    dist = K.materialize(dist)
+    n_levels = stats.levels if stats.converged else (max_depth or stats.levels)
+    e = edges.select("src", "dst").distinct()
+
+    # ---- forward: per-level shortest-path counts ------------------------
+    # sig[l] holds (source, id, sigma) for vertices at distance l
+    lvl = dist.filter(F.col("dist") == 0).select(
+        "source", "id", F.lit(1.0).alias("sigma")
+    )
+    sig_levels = [K.materialize(lvl)]
+    for l in range(1, n_levels + 1):
+        at_l = dist.filter(F.col("dist") == l).select("source", "id")
+        if at_l.isEmpty():
+            break
+        prev = sig_levels[-1]
+        if broadcast_frontier:
+            prev = F.broadcast(prev)
+        contrib = prev.join(e, prev.id == e.src).select(
+            "source", F.col("dst").alias("id"), "sigma"
+        )
+        lvl = K.materialize(
+            contrib.join(at_l, ["source", "id"], "left_semi")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        sig_levels.append(lvl)
+
+    # ---- backward: dependency accumulation ------------------------------
+    # walk levels deepest-first; delta of the deepest level is 0
+    deepest = len(sig_levels) - 1
+    delta = K.materialize(
+        sig_levels[deepest].select("source", "id", F.lit(0.0).alias("delta"))
+    )
+    acc = [delta]
+    for l in range(deepest - 1, -1, -1):
+        w_side = delta.join(
+            sig_levels[l + 1].withColumnRenamed("sigma", "sigma_w"),
+            ["source", "id"],
+        ).select(
+            "source", F.col("id").alias("w"),
+            ((1.0 + F.col("delta")) / F.col("sigma_w")).alias("w_term"),
+        )
+        if broadcast_frontier:
+            w_side = F.broadcast(w_side)
+        contrib = w_side.join(e, w_side.w == e.dst).select(
+            "source", F.col("src").alias("id"), "w_term"
+        )
+        sums = contrib.groupBy("source", "id").agg(F.sum("w_term").alias("t"))
+        delta = K.materialize(
+            sig_levels[l]
+            .join(sums, ["source", "id"], "left")
+            .select(
+                "source", "id",
+                (F.coalesce("t", F.lit(0.0)) * F.col("sigma")).alias("delta"),
+            )
+        )
+        acc.append(delta)
+
+    alld = acc[0]
+    for d in acc[1:]:
+        alld = alld.unionByName(d)
+    out = (
+        alld.join(sources.select(F.col("id").alias("source")), ["source"], "left_semi")
+        .filter(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    full = (
+        G.vertices(edges)
+        .join(out, "id", "left")
+        .select("id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
+    )
+    return full, stats

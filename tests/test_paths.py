@@ -223,3 +223,91 @@ def test_paths_empty_graph(spark):
     walks, wstats = random_walks(empty, walk_length=3)
     assert walks.collect() == []
     assert wstats.walkers == 0
+
+
+# ---------------------------------------------------------------------------
+# Sampled betweenness (Brandes)
+# ---------------------------------------------------------------------------
+def brandes_oracle(rows, n, sources):
+    """Directed, unnormalized, source-sampled Brandes."""
+    nbrs = out_adj(rows, n)
+    bc = [0.0] * n
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        preds = {s: []}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in nbrs[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    preds[w] = []
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_sample_random(spark):
+    from dmid_spark.algorithms import betweenness_sample
+
+    rows, n = random_graph(n=100, seed=17)
+    sources = [0, 13, 42, 77]
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    out, stats = betweenness_sample(G.edges_from_rows(spark, rows), src_df)
+    exp = brandes_oracle(rows, n, sources)
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), v
+    assert stats.converged
+
+
+def test_betweenness_directed_path(spark):
+    # path 0→1→2→3→4 from source 0: interior vertex v lies on paths to the
+    # (4 - v) vertices beyond it → delta = 4 - v - ... = standard values
+    from dmid_spark.algorithms import betweenness_sample
+
+    rows, n = directed_path(5)
+    src_df = spark.createDataFrame([(0,)], "id long")
+    out, _ = betweenness_sample(G.edges_from_rows(spark, rows), src_df)
+    got = {r["id"]: r["betweenness"] for r in out.collect()}
+    exp = brandes_oracle(rows, n, [0])
+    assert got == {v: pytest.approx(exp[v]) for v in range(n)}
+    # sanity: vertex 1 is on the s→2, s→3, s→4 paths
+    assert got[1] == pytest.approx(3.0)
+
+
+def test_betweenness_no_broadcast_matches(spark):
+    from dmid_spark.algorithms import betweenness_sample
+
+    rows, n = two_cliques_bridge()
+    src_df = spark.createDataFrame([(0,), (7,)], "id long")
+    e = G.edges_from_rows(spark, rows)
+    a, _ = betweenness_sample(e, src_df, broadcast_frontier=True)
+    b, _ = betweenness_sample(e, src_df, broadcast_frontier=False)
+    ga = {r["id"]: r["betweenness"] for r in a.collect()}
+    gb = {r["id"]: r["betweenness"] for r in b.collect()}
+    assert set(ga) == set(gb)
+    for v in ga:
+        assert ga[v] == pytest.approx(gb[v], abs=1e-12)
+
+
+def test_betweenness_empty_graph(spark):
+    from dmid_spark.algorithms import betweenness_sample
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    src_df = spark.createDataFrame([(0,)], "id long")
+    out, _ = betweenness_sample(empty, src_df)
+    assert out.collect() == []
