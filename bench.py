@@ -208,6 +208,48 @@ def main():
         "dropped_centers": lp_stats.dropped_centers,
     }
 
+    from dmid_spark.algorithms import harmonic_centrality, random_walks
+
+    hc_sources = G.vertices(edges).filter(F.col("id") % 512 == 0)
+    n_hc_sources = hc_sources.count()
+
+    def run_harmonic():
+        out, hc_stats = harmonic_centrality(edges, hc_sources)
+        return out.count(), hc_stats
+
+    n_hc, hc_stats = timed("harmonic_centrality", run_harmonic)
+    detail["harmonic"] = {
+        "sources": int(n_hc_sources),
+        "bfs_levels": hc_stats.levels,
+        "vertices": int(n_hc),
+    }
+
+    from dmid_spark.algorithms import betweenness_sample
+
+    bw_sources = G.vertices(edges).filter(F.col("id") % 2048 == 0)
+
+    def run_betweenness():
+        out, bw_stats = betweenness_sample(edges, bw_sources)
+        return out.count(), bw_stats
+
+    n_bw, bw_stats = timed("betweenness_sample", run_betweenness)
+    detail["betweenness"] = {
+        "sources": int(bw_sources.count()),
+        "bfs_levels": bw_stats.levels,
+        "vertices": int(n_bw),
+    }
+
+    def run_walks():
+        out, w_stats = random_walks(edges, walk_length=8)
+        return out.count(), w_stats
+
+    n_walk_rows, w_stats = timed("random_walks", run_walks)
+    detail["random_walks"] = {
+        "walkers": w_stats.walkers,
+        "walk_length": 8,
+        "rows": int(n_walk_rows),
+    }
+
     # --- training-data pipeline workload on the SF tables -----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
@@ -218,12 +260,14 @@ def main():
     n_cand = timed("minhash_lsh_dedup", run_minhash)
     detail["minhash"] = {"candidate_pairs": int(n_cand)}
 
-    from dmid_spark.text import document_fingerprints
+    from dmid_spark.text import document_fingerprints, repetition_scores
 
     timed(
         "fingerprint_winnow",
         lambda: document_fingerprints(docs, ngram=3, window=4).count(),
     )
+
+    timed("repetition_scores", lambda: repetition_scores(docs).count())
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 

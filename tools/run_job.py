@@ -27,6 +27,7 @@ def main(argv=None):
     p.add_argument("job", choices=[
         "pagerank", "dmid", "rawlpa", "components", "corpus-edges",
         "scc", "kcore", "coreness", "hits", "ppr", "bfs", "harmonic", "walks",
+        "betweenness",
     ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
@@ -125,11 +126,19 @@ def main(argv=None):
             scores, st = hits(edges, tol=args.tol)
             scores.write.mode("overwrite").parquet(args.output)
             stats = {"iterations": st.iterations, "converged": st.converged}
-        elif args.job in ("bfs", "harmonic"):
-            from dmid_spark.algorithms import bfs_distances, harmonic_centrality
+        elif args.job in ("bfs", "harmonic", "betweenness"):
+            from dmid_spark.algorithms import (
+                betweenness_sample,
+                bfs_distances,
+                harmonic_centrality,
+            )
 
             seeds = spark.read.parquet(args.seeds)
-            fn = bfs_distances if args.job == "bfs" else harmonic_centrality
+            fn = {
+                "bfs": bfs_distances,
+                "harmonic": harmonic_centrality,
+                "betweenness": betweenness_sample,
+            }[args.job]
             out, st = fn(edges, seeds, max_depth=args.max_depth)
             out.write.mode("overwrite").parquet(args.output)
             stats = {"levels": st.levels, "converged": st.converged}
