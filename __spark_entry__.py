@@ -716,6 +716,20 @@ def q_betweenness(spark, sf_dir):
     return out.select("id", F.round("betweenness", 9).alias("betweenness"))
 
 
+def q_sssp(spark, sf_dir):
+    """Multi-source weighted shortest paths from id % 100 == 0, capped at 8
+    Bellman-Ford rounds (converges in 4 at sf0.01; min-relaxation is a
+    no-op past the fixpoint, and the per-round tables equal the twin's full
+    relaxation even before it — frontier pruning changes work, not values)."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import sssp
+
+    e = _edges(spark, sf_dir)
+    sources = G.vertices(e).filter(F.col("id") % 100 == 0)
+    dist, _ = sssp(e, sources, max_rounds=8)
+    return dist.select("source", "id", F.col("dist").alias("dist"))
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic 4-step random walk from every non-sink vertex
     (hash_mode='md5' → bitwise DuckDB twin, same device as the
@@ -808,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x14_harmonic_centrality": q_harmonic,
         "x15_random_walks": q_random_walks,
         "x16_betweenness_sample": q_betweenness,
+        "x17_sssp_sample": q_sssp,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1504,6 +1519,30 @@ FROM verts v LEFT JOIN bc ON v.id = bc.id""")
     return "".join(parts)
 
 
+def _sssp_sql(src_mod: int, rounds: int) -> str:
+    """Unrolled Bellman-Ford: each round min-relaxes every edge against the
+    previous round's table (the frontier-pruned Spark loop produces the
+    identical per-round values — pruning skips only candidates that cannot
+    win the min). AS MATERIALIZED per round (each is referenced twice)."""
+    parts = [f"""
+, e AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM edges),
+t0 AS MATERIALIZED (
+  SELECT id AS source, id, CAST(0 AS DOUBLE) AS dist FROM verts WHERE id % {src_mod} = 0
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+t{r} AS MATERIALIZED (
+  SELECT source, id, MIN(dist) AS dist FROM (
+    SELECT source, id, dist FROM t{r - 1}
+    UNION ALL
+    SELECT p.source, e.dst AS id, p.dist + e.w AS dist
+    FROM t{r - 1} p JOIN e ON p.id = e.src
+  ) GROUP BY source, id
+)""")
+    parts.append(f"\nSELECT source, id, dist FROM t{rounds}")
+    return "".join(parts)
+
+
 def _bfs_reach_sql(src_mod: int, depth: int = 12, materialized: bool = False) -> str:
     """Recursive multi-source BFS: all (source, id, dist≤depth) walk rows;
     MIN(dist) per (source, id) is the hop distance. The depth cap bounds the
@@ -1750,6 +1789,7 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         "x16_betweenness_sample": _G.replace("WITH edges", "WITH RECURSIVE edges")
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),
+        "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (

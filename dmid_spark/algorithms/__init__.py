@@ -20,3 +20,4 @@ from .paths import (  # noqa: F401
     ranked_adjacency,
 )
 from .paths import betweenness_sample  # noqa: F401
+from .paths import sssp  # noqa: F401

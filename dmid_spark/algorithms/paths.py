@@ -375,3 +375,60 @@ def betweenness_sample(
         .select("id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
     )
     return full, stats
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int | None = None,
+    broadcast_frontier: bool = True,
+) -> tuple[DataFrame, BfsStats]:
+    """Multi-source weighted shortest paths (non-negative weights) →
+    ``(source, id, dist)`` by synchronous Bellman-Ford relaxation:
+    each round ``dist' = min(dist, min over in-edges (dist(u) + w))``.
+
+    Converges in ≤ hop-diameter rounds; extra rounds past the fixpoint are
+    no-ops (min-relaxation is idempotent), which makes the bounded-round
+    SQL oracle equal to convergence. Frontier-pruned: only vertices whose
+    distance IMPROVED last round relax their out-edges, so late rounds
+    touch shrinking state (the same shape as components.py's rounds).
+
+    Scale: per round one frontier⋈edges join keyed by vertex plus one
+    (source, id)-keyed min-aggregate over candidates ∪ current state.
+    ``broadcast_frontier`` as in ``bfs_distances``.
+    """
+    t0 = time.time()
+    stats = BfsStats()
+    e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    dist = K.materialize(
+        sources.select(F.col("id").alias("source"), "id", F.lit(0.0).alias("dist"))
+    )
+    frontier = dist
+    r = 0
+    while max_rounds is None or r < max_rounds:
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        cand = f.join(e, f.id == e.src).select(
+            "source", F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new = K.materialize(
+            dist.unionByName(cand)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = K.materialize(
+            new.alias("n")
+            .join(dist.alias("o"), ["source", "id"], "left")
+            .filter(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
+            .select("source", "id", F.col("n.dist").alias("dist"))
+        )
+        n_improved = improved.count()
+        r += 1
+        stats.levels = r
+        stats.frontier_sizes.append(n_improved)
+        dist = new
+        frontier = improved
+        if n_improved == 0:
+            stats.converged = True
+            break
+    stats.wall_sec = time.time() - t0
+    return dist, stats

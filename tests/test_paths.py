@@ -311,3 +311,73 @@ def test_betweenness_empty_graph(spark):
     src_df = spark.createDataFrame([(0,)], "id long")
     out, _ = betweenness_sample(empty, src_df)
     assert out.collect() == []
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (Bellman-Ford)
+# ---------------------------------------------------------------------------
+def dijkstra_oracle(rows, sources):
+    import heapq
+
+    adj = {}
+    for s, d, w in rows:
+        if s != d:
+            adj.setdefault(s, {})
+            adj[s][d] = min(adj[s].get(d, float("inf")), float(w))
+    out = {}
+    for s in sources:
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            dv, v = heapq.heappop(pq)
+            if dv > dist.get(v, float("inf")):
+                continue
+            for u, w in adj.get(v, {}).items():
+                nd = dv + w
+                if nd < dist.get(u, float("inf")):
+                    dist[u] = nd
+                    heapq.heappush(pq, (nd, u))
+        for v, d in dist.items():
+            out[(s, v)] = d
+    return out
+
+
+def test_sssp_weighted_random(spark):
+    from dmid_spark.algorithms import sssp
+
+    rows, n = random_graph(n=100, seed=29, weighted=True)
+    sources = [0, 11, 55]
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    dist, stats = sssp(G.edges_from_rows(spark, rows), src_df)
+    got = {(r["source"], r["id"]): r["dist"] for r in dist.collect()}
+    exp = dijkstra_oracle(rows, sources)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9), k
+    assert stats.converged
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    # 0→1→2 costs 1+1=2; the direct 0→2 edge costs 5 — weighted SSSP must
+    # pick the longer-hop cheaper route (where BFS would pick 1 hop)
+    from dmid_spark.algorithms import sssp
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)]
+    src_df = spark.createDataFrame([(0,)], "id long")
+    dist, _ = sssp(G.edges_from_rows(spark, rows), src_df)
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_sssp_round_cap_and_noop_past_fixpoint(spark):
+    from dmid_spark.algorithms import sssp
+
+    rows, n = random_graph(n=60, seed=13, weighted=True)
+    src_df = spark.createDataFrame([(0,)], "id long")
+    e = G.edges_from_rows(spark, rows)
+    full, fs = sssp(e, src_df)
+    assert fs.converged
+    over, os_ = sssp(e, src_df, max_rounds=fs.levels + 5)
+    assert sorted(full.collect()) == sorted(over.collect())
+    short, ss = sssp(e, src_df, max_rounds=1)
+    assert not ss.converged

@@ -27,7 +27,7 @@ def main(argv=None):
     p.add_argument("job", choices=[
         "pagerank", "dmid", "rawlpa", "components", "corpus-edges",
         "scc", "kcore", "coreness", "hits", "ppr", "bfs", "harmonic", "walks",
-        "betweenness",
+        "betweenness", "sssp",
     ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
@@ -126,11 +126,12 @@ def main(argv=None):
             scores, st = hits(edges, tol=args.tol)
             scores.write.mode("overwrite").parquet(args.output)
             stats = {"iterations": st.iterations, "converged": st.converged}
-        elif args.job in ("bfs", "harmonic", "betweenness"):
+        elif args.job in ("bfs", "harmonic", "betweenness", "sssp"):
             from dmid_spark.algorithms import (
                 betweenness_sample,
                 bfs_distances,
                 harmonic_centrality,
+                sssp,
             )
 
             seeds = spark.read.parquet(args.seeds)
@@ -138,6 +139,7 @@ def main(argv=None):
                 "bfs": bfs_distances,
                 "harmonic": harmonic_centrality,
                 "betweenness": betweenness_sample,
+                "sssp": lambda e, s, max_depth: sssp(e, s, max_rounds=max_depth),
             }[args.job]
             out, st = fn(edges, seeds, max_depth=args.max_depth)
             out.write.mode("overwrite").parquet(args.output)
