@@ -167,8 +167,12 @@ def pagerank(
     )
 
     def step(x: DataFrame, i: int) -> DataFrame:
-        dm_row = x.join(F.broadcast(dangling), "id", "left_semi").agg(F.sum("value").alias("s")).first()
-        dm = float(dm_row["s"] or 0.0)
+        # order-independent reduction (layout-proof) — same rationale as
+        # personalized_pagerank: bit-identical resume needs a dm that does
+        # not follow x's physical row order
+        dm = K.deterministic_sum(
+            x.join(F.broadcast(dangling), "id", "left_semi"), "id", "value"
+        )
         y = K.spmv_join_step(norm, x)
         return K.complete_vector(y, verts).select(
             "id", (F.col("value") + F.lit((1 - d) / n + d * dm / n)).alias("value")

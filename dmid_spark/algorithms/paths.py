@@ -1,15 +1,16 @@
-"""Path-based link-graph analytics: multi-source BFS distances,
-sampled harmonic/closeness centrality, and deterministic random-walk
-generation.
+"""Path-based link-graph analytics: multi-source BFS distances, sampled
+harmonic/closeness centrality, deterministic random-walk generation,
+sampled Brandes betweenness, and weighted shortest paths.
 
 These extend the standard-algorithm suite (X1-X12) with the traversal
 operations a web-graph user runs after the per-vertex/per-edge analytics:
 distance tables from a source sample (the building block of the
-HyperBall-style centrality estimators on web graphs), the harmonic and
-closeness centralities derived from them, and node2vec-style walk-corpus
-generation for embedding pipelines.
+HyperBall-style centrality estimators on web graphs), the harmonic/
+closeness/betweenness centralities derived from them, node2vec-style
+walk-corpus generation for embedding pipelines, and weighted reachability
+(X13-X17).
 
-All three are pure DataFrame computations over ``edges(src, dst, ...)``:
+All are pure DataFrame computations over ``edges(src, dst, ...)``:
 
 - ``bfs_distances`` is frontier expansion: each level is one join of the
   (shrinking-then-shrinking) frontier against the edge table keyed by

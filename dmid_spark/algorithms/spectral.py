@@ -173,12 +173,12 @@ def personalized_pagerank(
     )
 
     def step(x: DataFrame, i: int) -> DataFrame:
-        dm_row = (
-            x.join(F.broadcast(dangling), "id", "left_semi")
-            .agg(F.sum("value").alias("s"))
-            .first()
+        # order-independent reduction: a plain F.sum follows x's physical
+        # layout, which a checkpoint/resume parquet round-trip changes —
+        # the 1-ulp wobble would break the promised bit-identical resume
+        dm = K.deterministic_sum(
+            x.join(F.broadcast(dangling), "id", "left_semi"), "id", "value"
         )
-        dm = float(dm_row["s"] or 0.0)
         y = K.spmv_join_step(norm, x, broadcast_state=broadcast_state)
         teleport = (1 - d) / k + d * dm / k
         return (

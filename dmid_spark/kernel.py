@@ -75,6 +75,43 @@ def complete_vector(y: DataFrame, verts: DataFrame, default: float = 0.0) -> Dat
     )
 
 
+def deterministic_sum(
+    df: DataFrame, key_col: str, val_col: str, buckets: int = 1024
+) -> float:
+    """Order-independent float sum of ``val_col`` keyed by unique ``key_col``:
+    two-stage bucketed sorted-fold. Stage 1 folds each ``key % buckets``
+    bucket's values in ascending key order; stage 2 folds the ≤ ``buckets``
+    partials in bucket order. The physical layout of ``df`` (partitioning,
+    row order — which Spark does NOT fix across e.g. a checkpoint/resume
+    parquet round-trip) can never change the result, unlike a plain
+    ``F.sum`` whose partial-aggregation order follows the input layout.
+
+    Used for the per-superstep scalar reductions (dangling mass) where
+    bit-identical crash/resume is promised. Distributed: per-bucket fold
+    buffers hold |rows|/buckets values in expectation; raise ``buckets``
+    for very large reductions."""
+    k, v = F.col(key_col), F.col(val_col)
+    stage1 = (
+        df.select(F.pmod(k, F.lit(buckets)).alias("b"), k.alias("k"), v.alias("v"))
+        .groupBy("b")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("k", "v"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("p")
+        )
+    )
+    row = stage1.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["p"],
+        ).alias("s")
+    ).first()
+    return float(row["s"] or 0.0)
+
+
 # --------------------------------------------------------------------------
 # CSR-in-Arrow-UDF SpMV
 # --------------------------------------------------------------------------

@@ -118,3 +118,23 @@ def test_iterate_resume_bit_identical(spark, tmp_ckpt_dir):
     a, b = vec(xf_full, n), vec(xf_res, n)
     assert np.array_equal(a, b)  # bit-identical
     assert st_res.iterations == st_full.iterations
+
+
+def test_deterministic_sum_is_layout_proof(spark):
+    import math
+
+    import pandas as pd
+    import pytest
+
+    rng = np.random.default_rng(3)
+    vals = rng.random(5000) * 1e-3
+    pdf = pd.DataFrame({"id": np.arange(5000, dtype=np.int64), "value": vals})
+    df = spark.createDataFrame(pdf)
+    a = K.deterministic_sum(df, "id", "value")
+    b = K.deterministic_sum(df.repartition(17), "id", "value")
+    c = K.deterministic_sum(df.repartition(3).sortWithinPartitions(F.desc("value")), "id", "value")
+    assert a == b == c  # bit-identical across layouts
+    assert a == pytest.approx(math.fsum(vals), rel=1e-12)
+    # empty input
+    empty = spark.createDataFrame([], "id long, value double")
+    assert K.deterministic_sum(empty, "id", "value") == 0.0
