@@ -304,7 +304,10 @@ def betweenness_sample(
     """
     dist, stats = bfs_distances(edges, sources, max_depth, broadcast_frontier)
     dist = K.materialize(dist)
-    n_levels = stats.levels if stats.converged else (max_depth or stats.levels)
+    # BFS stats already say which levels are populated — no per-level
+    # isEmpty probe jobs: frontier_sizes[l-1] is the level-l vertex count
+    # (the final 0 entry marks convergence)
+    n_levels = sum(1 for n in stats.frontier_sizes if n > 0)
     e = edges.select("src", "dst").distinct()
 
     # ---- forward: per-level shortest-path counts ------------------------
@@ -315,8 +318,6 @@ def betweenness_sample(
     sig_levels = [K.materialize(lvl)]
     for l in range(1, n_levels + 1):
         at_l = dist.filter(F.col("dist") == l).select("source", "id")
-        if at_l.isEmpty():
-            break
         prev = sig_levels[-1]
         if broadcast_frontier:
             prev = F.broadcast(prev)
