@@ -765,6 +765,23 @@ def q_hll_registers(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters from the count-min sketch: per-user event-count
+    estimates (min over the 4 counter rows — pure integers, exact twin),
+    kept where the estimate ≥ 20. The sketch is built once and broadcast
+    into the probe side."""
+    from dmid_spark.sketch import cms_build, cms_estimate
+
+    ev = _events(spark, sf_dir)
+    sk = cms_build(ev, "user_id", depth=4, width=64, hash_mode="md5")
+    keys = ev.select("user_id").distinct()
+    return (
+        cms_estimate(sk, keys, "user_id", depth=4, width=64, hash_mode="md5")
+        .filter(F.col("estimate") >= 20)
+        .select(F.col("key").alias("user_id"), "estimate")
+    )
+
+
 def q_window_hll(spark, sf_dir):
     """Composition: HLL distinct-user registers per (5-minute tumbling
     window, event_type) — the hypertable-rollup shape (a per-window sketch
@@ -852,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_hll_registers,
         "sketch_cms_counters": q_cms_counters,
         "sketch_window_hll": q_window_hll,
+        "sketch_cms_heavy_hitters": q_cms_heavy_hitters,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -2111,6 +2129,29 @@ r AS (
   FROM h
 )
 SELECT event_type, register, MAX(rho) AS rho FROM r GROUP BY event_type, register""",
+        "sketch_cms_heavy_hitters": """
+WITH grid AS (
+  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT CAST(t.d AS INT) AS d,
+           CAST(CAST(('0x' || substr(md5(
+               CAST(t.d AS VARCHAR) || ':42:' || CAST(user_id AS VARCHAR)
+           ), 1, 15)) AS BIGINT) % 64 AS INT) AS w
+    FROM events, range(4) t(d)
+  ) GROUP BY d, w
+),
+probes AS (
+  SELECT u.user_id, CAST(t.d AS INT) AS d,
+         CAST(CAST(('0x' || substr(md5(
+             CAST(t.d AS VARCHAR) || ':42:' || CAST(u.user_id AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % 64 AS INT) AS w
+  FROM (SELECT DISTINCT user_id FROM events) u, range(4) t(d)
+),
+est AS (
+  SELECT p.user_id, MIN(COALESCE(g.c, 0)) AS estimate
+  FROM probes p LEFT JOIN grid g ON p.d = g.d AND p.w = g.w
+  GROUP BY p.user_id
+)
+SELECT user_id, CAST(estimate AS BIGINT) AS estimate FROM est WHERE estimate >= 20""",
         "sketch_window_hll": """
 WITH h AS (
   SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 300.0) AS BIGINT) AS win,
