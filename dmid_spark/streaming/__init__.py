@@ -8,3 +8,4 @@ from .windows import (  # noqa: F401
     tumbling_counts_stream,
     run_stream_to_memory,
 )
+from .sketch import windowed_distinct_stream  # noqa: F401

@@ -160,3 +160,95 @@ def test_dedup_stream_state_survives_across_triggers(spark, tmp_path):
     assert second[10]["canonical_id"] == 1 and second[10]["is_duplicate"] is True
     assert second[11]["is_duplicate"] is False
     assert 1 not in second  # only the new batch re-emits
+
+
+def test_windowed_distinct_stream_matches_batch_sketch(spark, events_path):
+    """availableNow streaming HLL must be bit-exact the batch sketch:
+    identical registers → identical estimates per (window, event_type)."""
+    from dmid_spark.sketch import hll_estimate, hll_registers
+    from dmid_spark.streaming import windowed_distinct_stream
+
+    stream = stream_events(spark, events_path)
+    out = run_stream_to_memory(
+        windowed_distinct_stream(stream, p=6), output_mode="update"
+    )
+    got = {
+        (r["win"], r["event_type"]): (r["distinct_estimate"], r["filled_registers"])
+        for r in out.collect()
+    }
+
+    batch = spark.read.parquet(events_path).withColumn(
+        "win", F.floor(F.col("ts").cast("timestamp").cast("long") / 300).cast("long")
+    )
+    regs = hll_registers(batch, "user_id", ["win", "event_type"], p=6, hash_mode="md5")
+    exp = {}
+    pdf = regs.toPandas()
+    for (win, etype), sub in pdf.groupby(["win", "event_type"]):
+        pairs = list(zip(sub["register"], sub["rho"]))
+        exp[(win, etype)] = (hll_estimate(pairs, p=6), len(pairs))
+
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][1] == exp[k][1], k          # same filled registers
+        assert got[k][0] == exp[k][0], k          # bit-exact estimate
+
+
+def test_windowed_distinct_stream_state_merges_across_triggers(spark, tmp_path):
+    """Two triggers over split input: final estimates equal a single batch
+    over the union (register max-merge is order-insensitive)."""
+    import shutil
+
+    from dmid_spark.sketch import hll_estimate, hll_registers
+    from dmid_spark.streaming import windowed_distinct_stream
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d = tmp_path / "ev2"
+    d.mkdir()
+    src.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(d / "a"))
+    src.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(d / "b"))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = []
+
+    def run_once():
+        # foreachBatch sink: supports checkpoint recovery (memory does not)
+        def sink(bdf, _bid):
+            rows.extend(bdf.collect())
+
+        stream = stream_events(spark, str(stage), schema=src.schema)
+        q = (
+            windowed_distinct_stream(stream, p=6)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for part in ("a", "b"):
+        for f in (d / part).glob("*.parquet"):
+            shutil.copy(f, stage / f"{part}.parquet")
+        run_once()
+    # update mode re-emits per trigger, but registers only grow — the
+    # per-key MAX (filled, estimate) is the final merged state
+    got = {}
+    for r in rows:
+        k = (r["win"], r["event_type"])
+        v = (r["distinct_estimate"], r["filled_registers"])
+        if k not in got or (v[1], v[0]) > (got[k][1], got[k][0]):
+            got[k] = v
+
+    batch = src.withColumn(
+        "win", F.floor(F.col("ts").cast("timestamp").cast("long") / 300).cast("long")
+    )
+    pdf = hll_registers(batch, "user_id", ["win", "event_type"], p=6, hash_mode="md5").toPandas()
+    exp = {}
+    for (win, etype), sub in pdf.groupby(["win", "event_type"]):
+        pairs = list(zip(sub["register"], sub["rho"]))
+        exp[(win, etype)] = (hll_estimate(pairs, p=6), len(pairs))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], k
