@@ -252,3 +252,33 @@ def test_tfidf_df_attach_is_broadcast(spark):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan and "SinglePartition" not in plan
+
+
+def test_sssp_round_has_partial_min_and_no_windows(spark, monkeypatch):
+    import importlib
+
+    paths = importlib.import_module("dmid_spark.algorithms.paths")
+    monkeypatch.setattr(paths.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=120, seed=9)
+    edges = G.edges_from_rows(spark, rows)
+    sources = spark.createDataFrame([(0,), (5,)], "id long")
+    dist, _ = paths.sssp(edges, sources, max_rounds=2)
+    dist.collect()
+    plan = plan_of(dist)
+    assert "partial_min" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+
+
+def test_betweenness_levels_broadcast_frontier(spark, monkeypatch):
+    import importlib
+
+    paths = importlib.import_module("dmid_spark.algorithms.paths")
+    monkeypatch.setattr(paths.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=100, seed=17)
+    edges = G.edges_from_rows(spark, rows)
+    sources = spark.createDataFrame([(0,), (13,)], "id long")
+    out, _ = paths.betweenness_sample(edges, sources, max_depth=3)
+    out.collect()
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
