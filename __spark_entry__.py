@@ -730,6 +730,16 @@ def q_sssp(spark, sf_dir):
     return dist.select("source", "id", F.col("dist").alias("dist"))
 
 
+def q_diameter(spark, sf_dir):
+    """Double-sweep directed diameter lower bound from vertex 0 (forward
+    sweep to the farthest vertex, backward sweep from it; both capped at 12
+    ≥ the graph's eccentricities)."""
+    from dmid_spark.algorithms import diameter_double_sweep
+
+    out, _ = diameter_double_sweep(_edges(spark, sf_dir), start_id=0, max_depth=12)
+    return out
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic 4-step random walk from every non-sink vertex
     (hash_mode='md5' → bitwise DuckDB twin, same device as the
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_random_walks": q_random_walks,
         "x16_betweenness_sample": q_betweenness,
         "x17_sssp_sample": q_sssp,
+        "x18_diameter_sweep": q_diameter,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1808,6 +1819,26 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
+        "x18_diameter_sweep": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
+, r1 AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS dist
+  UNION
+  SELECT e.dst AS id, r.dist + 1 FROM r1 r JOIN edges e ON e.src = r.id
+  WHERE r.dist < 12
+),
+sp1 AS (SELECT id, MIN(dist) AS dist FROM r1 GROUP BY id),
+far AS (SELECT id AS u, dist AS ecc FROM sp1 ORDER BY dist DESC, id ASC LIMIT 1),
+r2 AS (
+  SELECT u AS id, 0 AS dist FROM far
+  UNION
+  SELECT e.src AS id, r.dist + 1 FROM r2 r JOIN edges e ON e.dst = r.id
+  WHERE r.dist < 12
+),
+sp2 AS (SELECT id, MIN(dist) AS dist FROM r2 GROUP BY id)
+SELECT CAST(0 AS BIGINT) AS start, far.u AS peripheral,
+       CAST(far.ecc AS BIGINT) AS ecc_start,
+       CAST(GREATEST(far.ecc, (SELECT MAX(dist) FROM sp2)) AS BIGINT) AS diameter_lb
+FROM far""",
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (

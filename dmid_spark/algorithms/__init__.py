@@ -21,3 +21,4 @@ from .paths import (  # noqa: F401
 )
 from .paths import betweenness_sample  # noqa: F401
 from .paths import sssp  # noqa: F401
+from .paths import diameter_double_sweep  # noqa: F401

@@ -434,3 +434,38 @@ def sssp(
             break
     stats.wall_sec = time.time() - t0
     return dist, stats
+
+
+def diameter_double_sweep(
+    edges: DataFrame,
+    start_id: int,
+    max_depth: int | None = None,
+    broadcast_frontier: bool = True,
+) -> tuple[DataFrame, BfsStats]:
+    """Directed double-sweep diameter lower bound (the classic 2-sweep
+    heuristic, directed form): a forward BFS from ``start_id`` picks the
+    farthest reachable vertex u (max dist, then min id — deterministic);
+    a BACKWARD BFS from u (reversed edges) finds max_v d(v → u). Both
+    eccentricities are true directed distances, so
+    ``diameter_lb = max(ecc_start, backward ecc of u)`` lower-bounds the
+    directed diameter.
+
+    Returns a ONE-ROW DataFrame ``(start, peripheral, ecc_start,
+    diameter_lb)`` — pure integers — plus the second sweep's stats. Driver
+    traffic is two scalar argmax pulls; all traversal is distributed
+    ``bfs_distances``."""
+    spark = edges.sparkSession
+    src0 = spark.createDataFrame([(int(start_id),)], "id long")
+    d1, _ = bfs_distances(edges, src0, max_depth, broadcast_frontier)
+    far = d1.orderBy(F.desc("dist"), F.asc("id")).select("id", "dist").first()
+    u, ecc_start = int(far["id"]), int(far["dist"])
+    src1 = spark.createDataFrame([(u,)], "id long")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    d2, stats = bfs_distances(rev, src1, max_depth, broadcast_frontier)
+    lb_row = d2.agg(F.max("dist").alias("m")).first()
+    lb = max(ecc_start, int(lb_row["m"]))
+    out = spark.createDataFrame(
+        [(int(start_id), u, ecc_start, lb)],
+        "start long, peripheral long, ecc_start long, diameter_lb long",
+    )
+    return out, stats

@@ -381,3 +381,31 @@ def test_sssp_round_cap_and_noop_past_fixpoint(spark):
     assert sorted(full.collect()) == sorted(over.collect())
     short, ss = sssp(e, src_df, max_rounds=1)
     assert not ss.converged
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep diameter lower bound
+# ---------------------------------------------------------------------------
+def test_diameter_double_sweep_path(spark):
+    # 0→1→…→4: forward sweep finds u=4 (ecc 4); backward from 4 sees every
+    # vertex at its true distance → lb = 4 = the exact directed diameter
+    from dmid_spark.algorithms import diameter_double_sweep
+
+    rows, n = directed_path(5)
+    out, _ = diameter_double_sweep(G.edges_from_rows(spark, rows), start_id=0)
+    r = out.first()
+    assert (r["start"], r["peripheral"], r["ecc_start"], r["diameter_lb"]) == (0, 4, 4, 4)
+
+
+def test_diameter_double_sweep_is_valid_lower_bound(spark):
+    from dmid_spark.algorithms import diameter_double_sweep
+
+    rows, n = random_graph(n=80, seed=31)
+    out, _ = diameter_double_sweep(G.edges_from_rows(spark, rows), start_id=0)
+    r = out.first()
+    # exact directed diameter over the reachable pairs via the BFS oracle
+    dist = bfs_oracle(rows, n, list(range(n)))
+    true_diam = max(dist.values())
+    assert 0 < r["diameter_lb"] <= true_diam
+    # ecc_start matches the oracle's eccentricity of vertex 0
+    assert r["ecc_start"] == max(d for (s, v), d in dist.items() if s == 0)
