@@ -7,8 +7,8 @@ operations a web-graph user runs after the per-vertex/per-edge analytics:
 distance tables from a source sample (the building block of the
 HyperBall-style centrality estimators on web graphs), the harmonic/
 closeness/betweenness centralities derived from them, node2vec-style
-walk-corpus generation for embedding pipelines, and weighted reachability
-(X13-X17).
+walk-corpus generation for embedding pipelines, weighted reachability,
+and the double-sweep diameter diagnostic (X13-X18).
 
 All are pure DataFrame computations over ``edges(src, dst, ...)``:
 
