@@ -402,6 +402,11 @@ def sssp(
     t0 = time.time()
     stats = BfsStats()
     e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    wmin_row = e.agg(F.min("w").alias("m")).first()
+    if wmin_row["m"] is not None and wmin_row["m"] < 0:
+        # a negative edge on a cycle makes min-relaxation non-terminating —
+        # fail loudly instead of spinning to max_rounds with garbage dists
+        raise ValueError(f"sssp requires non-negative weights; min = {wmin_row['m']}")
     dist = K.materialize(
         sources.select(F.col("id").alias("source"), "id", F.lit(0.0).alias("dist"))
     )

@@ -38,6 +38,8 @@ def cms_build(
     groupBy keyed (d, w) reduces to the fixed-size grid — counts combine
     map-side, so the shuffle is O(partitions · depth · width), independent
     of input size."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"cms_build needs depth, width >= 1; got {depth}x{width}")
     cells = F.array(*[
         F.struct(
             F.lit(d).alias("d"),

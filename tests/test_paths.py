@@ -409,3 +409,12 @@ def test_diameter_double_sweep_is_valid_lower_bound(spark):
     assert 0 < r["diameter_lb"] <= true_diam
     # ecc_start matches the oracle's eccentricity of vertex 0
     assert r["ecc_start"] == max(d for (s, v), d in dist.items() if s == 0)
+
+
+def test_sssp_rejects_negative_weights(spark):
+    from dmid_spark.algorithms import sssp
+
+    rows = [(0, 1, 1.0), (1, 0, -2.0)]
+    src_df = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp(G.edges_from_rows(spark, rows), src_df)

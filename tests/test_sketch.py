@@ -147,3 +147,9 @@ def test_sketches_empty_input(spark):
     assert hll_registers(empty, "user", p=5).collect() == []
     assert hll_distinct_counts(empty, "user", p=5) == {}
     assert cms_build(empty, "user").collect() == []
+
+
+def test_cms_rejects_degenerate_shape(spark):
+    df = kv_df(spark, n=10)
+    with pytest.raises(ValueError, match="depth, width"):
+        cms_build(df, "user", depth=0, width=16)
