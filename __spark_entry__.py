@@ -587,6 +587,76 @@ def q_clean_corpus(spark, sf_dir):
     return clean_corpus(_docs(spark, sf_dir), params)
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Paragraph-proxy chunk dedup over the corpus + planted copies (the
+    same every-10th-doc re-ingest as dedup_exact, so the check is
+    non-vacuous: each planted doc's chunks occur ≥ 2×)."""
+    from dmid_spark.text import chunk_duplicates
+
+    d = _docs(spark, sf_dir)
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = d.select("doc_id", "text").unionByName(dup)
+    out = chunk_duplicates(docs, chunk_words=20, hash_mode="md5")
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "canonical_doc",
+        F.col("canonical_idx").cast("long").alias("canonical_idx"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """13-gram benchmark decontamination. Benchmark = the first 15 words of
+    every 7th doc (3 shared grams each); the corpus additionally carries a
+    shifted copy (first two words dropped, +200000 ids) of those docs, so
+    PARTIAL n-gram overlap — not doc-level equality — is what gets caught
+    (shifted copies hit exactly 1 benchmark gram)."""
+    from dmid_spark.text import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.array_join(F.slice(toks, 1, 15), " ").alias("text")
+    )
+    shifted = d.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 15)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(toks, 3, F.size(toks) - 2), " ").alias("text"),
+    )
+    corpus = d.unionByName(shifted)
+    out = decontaminate(corpus, bench, n=13, hash_mode="md5")
+    return out.select("doc_id", F.col("n_hit_grams").cast("long").alias("n_hit_grams"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction with planted addresses/numbers (the word-soup corpus
+    has none): every 13th doc gets one email + one phone appended — the
+    identical derivation in the twin — so counts and redacted text are
+    non-vacuous. Patterns live in quality.py (Java/RE2-portable subset)."""
+    from dmid_spark.text import redact_pii
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com or call +1 555 010 "),
+        did, F.lit(" ok"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, pii).otherwise(F.col("text")).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "text_redacted",
+    )
+
+
 def q_kcore(spark, sf_dir):
     """92-core of the co-occurrence graph (to fixpoint; 9 peel rounds at
     sf0.01 — non-trivial multi-round cascade, 979 survivors). The SQL twin
@@ -872,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_winnow": q_fingerprint,
         "text_repetition": q_repetition,
         "text_tfidf_topk": q_tfidf,
+        "text_chunk_dedup": q_chunk_dedup,
+        "text_decontaminate": q_decontaminate,
+        "text_pii_redact": q_pii_redact,
         "ann_cosine_topk": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_ivf_topk": q_ann_ivf,
@@ -2125,6 +2198,74 @@ grams AS (
 SELECT DISTINCT doc_id,
   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
 FROM grams""",
+        "text_chunk_dedup": r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM docs WHERE trim(text) <> ''
+),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(ts, i*20+1, i*20+20), ' ')), 1, 15)) AS BIGINT) AS chunk_hash
+  FROM toks, LATERAL unnest(range(0, CAST(ceil(len(ts)/20.0) AS BIGINT))) AS t(i)
+),
+agg AS (
+  SELECT chunk_hash, MIN(doc_id*2097152 + chunk_idx) AS fpk, COUNT(*) AS n
+  FROM ch GROUP BY chunk_hash
+)
+SELECT ch.doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(fpk // 2097152 AS BIGINT) AS canonical_doc,
+       CAST(fpk % 2097152 AS BIGINT) AS canonical_idx,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM ch JOIN agg USING (chunk_hash) WHERE n >= 2""",
+        "text_decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents WHERE trim(text) <> ''
+),
+corpus AS (
+  SELECT doc_id, ts FROM toks
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, list_slice(ts, 3, len(ts)) AS ts
+  FROM toks WHERE doc_id % 7 = 0 AND len(ts) >= 15
+),
+bench AS (SELECT list_slice(ts, 1, 15) AS ts FROM toks WHERE doc_id % 7 = 0),
+cg AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(ts, i, i+12), ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM corpus, LATERAL unnest(range(1, len(ts) - 11)) AS t(i)
+),
+bg AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(array_to_string(list_slice(ts, i, i+12), ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM bench, LATERAL unnest(range(1, len(ts) - 11)) AS t(i)
+)
+SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+FROM cg JOIN bg USING (gh) GROUP BY cg.doc_id""",
+        "text_pii_redact": r"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call +1 555 010 '
+                   || CAST(doc_id AS VARCHAR) || ' ok'
+              ELSE text END AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS te
+  FROM docs
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(te, '\+?\d[\d \-]{7,}\d')) AS BIGINT) AS n_phones,
+  regexp_replace(te, '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g') AS text_redacted
+FROM e""",
         "text_tfidf_topk": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -7,6 +7,12 @@ from .dedup import (  # noqa: F401
     simhash,
     simhash_near_duplicates,
 )
+from .chunks import (  # noqa: F401
+    chunk_dedup_summary,
+    chunk_duplicates,
+    chunk_table,
+    decontaminate,
+)
 from .pipeline import (  # noqa: F401
     CleanCorpusParams,
     clean_corpus,
@@ -19,6 +25,7 @@ from .quality import (  # noqa: F401
     doc_fingerprint,
     language_id,
     quality_scores,
+    redact_pii,
     repetition_scores,
     tfidf_top_terms,
 )

@@ -266,3 +266,33 @@ def tfidf_top_terms(
             (F.col("pos") + 1).cast("long").alias("rank"),
         )
     )
+
+
+# PII patterns — restricted to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB 'g'-flag twin): character classes,
+# bounded/greedy quantifiers, no backrefs or lookarounds. Greedy classes +
+# leftmost matching give the same spans under backtracking-first (Java) and
+# leftmost-longest (RE2) here.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d \-]{7,}\d"
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """``(doc_id, n_emails, n_phones, text_redacted)`` — emails replaced
+    first, then phone-like digit runs counted/replaced on the email-redacted
+    text (so an address's digits are never double-counted). Pure regexp
+    column expressions: runs in the scan stage, no shuffle, 100 TB-safe.
+    """
+    after_email = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, email_token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(after_email, PII_PHONE_RE, phone_token).alias("text_redacted"),
+    )

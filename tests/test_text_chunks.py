@@ -1,0 +1,118 @@
+"""Chunk-level dedup + decontamination (text/chunks.py).
+
+Oracles are hand-computed on tiny corpora; the sf0.01 driver twin covers
+the full relation (see __spark_entry__ text_chunk_dedup/text_decontaminate).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dmid_spark.text import (
+    chunk_dedup_summary,
+    chunk_duplicates,
+    chunk_table,
+    decontaminate,
+)
+from dmid_spark.text.chunks import CHUNK_STRIDE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_table_windows_and_remainder(spark):
+    d = _docs(spark, [(1, "a b c d e"), (2, "  x   Y  "), (3, "   ")])
+    got = chunk_table(d, chunk_words=2).collect()
+    # doc 1: [a b][c d][e]; doc 2 normalized to "x y": [x y]; doc 3 blank
+    assert sorted((r.doc_id, r.chunk_idx) for r in got) == [
+        (1, 0), (1, 1), (1, 2), (2, 0),
+    ]
+    by = {(r.doc_id, r.chunk_idx): r.chunk_hash for r in got}
+    ref = {r.chunk: r.h for r in _docs(spark, []).sparkSession.createDataFrame(
+        [("a b",), ("c d",), ("e",), ("x y",)], "chunk string"
+    ).select("chunk", F.xxhash64("chunk").alias("h")).collect()}
+    assert by[(1, 0)] == ref["a b"]
+    assert by[(1, 2)] == ref["e"]
+    assert by[(2, 0)] == ref["x y"]
+
+
+def test_chunk_duplicates_first_occurrence_canonical(spark):
+    # chunk "a b" appears at (1,0), (1,2), (5,0); "c d" only once
+    d = _docs(spark, [(1, "a b c d a b"), (5, "a b")])
+    got = {
+        (r.doc_id, r.chunk_idx): (r.canonical_doc, r.canonical_idx, r.n_occurrences)
+        for r in chunk_duplicates(d, chunk_words=2).collect()
+    }
+    assert got == {
+        (1, 0): (1, 0, 3),
+        (1, 2): (1, 0, 3),
+        (5, 0): (1, 0, 3),
+    }
+
+
+def test_chunk_dedup_summary_fractions(spark):
+    d = _docs(spark, [(1, "a b c d a b"), (5, "a b"), (9, "z z")])
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_fraction)
+           for r in chunk_dedup_summary(d, chunk_words=2).collect()}
+    assert got[1] == (3, 1, pytest.approx(1 / 3))  # (1,2) dups (1,0)
+    assert got[5] == (1, 1, 1.0)
+    assert got[9] == (1, 0, 0.0)
+
+
+def test_chunk_hash_mode_md5_same_relation(spark):
+    d = _docs(spark, [(1, "a b c d a b"), (5, "a b")])
+    fast = chunk_duplicates(d, chunk_words=2).drop("chunk_hash").collect()
+    slow = chunk_duplicates(d, chunk_words=2, hash_mode="md5").collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_chunk_words_validation(spark):
+    with pytest.raises(ValueError):
+        chunk_table(_docs(spark, [(1, "a")]), chunk_words=0)
+    assert CHUNK_STRIDE == 1 << 21
+
+
+def test_decontaminate_ngram_overlap(spark):
+    # benchmark holds words 1..4 of doc 10; doc 20 shifted by one still
+    # shares the 3-gram "b c d"; doc 30 is disjoint
+    docs = _docs(spark, [(10, "a b c d e"), (20, "b c d x y"), (30, "p q r s")])
+    bench = _docs(spark, [(900, "a b c d")])
+    got = {r.doc_id: r.n_hit_grams for r in decontaminate(docs, bench, n=3).collect()}
+    # bench grams: {a b c, b c d}; doc10 hits both, doc20 hits "b c d"
+    assert got == {10: 2, 20: 1}
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a b c")])
+    bench = _docs(spark, [(9, "a b c")])
+    got = {r.doc_id: r.n_hit_grams for r in decontaminate(docs, bench, n=3).collect()}
+    assert got == {2: 1}
+    with pytest.raises(ValueError):
+        decontaminate(docs, bench, n=0)
+
+
+def test_decontaminate_no_broadcast_same_result(spark):
+    docs = _docs(spark, [(10, "a b c d e"), (30, "p q r s")])
+    bench = _docs(spark, [(900, "a b c d")])
+    a = sorted(map(tuple, decontaminate(docs, bench, n=3).collect()))
+    b = sorted(map(tuple, decontaminate(
+        docs, bench, n=3, broadcast_benchmark=False).collect()))
+    assert a == b == [(10, 2)]
+
+
+def test_redact_pii_counts_and_tokens(spark):
+    from dmid_spark.text import redact_pii
+
+    d = _docs(spark, [
+        (1, "mail a.b-c%d@ex-ample.co.uk and B@x.io now"),
+        (2, "call +1 555 010-9999 or 02212345678 done"),
+        (3, "plain text only"),
+        (4, "mixed u5@y.de then 555-123-4567 end"),
+    ])
+    got = {r.doc_id: (r.n_emails, r.n_phones, r.text_redacted)
+           for r in redact_pii(d).collect()}
+    assert got[1] == (2, 0, "mail <EMAIL> and <EMAIL> now")
+    assert got[2] == (0, 2, "call <PHONE> or <PHONE> done")
+    assert got[3] == (0, 0, "plain text only")
+    # the email's digits must not be re-counted as a phone
+    assert got[4] == (1, 1, "mixed <EMAIL> then <PHONE> end")
