@@ -810,6 +810,20 @@ def q_diameter(spark, sf_dir):
     return out
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall register table after 2 max-merge rounds (p=4, md5 hash →
+    bitwise DuckDB twin; the twin unrolls the rounds as MATERIALIZED CTEs).
+    Registers are the mergeable sketch of every vertex's 2-hop out-ball —
+    integers only, so the hash check is exact; estimator accuracy is
+    pytest-bounded (tests/test_hyperball.py)."""
+    from dmid_spark.algorithms import hyperball
+
+    state, _ = hyperball(
+        _edges(spark, sf_dir), radius=2, p=4, hash_mode="md5", direction="out"
+    )
+    return state.select("id", "register", "rho")
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic 4-step random walk from every non-sink vertex
     (hash_mode='md5' → bitwise DuckDB twin, same device as the
@@ -921,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_betweenness_sample": q_betweenness,
         "x17_sssp_sample": q_sssp,
         "x18_diameter_sweep": q_diameter,
+        "x19_hyperball": q_hyperball,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1892,6 +1907,30 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
+        "x19_hyperball": _G + """
+, h AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM verts),
+r0 AS MATERIALIZED (
+  SELECT id, CAST(h >> 56 AS INT) AS register,
+         CAST(CASE WHEN (h & ((CAST(1 AS BIGINT) << 56) - 1)) = 0 THEN 57
+              ELSE instr(lpad(bin(h & ((CAST(1 AS BIGINT) << 56) - 1)), 56, '0'), '1')
+              END AS INT) AS rho
+  FROM h
+),
+s1 AS MATERIALIZED (
+  SELECT id, register, MAX(rho) AS rho FROM (
+    SELECT id, register, rho FROM r0
+    UNION ALL
+    SELECT e.src AS id, r.register, r.rho FROM edges e JOIN r0 r ON r.id = e.dst
+  ) GROUP BY id, register
+),
+s2 AS MATERIALIZED (
+  SELECT id, register, MAX(rho) AS rho FROM (
+    SELECT id, register, rho FROM s1
+    UNION ALL
+    SELECT e.src AS id, r.register, r.rho FROM edges e JOIN s1 r ON r.id = e.dst
+  ) GROUP BY id, register
+)
+SELECT id, register, rho FROM s2""",
         "x18_diameter_sweep": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , r1 AS (
   SELECT CAST(0 AS BIGINT) AS id, 0 AS dist

@@ -11,6 +11,11 @@ from .structure import (  # noqa: F401
     degree_assortativity,
     link_prediction,
 )
+from .hyperball import (  # noqa: F401
+    effective_diameter,
+    hyperball,
+    hyperball_estimates,
+)
 from .spectral import hits, personalized_pagerank  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
 from .paths import (  # noqa: F401

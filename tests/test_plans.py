@@ -282,3 +282,31 @@ def test_betweenness_levels_broadcast_frontier(spark, monkeypatch):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan and "SinglePartition" not in plan
+
+
+def test_hyperball_round_and_chunks_plans(spark):
+    # one HyperBall round: the register max-merge must combine map-side
+    # (partial_max) with no window / single-partition exchange; chunk
+    # extraction must stay a scan-stage projection (no shuffle at all)
+    from dmid_spark.algorithms.hyperball import _merge_round
+    from dmid_spark.sketch.hll import hll_registers
+    from dmid_spark.text.chunks import chunk_table
+
+    rows, _ = random_graph(n=60, seed=7)
+    edges = G.edges_from_rows(spark, rows)
+    state = K.materialize(
+        hll_registers(G.vertices(edges), key_col="id", group_cols=["id"], p=5)
+    )
+    merged = _merge_round(edges.select("src", "dst"), state)
+    merged.collect()
+    plan = plan_of(merged)
+    assert "partial_max" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * 12) for i in range(40)], "doc_id long, text string"
+    )
+    ch = chunk_table(docs, chunk_words=8)
+    ch.collect()
+    cplan = plan_of(ch)
+    assert "Exchange" not in cplan, cplan
