@@ -630,6 +630,17 @@ def q_decontaminate(spark, sf_dir):
     return out.select("doc_id", F.col("n_hit_grams").cast("long").alias("n_hit_grams"))
 
 
+def q_ktruss(spark, sf_dir):
+    """8-truss of the co-occurrence graph (to fixpoint; a real 4-round peel
+    cascade at sf0.01 — 56,522 → 55,731 edges). The twin unrolls 6 rounds;
+    peeling past the fixpoint is a no-op
+    (test_structure.py::test_ktruss_extra_rounds_are_noop)."""
+    from dmid_spark.algorithms import ktruss
+
+    truss, _ = ktruss(_edges(spark, sf_dir), k=8)
+    return truss.select("u", "v", "support")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction with planted addresses/numbers (the word-soup corpus
     has none): every 13th doc gets one email + one phone appended — the
@@ -936,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x17_sssp_sample": q_sssp,
         "x18_diameter_sweep": q_diameter,
         "x19_hyperball": q_hyperball,
+        "x20_ktruss": q_ktruss,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1014,6 +1026,42 @@ e{i} AS MATERIALIZED (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
     SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}
   ) GROUP BY id
+)"""
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel: each round enumerates triangles over the
+    current edge set (id-oriented wedge join — orientation only affects
+    cost, not the support counts), credits all three sides, and keeps edges
+    with support ≥ k-2. Peeling past the fixpoint is a no-op, so unroll ≥
+    the convergence depth equals convergence; the last round's support
+    table is then the within-truss support of the surviving set. Same
+    AS MATERIALIZED note as _kcore_sql."""
+    steps = ["e0 AS MATERIALIZED (SELECT u, v FROM und)"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+t{i} AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM {prev} e1 JOIN {prev} e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN {prev} e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+s{i} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM t{i}
+    UNION ALL SELECT x AS u, z AS v FROM t{i}
+    UNION ALL SELECT y AS u, z AS v FROM t{i}
+  ) GROUP BY u, v
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e JOIN s{i} s ON e.u = s.u AND e.v = s.v
+  WHERE s.sup >= {k - 2}
+)""")
+        prev = f"e{i}"
+    return ",\n".join(steps) + f"""
+, truss AS (
+  SELECT e.u, e.v, CAST(s.sup AS BIGINT) AS support
+  FROM {prev} e JOIN s{rounds} s ON e.u = s.u AND e.v = s.v
 )"""
 
 
@@ -1986,6 +2034,12 @@ pv AS (
 )
 SELECT v.id, CAST(COALESCE(t.c, 0) AS BIGINT) AS triangles
 FROM verts v LEFT JOIN (SELECT id, COUNT(*) AS c FROM pv GROUP BY id) t ON v.id = t.id""",
+        "x20_ktruss": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+""" + _ktruss_sql(k=8, rounds=6) + """
+SELECT u, v, support FROM truss""",
         "x5_kcore": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2

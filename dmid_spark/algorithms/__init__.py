@@ -6,6 +6,7 @@ from .dmid import dmid, rawlpa, DmidParams, DmidResult  # noqa: F401
 from .slpa import slpa, slpa_memories, slpa_post_process  # noqa: F401
 from .structure import (  # noqa: F401
     kcore,
+    ktruss,
     coreness,
     clustering_coefficients,
     degree_assortativity,

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .. import graph as G
 from .. import kernel as K
-from .triangles import triangle_counts
+from .triangles import _oriented, triangle_counts
 
 
 @dataclass
@@ -340,6 +340,102 @@ def link_prediction(
                 / (F.col("da") + F.col("deg") - F.col("common_neighbors"))
             ).alias("jaccard"),
             "adamic_adar",
+        )
+    )
+    stats.wall_sec = time.time() - t0
+    return out, stats
+
+
+@dataclass
+class KTrussStats:
+    rounds: int = 0
+    converged: bool = False
+    edge_counts: list[int] = field(default_factory=list)
+    wall_sec: float = 0.0
+
+
+def _edge_supports(cur: DataFrame) -> DataFrame:
+    """Per-edge triangle support within the oriented edge set (rank pairs
+    a < b): ``(a, b, sup)`` for edges in ≥ 1 triangle. Same O(m^1.5)
+    wedge-join plan as triangle_counts, but an INNER closing join (each
+    triangle must credit all three of its edges, not just be counted)."""
+    e1, e2 = cur.alias("e1"), cur.alias("e2")
+    wedges = e1.join(
+        e2, (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b"))
+    ).select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    tris = wedges.join(cur.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"])
+    sides = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return sides.groupBy("a", "b").agg(F.count("*").alias("sup"))
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int | None = None,
+    degree_ordered: bool = True,
+) -> tuple[DataFrame, KTrussStats]:
+    """k-truss of the undirected simple graph: the maximal subgraph where
+    every edge participates in ≥ k-2 triangles *within the subgraph*, by
+    iterative support peeling (Cohen 2008). Returns
+    ``(truss(u, v, support), stats)`` in original vertex ids (u < v) with
+    each surviving edge's within-truss support.
+
+    Like kcore, extra rounds past the fixpoint are no-ops (the truss peels
+    to itself), which makes the bounded-round SQL oracle equal to
+    convergence. Scale: each round reuses the degree-ordered orientation
+    (triangles.py) — no vertex fans out more than O(√m) oriented out-edges
+    even under power-law skew — and the support aggregate combines
+    map-side; the edge relation only shrinks."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    t0 = time.time()
+    stats = KTrussStats()
+    oriented, rank_map = _oriented(edges, degree_ordered)
+    cur = K.materialize(oriented)
+    prev_n = cur.count()
+    stats.edge_counts.append(prev_n)
+    sup = None
+    while max_rounds is None or stats.rounds < max_rounds:
+        sup = _edge_supports(cur)
+        nxt = K.materialize(
+            cur.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce("sup", F.lit(0)) >= k - 2)
+            .select("a", "b")
+        )
+        n = nxt.count()
+        stats.rounds += 1
+        stats.edge_counts.append(n)
+        if n == prev_n or n == 0:
+            # at the fixpoint `sup` was computed over exactly the surviving
+            # set, so it doubles as the final support table — no extra pass
+            stats.converged = True
+            cur = nxt
+            break
+        prev_n = n
+        cur = nxt
+        sup = None
+    if sup is None:  # stopped by max_rounds (or zero rounds): one fresh pass
+        sup = _edge_supports(cur)
+    out_r = cur.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("sup", F.lit(0)).alias("support")
+    )
+    rm = F.broadcast(rank_map)
+    out = (
+        out_r.join(rm, out_r.a == rm.rank)
+        .select(F.col("id").alias("ia"), "b", "support")
+        .join(rm, F.col("b") == rm.rank)
+        .select(
+            F.least("ia", "id").alias("u"),
+            F.greatest("ia", "id").alias("v"),
+            F.col("support").cast("long").alias("support"),
         )
     )
     stats.wall_sec = time.time() - t0

@@ -287,3 +287,62 @@ def test_link_prediction_wedge_cap(spark):
     for pair, (cn, jac, aa) in got.items():
         ecn, ejac, eaa = exp[pair]
         assert cn == ecn and abs(jac - ejac) < 1e-12 and abs(aa - eaa) < 1e-9
+
+
+def _truss_oracle(pairs, k):
+    """Driver-side peel: {(u,v): support} of the k-truss."""
+    es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+        keep = {e for e in es if sup[e] >= k - 2}
+        if keep == es:
+            return sup
+        es = keep
+
+
+@pytest.mark.parametrize("degree_ordered", [True, False])
+def test_ktruss_matches_peel_oracle(spark, degree_ordered):
+    from dmid_spark.algorithms import ktruss
+
+    # K4 + a diamond hanging off it + a pendant path
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (3, 5), (4, 5), (4, 6), (5, 6), (6, 7), (7, 8)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    for k in (3, 4, 5):
+        out, stats = ktruss(e, k=k, degree_ordered=degree_ordered)
+        got = {(r.u, r.v): r.support for r in out.collect()}
+        assert got == _truss_oracle(pairs, k), k
+        assert stats.converged
+
+
+def test_ktruss_cascade_peel_multiple_rounds(spark):
+    from dmid_spark.algorithms import ktruss
+
+    # diamond: k=4 drops the four rim edges round 1, then the chord round 2
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    out, stats = ktruss(e, k=4)
+    assert out.count() == 0
+    assert stats.rounds >= 2 and stats.converged
+
+
+def test_ktruss_extra_rounds_are_noop(spark):
+    from dmid_spark.algorithms import ktruss
+
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    a, _ = ktruss(e, k=4, max_rounds=2)
+    b, _ = ktruss(e, k=4, max_rounds=6)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ktruss_validation(spark):
+    from dmid_spark.algorithms import ktruss
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        ktruss(e, k=2)
