@@ -34,6 +34,8 @@ N_COMMITS = int(os.environ.get("BENCH_COMMITS", "150000"))
 # counted in detail.link_prediction.dropped_centers)
 KCORE_K = int(os.environ.get("BENCH_KCORE_K", "80"))
 LINKPRED_CAP = int(os.environ.get("BENCH_LINKPRED_CAP", "150"))
+KTRUSS_K = int(os.environ.get("BENCH_KTRUSS_K", "40"))
+HYPERBALL_RADIUS = int(os.environ.get("BENCH_HYPERBALL_RADIUS", "3"))
 
 
 def get_bench_graph(spark):
@@ -250,6 +252,36 @@ def main():
         "rows": int(n_walk_rows),
     }
 
+    from dmid_spark.algorithms import effective_diameter, hyperball, ktruss
+
+    def run_hyperball():
+        _, hb_stats = hyperball(edges, radius=HYPERBALL_RADIUS, p=4)
+        return hb_stats
+
+    hb_stats = timed("hyperball_nf", run_hyperball)
+    detail["hyperball"] = {
+        "radius": HYPERBALL_RADIUS,
+        "rounds": hb_stats.rounds,
+        "converged": hb_stats.converged,
+        "nf": [round(v, 1) for v in hb_stats.nf],
+        "effective_diameter_90": round(effective_diameter(hb_stats.nf), 3),
+    }
+
+    def run_ktruss():
+        # bounded peel: each round costs a full O(m^1.5) triangle pass on
+        # this dense graph, so the bench measures per-round throughput, not
+        # the (deep) fixpoint — same spirit as lpa_5iter
+        truss, kt_stats = ktruss(edges, k=KTRUSS_K, max_rounds=2)
+        return truss.count(), kt_stats
+
+    n_truss, kt_stats = timed("ktruss_2rounds", run_ktruss)
+    detail["ktruss"] = {
+        "k": KTRUSS_K,
+        "rounds": kt_stats.rounds,
+        "edge_counts": kt_stats.edge_counts,
+        "survivors": int(n_truss),
+    }
+
     # --- training-data pipeline workload on the SF tables -----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
@@ -268,6 +300,20 @@ def main():
     )
 
     timed("repetition_scores", lambda: repetition_scores(docs).count())
+
+    from dmid_spark.text import chunk_dedup_summary, decontaminate
+
+    n_chunk = timed("chunk_dedup", lambda: chunk_dedup_summary(docs, chunk_words=20).count())
+    detail["chunk_dedup"] = {"docs": int(n_chunk)}
+
+    def run_decontaminate():
+        # benchmark = every 97th doc (the "eval suite"): corpus-side gram
+        # extraction dominates; the benchmark gram set broadcasts
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        return decontaminate(docs, bench, n=13).count()
+
+    n_cont = timed("decontaminate_13gram", run_decontaminate)
+    detail["decontaminate"] = {"contaminated_docs": int(n_cont)}
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 

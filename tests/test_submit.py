@@ -142,3 +142,41 @@ def test_spark_submit_pyfiles_random_walks(spark, tmp_path):
     exp_df, _ = random_walks(edges_df, walk_length=4, seed=11)
     exp = {(x["walk_id"], x["step"], x["node"]) for x in exp_df.collect()}
     assert got == exp
+
+
+def test_spark_submit_hyperball_job(spark, tmp_path):
+    """Session-4 dispatch: hyperball through a real spark-submit — the nf
+    fixpoint on a 4-path must report effective diameter within the hop
+    count and converge."""
+    from dmid_spark import graph as G
+
+    rows = [(i, i + 1, 1.0) for i in range(4)]
+    edges_path = str(tmp_path / "edges")
+    G.edges_from_rows(spark, rows).write.parquet(edges_path)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.modules["pyspark"].__file__)),
+        "pyspark", "bin", "spark-submit",
+    )
+    out_path = str(tmp_path / "hb")
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_job.py"),
+            "hyperball", "--edges", edges_path, "--output", out_path,
+            "--hll-p", "10",
+        ],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["converged"] is True and report["rounds"] <= 4
+    assert 0 < report["effective_diameter_90"] <= 4
+    assert spark.read.parquet(out_path).count() > 0

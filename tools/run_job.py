@@ -27,7 +27,7 @@ def main(argv=None):
     p.add_argument("job", choices=[
         "pagerank", "dmid", "rawlpa", "components", "corpus-edges",
         "scc", "kcore", "coreness", "hits", "ppr", "bfs", "harmonic", "walks",
-        "betweenness", "sssp",
+        "betweenness", "sssp", "ktruss", "hyperball",
     ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
@@ -42,6 +42,7 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=None, help="bfs/harmonic depth cap")
     p.add_argument("--walk-length", type=int, default=10)
     p.add_argument("--seed", type=int, default=42, help="walks: hash seed")
+    p.add_argument("--hll-p", type=int, default=6, help="hyperball: register precision")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -114,6 +115,23 @@ def main(argv=None):
             core, st = kcore(edges, k=args.k)
             core.write.mode("overwrite").parquet(args.output)
             stats = {"k": args.k, "rounds": st.rounds, "converged": st.converged}
+        elif args.job == "ktruss":
+            from dmid_spark.algorithms import ktruss
+
+            truss, st = ktruss(edges, k=args.k)
+            truss.write.mode("overwrite").parquet(args.output)
+            stats = {"k": args.k, "rounds": st.rounds, "converged": st.converged}
+        elif args.job == "hyperball":
+            from dmid_spark.algorithms import effective_diameter, hyperball
+
+            regs, st = hyperball(edges, radius=args.max_depth or 16, p=args.hll_p)
+            regs.write.mode("overwrite").parquet(args.output)
+            stats = {
+                "rounds": st.rounds,
+                "converged": st.converged,
+                "nf_last": round(st.nf[-1], 1),
+                "effective_diameter_90": round(effective_diameter(st.nf), 3),
+            }
         elif args.job == "coreness":
             from dmid_spark.algorithms import coreness
 
