@@ -641,6 +641,26 @@ def q_ktruss(spark, sf_dir):
     return truss.select("u", "v", "support")
 
 
+def q_contract_lpa(spark, sf_dir):
+    """Community contraction of the co-occurrence graph by its 1-iteration
+    LPA labels (the hash-verified x3 relation) — the coarse graph a
+    multi-level pipeline recurses on. Weight sums are integer-valued
+    doubles, exact in any order."""
+    from dmid_spark.algorithms import label_propagation
+
+    e = _edges(spark, sf_dir)
+    labels, _ = label_propagation(e, max_iter=1, until_fixpoint=False)
+    from dmid_spark.graph import contract_graph
+
+    return contract_graph(e, labels).select("src", "dst", "weight")
+
+
+def q_graph_summary(spark, sf_dir):
+    from dmid_spark.graph import graph_summary
+
+    return graph_summary(_edges(spark, sf_dir))
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction with planted addresses/numbers (the word-soup corpus
     has none): every 13th doc gets one email + one phone appended — the
@@ -948,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x18_diameter_sweep": q_diameter,
         "x19_hyperball": q_hyperball,
         "x20_ktruss": q_ktruss,
+        "x21_contract_lpa": q_contract_lpa,
+        "x22_graph_summary": q_graph_summary,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1955,6 +1977,32 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
+        "x21_contract_lpa": _G + """
+, counts AS (
+  SELECT e.dst AS v, e.src AS label_src, COUNT(*) AS c
+  FROM edges e GROUP BY e.dst, e.src
+),
+best AS (
+  SELECT v, label FROM (
+    SELECT v, label_src AS label, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label_src) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+lab AS (
+  SELECT v.id, CAST(COALESCE(b.label, v.id) AS BIGINT) AS label
+  FROM verts v LEFT JOIN best b ON v.id = b.v
+)
+SELECT ls.label AS src, ld.label AS dst, SUM(e.weight) AS weight
+FROM edges e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id
+GROUP BY 1, 2""",
+        "x22_graph_summary": _G + """
+SELECT CAST((SELECT COUNT(*) FROM verts) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM edges WHERE src = dst) AS BIGINT) AS n_self_loops,
+       CAST((SELECT COUNT(*) FROM edges e
+             WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)) AS BIGINT) AS n_reciprocal,
+       CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM edges GROUP BY dst)) AS BIGINT) AS max_in_deg,
+       CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM edges GROUP BY src)) AS BIGINT) AS max_out_deg""",
         "x19_hyperball": _G + """
 , h AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM verts),
 r0 AS MATERIALIZED (

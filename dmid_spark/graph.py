@@ -126,3 +126,60 @@ def partition_edges(edges: DataFrame, by: str = "dst", n: int | None = None) -> 
     if n is None:
         n = edges.sparkSession.sparkContext.defaultParallelism
     return edges.repartition(n, by)
+
+
+def contract_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    drop_self: bool = False,
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Community contraction: relabel both endpoints by their community and
+    sum parallel edge weights — the coarse graph a multi-level pipeline
+    (cluster → contract → recurse) runs on next. ``labels`` is
+    ``(id, label)``; output is ``(src, dst, weight)`` in label space, with
+    intra-community mass kept as self-edges unless ``drop_self``.
+
+    Scale: two joins against the O(V) label map (broadcast by default —
+    disable at ≳10⁹ vertices, the components.py escape hatch) + one
+    map-side-combining groupBy on the coarse keys. Weight sums of
+    integer-valued doubles are exact in any order, so results are
+    engine/layout-independent."""
+    lm = labels.select("id", "label")
+    if broadcast_labels:
+        lm = F.broadcast(lm)
+    out = (
+        edges.join(lm.select(F.col("id").alias("src"), F.col("label").alias("_ls")), "src")
+        .join(lm.select(F.col("id").alias("dst"), F.col("label").alias("_ld")), "dst")
+        .groupBy(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+    if drop_self:
+        out = out.filter(F.col("src") != F.col("dst"))
+    return out
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row global shape summary of the directed simple graph:
+    ``(n_vertices, n_edges, n_self_loops, n_reciprocal, max_in_deg,
+    max_out_deg)`` — n_reciprocal counts directed edges whose reverse is
+    also present (reciprocity = n_reciprocal / n_edges). All-integer
+    output, exact at any parallelism. One self-join on the edge key + two
+    degree aggregates — scan-scale, no O(V^2) anywhere."""
+    e = edges.select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").count()
+    base = e.agg(
+        F.count("*").alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self_loops"),
+    ).collect()[0]
+    n_verts = num_vertices(edges)
+    max_in = e.groupBy("dst").count().agg(F.max("count")).collect()[0][0] or 0
+    max_out = e.groupBy("src").count().agg(F.max("count")).collect()[0][0] or 0
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_verts, int(base["n_edges"]), int(base["n_self_loops"] or 0),
+          int(recip), int(max_in), int(max_out))],
+        "n_vertices long, n_edges long, n_self_loops long, n_reciprocal long, "
+        "max_in_deg long, max_out_deg long",
+    )

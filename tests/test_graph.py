@@ -55,3 +55,33 @@ def test_symmetrize_and_self_loops(spark):
     sym = G.symmetrize(G.drop_self_loops(edges))
     got = sorted((r.src, r.dst, r.weight) for r in sym.collect())
     assert got == [(0, 1, 2.0), (1, 0, 2.0), (1, 2, 3.0), (2, 1, 3.0)]
+
+
+def test_contract_graph_aggregates_by_label(spark):
+    e = G.edges_from_rows(
+        spark,
+        [(0, 1, 2.0), (1, 0, 1.0), (0, 2, 1.0), (2, 3, 4.0), (3, 2, 1.0), (1, 3, 1.0)],
+    )
+    labels = spark.createDataFrame([(0, 10), (1, 10), (2, 20), (3, 20)], "id long, label long")
+    got = {(r.src, r.dst): r.weight for r in G.contract_graph(e, labels).collect()}
+    assert got == {(10, 10): 3.0, (10, 20): 2.0, (20, 20): 5.0}
+    no_self = {(r.src, r.dst): r.weight
+               for r in G.contract_graph(e, labels, drop_self=True).collect()}
+    assert no_self == {(10, 20): 2.0}
+    par = {(r.src, r.dst): r.weight
+           for r in G.contract_graph(e, labels, broadcast_labels=False).collect()}
+    assert par == got
+
+
+def test_graph_summary_exact_counts(spark):
+    e = G.edges_from_rows(
+        spark,
+        [(0, 1, 1.0), (1, 0, 1.0), (2, 2, 1.0), (2, 0, 1.0), (3, 0, 1.0), (2, 1, 1.0)],
+    )
+    row = G.graph_summary(e).collect()[0]
+    assert row.n_vertices == 4 and row.n_edges == 6
+    assert row.n_self_loops == 1
+    # reciprocal: 0<->1 both ways (2 edges) + the self-loop's reverse is itself
+    assert row.n_reciprocal == 3
+    assert row.max_in_deg == 3  # vertex 0 from 1, 2, 3
+    assert row.max_out_deg == 3  # vertex 2 -> 2, 0, 1
