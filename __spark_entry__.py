@@ -661,6 +661,18 @@ def q_graph_summary(spark, sf_dir):
     return graph_summary(_edges(spark, sf_dir))
 
 
+def q_sampled_triangles(spark, sf_dir):
+    """DOULION sampled triangle count (p=0.2, seeded md5 edge draw — the
+    identical content-addressed sample in the twin, so the integer counts
+    are exact on both engines; the 1/p³ float estimate is pytest-bounded)."""
+    from dmid_spark.algorithms.triangles import sampled_triangle_count
+
+    out, _ = sampled_triangle_count(
+        _edges(spark, sf_dir), keep_percent=20, seed=42, hash_mode="md5"
+    )
+    return out
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction with planted addresses/numbers (the word-soup corpus
     has none): every 13th doc gets one email + one phone appended — the
@@ -970,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x20_ktruss": q_ktruss,
         "x21_contract_lpa": q_contract_lpa,
         "x22_graph_summary": q_graph_summary,
+        "x23_sampled_triangles": q_sampled_triangles,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1977,6 +1990,21 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
+        "x23_sampled_triangles": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+samp AS MATERIALIZED (
+  SELECT u, v FROM und
+  WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR) || '_42'), 1, 15)) AS BIGINT) % 100 < 20
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM samp e1 JOIN samp e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN samp e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS sampled_edges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS sampled_triangles""",
         "x21_contract_lpa": _G + """
 , counts AS (
   SELECT e.dst AS v, e.src AS label_src, COUNT(*) AS c

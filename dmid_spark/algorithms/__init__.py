@@ -16,6 +16,7 @@ from .hyperball import (  # noqa: F401
     effective_diameter,
     hyperball,
     hyperball_estimates,
+    hyperball_harmonic,
 )
 from .spectral import hits, personalized_pagerank  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401

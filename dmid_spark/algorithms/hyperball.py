@@ -156,3 +156,53 @@ def effective_diameter(nf: list[float], fraction: float = 0.9) -> float:
                 return float(t)
             return t - 1 + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
     return float(len(nf) - 1)
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    radius: int,
+    p: int = 8,
+    hash_mode: str = "xxhash64",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[DataFrame, HyperballStats]:
+    """Harmonic centrality estimates for ALL vertices in ``radius`` rounds
+    (Boldi-Vigna, "In-Core Computation of Geometric Centralities with
+    HyperBall"): H(v) = Σ_t (|B_in(v,t)| − |B_in(v,t−1)|)/t, with ball
+    sizes read off the HLL sketches — the web-scale alternative to the
+    exact-but-sampled ``paths.harmonic_centrality`` (X14): every vertex
+    gets a score, cost is O(radius) max-merge rounds instead of one BFS
+    per sampled source. In-balls (who reaches v) match X14's Σ_s 1/d(s,v)
+    convention. Returns ``(scores(id, harmonic), stats)``."""
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    e = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    verts = G.vertices(e)
+    t0 = time.time()
+    stats = HyperballStats()
+    state = K.materialize(
+        hll_registers(verts, key_col="id", group_cols=["id"], p=p, hash_mode=hash_mode)
+    )
+    prev = hyperball_estimates(state, p).withColumnRenamed("est", "_prev")
+    h = verts.select("id", F.lit(0.0).alias("harmonic"))
+    rows = rhosum = None
+    for t in range(1, radius + 1):
+        state = K.materialize(_merge_round(e, state))
+        chk = state.agg(F.count("*").alias("c"), F.sum("rho").alias("s")).collect()[0]
+        if (int(chk["c"]), int(chk["s"])) == (rows, rhosum):
+            stats.converged = True
+            break
+        rows, rhosum = int(chk["c"]), int(chk["s"])
+        cur = hyperball_estimates(state, p)
+        h = K.materialize(
+            h.join(prev, "id").join(cur, "id").select(
+                "id",
+                (F.col("harmonic")
+                 + F.greatest(F.col("est") - F.col("_prev"), F.lit(0.0)) / t
+                 ).alias("harmonic"),
+            )
+        )
+        prev = cur.withColumnRenamed("est", "_prev")
+        stats.rounds += 1
+    stats.seconds = time.time() - t0
+    return h, stats

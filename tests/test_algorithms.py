@@ -102,3 +102,30 @@ def test_triangles(spark, name, degree_ordered):
     got = vec(counts, n, val="triangles", default=-1).astype(int)
     assert np.array_equal(got, exp)
     assert stats.total == exp.sum() // 3
+
+
+def test_sampled_triangle_count_doulion(spark):
+    from dmid_spark.algorithms.triangles import sampled_triangle_count, total_triangles
+
+    # dense-ish deterministic graph so the estimate has signal
+    n = 40
+    pairs = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if (u * 7 + v * 13) % 3 != 0]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    exact = total_triangles(e)
+    out, st = sampled_triangle_count(e, keep_percent=50, seed=1)
+    row = out.collect()[0]
+    assert row.sampled_triangles == st.sampled_triangles
+    assert 0 < st.sampled_edges < st.total_edges
+    assert st.estimate == st.sampled_triangles / 0.5**3
+    # p=0.5 on ~500 edges: the unbiased estimator lands within 35% here
+    assert abs(st.estimate - exact) / exact < 0.35, (st.estimate, exact)
+    # determinism + engine-portable mode agree with themselves
+    out2, st2 = sampled_triangle_count(e, keep_percent=50, seed=1)
+    assert st2.sampled_triangles == st.sampled_triangles
+    md5_out, md5_st = sampled_triangle_count(e, keep_percent=50, seed=1, hash_mode="md5")
+    assert 0 < md5_st.sampled_edges < st.total_edges
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sampled_triangle_count(e, keep_percent=0)

@@ -118,3 +118,32 @@ def test_md5_mode_matches_xxhash_relation_shape(spark):
     assert set(ea) == set(eb)
     for v in ea:
         assert math.isclose(ea[v], eb[v], rel_tol=0.25), (v, ea[v], eb[v])
+
+
+def test_hyperball_harmonic_tracks_exact(spark):
+    from dmid_spark.algorithms import harmonic_centrality
+    from dmid_spark.algorithms.hyperball import hyperball_harmonic
+
+    n = 60
+    pairs = [(v, (v * 31 + k * 17 + 7) % n) for v in range(n) for k in range(2)]
+    pairs = [(s, d) for s, d in pairs if s != d]
+    e = _edges(spark, pairs)
+    # exact: BFS from ALL vertices (X14 with the full source set)
+    exact_df, _ = harmonic_centrality(e, e.sparkSession.createDataFrame(
+        [(v,) for v in range(n)], "id long"))
+    exact = {r.id: r.harmonic for r in exact_df.collect()}
+    got_df, stats = hyperball_harmonic(e, radius=20, p=10)
+    got = {r.id: r.harmonic for r in got_df.collect()}
+    assert stats.converged
+    assert set(got) == set(exact)
+    mare = sum(
+        abs(got[v] - exact[v]) / exact[v] for v in exact if exact[v] > 0
+    ) / sum(1 for v in exact if exact[v] > 0)
+    assert mare < 0.12, mare
+
+
+def test_hyperball_harmonic_validation(spark):
+    from dmid_spark.algorithms import hyperball_harmonic
+
+    with pytest.raises(ValueError):
+        hyperball_harmonic(_edges(spark, [(0, 1)]), radius=0)
