@@ -123,7 +123,8 @@ def hyperball(
             .agg(F.sum("c").alias("rows"), F.sum("sr").alias("rhosum"), F.sum("est").alias("nf"))
             .collect()[0]
         )
-        return int(r["rows"]), int(r["rhosum"]), float(r["nf"])
+        # empty graph: the ungrouped agg yields one all-null row
+        return int(r["rows"] or 0), int(r["rhosum"] or 0), float(r["nf"] or 0.0)
 
     rows, rhosum, nf0 = _round_agg(state)
     stats.nf.append(nf0)
@@ -189,10 +190,10 @@ def hyperball_harmonic(
     for t in range(1, radius + 1):
         state = K.materialize(_merge_round(e, state))
         chk = state.agg(F.count("*").alias("c"), F.sum("rho").alias("s")).collect()[0]
-        if (int(chk["c"]), int(chk["s"])) == (rows, rhosum):
+        if (int(chk["c"] or 0), int(chk["s"] or 0)) == (rows, rhosum):
             stats.converged = True
             break
-        rows, rhosum = int(chk["c"]), int(chk["s"])
+        rows, rhosum = int(chk["c"] or 0), int(chk["s"] or 0)
         cur = hyperball_estimates(state, p)
         h = K.materialize(
             h.join(prev, "id").join(cur, "id").select(

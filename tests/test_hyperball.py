@@ -147,3 +147,19 @@ def test_hyperball_harmonic_validation(spark):
 
     with pytest.raises(ValueError):
         hyperball_harmonic(_edges(spark, [(0, 1)]), radius=0)
+
+
+def test_empty_graph_inputs(spark):
+    from dmid_spark.algorithms import hyperball_harmonic, ktruss
+    from dmid_spark.graph import graph_summary
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    state, stats = hyperball(empty, radius=3, p=5)
+    assert state.count() == 0 and stats.converged
+    h, _ = hyperball_harmonic(empty.withColumn("weight", empty.src * 0.0), radius=2)
+    assert h.count() == 0
+    ew = spark.createDataFrame([], "src long, dst long, weight double")
+    truss, kt = ktruss(ew, k=3)
+    assert truss.count() == 0 and kt.converged
+    row = graph_summary(ew).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0, 0, 0)
