@@ -91,6 +91,8 @@ def hyperball(
     direction: str = "out",
     src_col: str = "src",
     dst_col: str = "dst",
+    ckpt=None,
+    resume: bool = False,
 ) -> tuple[DataFrame, HyperballStats]:
     """Run up to ``radius`` max-merge rounds; returns the final register
     table ``(id, register, rho)`` and stats with the neighborhood function.
@@ -99,7 +101,12 @@ def hyperball(
     balls ∪ {v}), ``'in'`` along in-edges, ``'both'`` symmetrizes. Stops
     early when the registers reach the transitive-closure fixpoint (the
     (row-count, rho-sum) pair is change-free — an exact integer test, no
-    float tolerance)."""
+    float tolerance).
+
+    ``ckpt`` (a CheckpointManager) persists the register table each round;
+    ``resume=True`` continues from the latest committed round. The state is
+    all-integer, so a resumed run is bit-identical to an uninterrupted one
+    by construction (no float reduction order to pin)."""
     if direction not in ("out", "in", "both"):
         raise ValueError(f"direction must be out/in/both, got {direction}")
     if radius < 0:
@@ -126,9 +133,19 @@ def hyperball(
         # empty graph: the ungrouped agg yields one all-null row
         return int(r["rows"] or 0), int(r["rhosum"] or 0), float(r["nf"] or 0.0)
 
+    start_round = 0
+    if resume and ckpt is not None:
+        latest = ckpt.latest("hyperball")
+        if latest is not None:
+            it, saved, metrics = latest
+            state = saved
+            start_round = it
+            stats.nf = list(metrics["nf"])
+            stats.rounds = it
     rows, rhosum, nf0 = _round_agg(state)
-    stats.nf.append(nf0)
-    for _ in range(radius):
+    if not stats.nf:
+        stats.nf.append(nf0)
+    for t in range(start_round, radius):
         new_state = K.materialize(_merge_round(e, state))
         n_rows, n_rhosum, nf_t = _round_agg(new_state)
         if (n_rows, n_rhosum) == (rows, rhosum):
@@ -139,6 +156,11 @@ def hyperball(
         state, rows, rhosum = new_state, n_rows, n_rhosum
         stats.nf.append(nf_t)
         stats.rounds += 1
+        if ckpt is not None:
+            state = ckpt.save(
+                state, "hyperball", t + 1,
+                metrics={"nf": stats.nf, "rows": rows, "rhosum": rhosum},
+            )
     stats.seconds = time.time() - t0
     return state, stats
 

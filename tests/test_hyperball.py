@@ -163,3 +163,17 @@ def test_empty_graph_inputs(spark):
     assert truss.count() == 0 and kt.converged
     row = graph_summary(ew).collect()[0]
     assert tuple(row) == (0, 0, 0, 0, 0, 0)
+
+
+def test_hyperball_checkpoint_resume_bit_identical(spark, tmp_path):
+    from dmid_spark.checkpoint import CheckpointManager
+
+    e = _edges(spark, PAIRS)
+    full, full_stats = hyperball(e, radius=4, p=6)
+    ck = CheckpointManager(spark, str(tmp_path), "hb")
+    part, _ = hyperball(e, radius=2, p=6, ckpt=ck)  # "crashes" after round 2
+    ck2 = CheckpointManager(spark, str(tmp_path), "hb")
+    resumed, r_stats = hyperball(e, radius=4, p=6, ckpt=ck2, resume=True)
+    # all-integer state: resume must be bit-identical, not just allclose
+    assert sorted(map(tuple, resumed.collect())) == sorted(map(tuple, full.collect()))
+    assert r_stats.nf == full_stats.nf

@@ -28,6 +28,7 @@ def main(argv=None):
         "pagerank", "dmid", "rawlpa", "components", "corpus-edges",
         "scc", "kcore", "coreness", "hits", "ppr", "bfs", "harmonic", "walks",
         "betweenness", "sssp", "ktruss", "hyperball",
+        "clean-corpus", "chunk-dedup", "decontaminate",
     ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
@@ -43,6 +44,10 @@ def main(argv=None):
     p.add_argument("--walk-length", type=int, default=10)
     p.add_argument("--seed", type=int, default=42, help="walks: hash seed")
     p.add_argument("--hll-p", type=int, default=6, help="hyperball: register precision")
+    p.add_argument("--docs", help="text jobs: parquet path of (doc_id, text) rows")
+    p.add_argument("--benchmark", help="decontaminate: parquet path of benchmark docs")
+    p.add_argument("--chunk-words", type=int, default=20)
+    p.add_argument("--ngram", type=int, default=13, help="decontaminate window")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -56,7 +61,24 @@ def main(argv=None):
     )
     stats: dict = {}
 
-    if args.job == "corpus-edges":
+    if args.job in ("clean-corpus", "chunk-dedup", "decontaminate"):
+        docs = spark.read.parquet(args.docs)
+        if args.job == "clean-corpus":
+            from dmid_spark.text import CleanCorpusParams, clean_corpus
+
+            out = clean_corpus(docs, CleanCorpusParams())
+        elif args.job == "chunk-dedup":
+            from dmid_spark.text import chunk_dedup_summary
+
+            out = chunk_dedup_summary(docs, chunk_words=args.chunk_words)
+        else:
+            from dmid_spark.text import decontaminate
+
+            bench = spark.read.parquet(args.benchmark)
+            out = decontaminate(docs, bench, n=args.ngram)
+        out.write.mode("overwrite").parquet(args.output)
+        stats = {"rows": spark.read.parquet(args.output).count()}
+    elif args.job == "corpus-edges":
         from dmid_spark.corpus import build_edges, verify_sha256
 
         corpus = spark.read.parquet(args.corpus)
