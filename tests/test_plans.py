@@ -310,3 +310,30 @@ def test_hyperball_round_and_chunks_plans(spark):
     ch.collect()
     cplan = plan_of(ch)
     assert "Exchange" not in cplan, cplan
+
+
+def test_decontaminate_and_contract_broadcast_plans(spark):
+    # the benchmark gram set and the label map are O(small)/O(V) sides —
+    # both must broadcast; corpus-side work stays window-free
+    from dmid_spark.text.chunks import decontaminate
+    from dmid_spark.graph import contract_graph
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(30)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(900, "a b c d e")], "doc_id long, text string")
+    dec = decontaminate(docs, bench, n=3)
+    dec.collect()
+    plan = plan_of(dec)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan
+
+    rows, _ = random_graph(n=50, seed=5)
+    edges = G.edges_from_rows(spark, rows)
+    labels = G.vertices(edges).select("id", (F.col("id") % 4).alias("label"))
+    cg = contract_graph(edges, labels)
+    cg.collect()
+    cplan = plan_of(cg)
+    assert "BroadcastHashJoin" in cplan
+    assert "partial_sum" in cplan
+    assert "Window" not in cplan and "SinglePartition" not in cplan
