@@ -877,6 +877,18 @@ def q_random_walks(spark, sf_dir):
     return out.select("walk_id", F.col("step").cast("long").alias("step"), "node")
 
 
+def q_node2vec(spark, sf_dir):
+    """node2vec biased 3-step walks (p=0.25 return-heavy, q=4 local) —
+    integer-bias cumulative draws under hash_mode='md5', so the whole walk
+    table is bitwise-verifiable against the unrolled twin."""
+    from dmid_spark.algorithms.paths import node2vec_walks
+
+    out, _ = node2vec_walks(
+        _edges(spark, sf_dir), walk_length=3, p=0.25, q=4.0, seed=42, hash_mode="md5"
+    )
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "node")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style word/n-gram repetition filters over documents."""
     from dmid_spark.text import repetition_scores
@@ -983,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x21_contract_lpa": q_contract_lpa,
         "x22_graph_summary": q_graph_summary,
         "x23_sampled_triangles": q_sampled_triangles,
+        "x24_node2vec_walks": q_node2vec,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -1795,6 +1808,58 @@ nbr AS MATERIALIZED (
 {unions_sql}"""
 
 
+def _node2vec_sql(length: int, seed: int, b_ret: int, b_com: int, b_far: int) -> str:
+    """Unrolled node2vec biased walk: rank-ordered adjacency, uniform first
+    hop, then per-step integer-bias cumulative draws (cum > hash mod total
+    — all int64, no float to diverge). Step CTEs are multi-referenced →
+    AS MATERIALIZED (the _kcore_sql gotcha)."""
+    h1 = _md5_long(f"w.walk_id || ':1:{seed}'")
+    steps = [
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id FROM adj)",
+        f"""s1 AS MATERIALIZED (
+  SELECT w.walk_id, w.walk_id AS prev, n.dst AS node
+  FROM s0 w JOIN nbr n ON n.src = w.walk_id AND n.rnk = {h1} % n.outdeg
+)""",
+    ]
+    unions = [
+        "SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS node FROM s0",
+        "SELECT walk_id, CAST(1 AS BIGINT) AS step, node FROM s1",
+    ]
+    for t in range(2, length + 1):
+        ht = _md5_long(f"walk_id || ':{t}:{seed}'")
+        steps.append(f"""c{t} AS MATERIALIZED (
+  SELECT s.walk_id, s.prev, s.node AS cur, n.rnk, n.dst,
+         CAST(CASE WHEN n.dst = s.prev THEN {b_ret}
+              WHEN EXISTS (SELECT 1 FROM adj e WHERE e.src = s.prev AND e.dst = n.dst) THEN {b_com}
+              ELSE {b_far} END AS BIGINT) AS w
+  FROM s{t - 1} s JOIN nbr n ON n.src = s.node
+)""")
+        steps.append(f"""s{t} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, dst AS node FROM (
+    SELECT walk_id, cur, dst, ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY rnk) AS rn
+    FROM (
+      SELECT walk_id, cur, rnk, dst,
+             SUM(w) OVER (PARTITION BY walk_id ORDER BY rnk) AS cum,
+             SUM(w) OVER (PARTITION BY walk_id) AS total
+      FROM c{t}
+    ) WHERE cum > {ht} % total
+  ) WHERE rn = 1
+)""")
+        unions.append(f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM s{t}")
+    steps_sql = ",\n".join(steps)
+    unions_sql = "\nUNION ALL ".join(unions)
+    return f"""
+, adj AS MATERIALIZED (SELECT src, dst FROM edges GROUP BY src, dst),
+nbr AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS outdeg
+  FROM adj
+),
+{steps_sql}
+{unions_sql}"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
           "that", "for", "on", "with", "as", "at", "by", "this"]
@@ -1986,6 +2051,9 @@ SELECT v.id, CAST(COALESCE(s.n_reached, 0) AS BIGINT) AS n_reached,
        ROUND(COALESCE(s.closeness, 0.0), 9) AS closeness
 FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         "x15_random_walks": _G + _walks_sql(length=4, seed=42),
+        "x24_node2vec_walks": _G + _node2vec_sql(
+            length=3, seed=42, b_ret=4000, b_com=1000, b_far=250
+        ),
         "x16_betweenness_sample": _G.replace("WITH edges", "WITH RECURSIVE edges")
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),

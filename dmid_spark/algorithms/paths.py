@@ -474,3 +474,154 @@ def diameter_double_sweep(
         "start long, peripheral long, ecc_start long, diameter_lb long",
     )
     return out, stats
+
+
+# node2vec bias quantization: biases become integer weights so the
+# cumulative-sum draw is pure int64 arithmetic — bit-portable across
+# engines (no float division whose last ulp could flip a pick)
+N2V_BIAS_SCALE = 1000
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+    hash_mode: str = "xxhash64",
+    broadcast_state: bool = True,
+) -> tuple[DataFrame, WalkStats]:
+    """node2vec second-order biased walks (Grover-Leskovec 2016) →
+    ``(walk_id, step, node)``. The step-t transition from ``cur`` with
+    predecessor ``prev`` weighs each out-neighbor d by 1/p if d == prev
+    (return), 1 if (prev, d) is an edge (stay close), 1/q otherwise
+    (explore) — the return/in-out knobs behind DeepWalk-family embeddings.
+    Step 1 (no predecessor) is the uniform draw of ``random_walks``.
+
+    Determinism: biases are quantized to integers (resolution 1/1000), the
+    per-walker choice is a cumulative-integer-sum draw seeded by
+    ``hash64(walk_id:t:seed) mod total`` — identical at any parallelism,
+    and bitwise engine-portable under ``hash_mode='md5'`` (the x15 device,
+    extended to weighted choice with NO float in the pick).
+
+    Scale: per step, walker state fans out to its candidate set (one
+    broadcast join into the ranked adjacency, Σ outdeg(cur) rows), the
+    (prev, d)-edge test is one equi-join against the deduped edge-pair
+    relation, and the weighted pick is a per-walker window (bounded by max
+    out-degree — the same skew bound as the adjacency build). Use sampled
+    ``starts`` on hub-heavy graphs: candidate fan-out is walker-count ×
+    degree, the documented cost of exact (non-rejection) node2vec."""
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0, got p={p} q={q}")
+    b_ret = max(1, round(N2V_BIAS_SCALE / p))
+    b_com = N2V_BIAS_SCALE
+    b_far = max(1, round(N2V_BIAS_SCALE / q))
+    t0 = time.time()
+    base = K.materialize(ranked_adjacency(edges))
+    pairs = base.select("src", "dst")  # deduped edge relation for the (prev, d) test
+    outdeg = base.groupBy(F.col("src").alias("node")).agg(
+        F.first("outdeg").alias("node_outdeg")
+    )
+    nbr = K.materialize(
+        base.join(
+            F.broadcast(outdeg.select(F.col("node").alias("dst"),
+                                      F.col("node_outdeg").alias("dst_outdeg"))),
+            "dst",
+            "left",
+        ).select(
+            "src", "rank", "dst", "outdeg",
+            F.coalesce("dst_outdeg", F.lit(0).cast("long")).alias("dst_outdeg"),
+        )
+    )
+    if starts is None:
+        cur = outdeg.select(
+            F.col("node").alias("walk_id"), F.col("node"), F.col("node_outdeg")
+        )
+    else:
+        cur = starts.select(F.col("id").alias("walk_id"), F.col("id").alias("node")).join(
+            F.broadcast(outdeg), "node", "left"
+        ).select(
+            "walk_id", "node",
+            F.coalesce("node_outdeg", F.lit(0).cast("long")).alias("node_outdeg"),
+        )
+    cur = K.materialize(cur)
+    stats = WalkStats(walkers=cur.count())
+    rows = [cur.select("walk_id", F.lit(0).alias("step"), "node")]
+
+    # step 1: uniform (no predecessor), the random_walks draw
+    draw1 = cur.filter(F.col("node_outdeg") > 0).select(
+        "walk_id", "node",
+        F.pmod(
+            _hash64(F.concat_ws(":", F.col("walk_id"), F.lit(1), F.lit(seed)), hash_mode),
+            F.col("node_outdeg"),
+        ).alias("pick"),
+    )
+    if broadcast_state:
+        draw1 = F.broadcast(draw1)
+    alive = K.materialize(
+        nbr.join(draw1, (nbr.src == draw1.node) & (nbr.rank == draw1.pick)).select(
+            "walk_id",
+            F.col("node").alias("prev"),
+            F.col("dst").alias("node"),
+            F.col("dst_outdeg").alias("node_outdeg"),
+        )
+    )
+    rows.append(alive.select("walk_id", F.lit(1).alias("step"), "node"))
+    stats.steps = 1
+
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("walk_id").orderBy("rank")
+    w_all = Window.partitionBy("walk_id")
+    for t in range(2, walk_length + 1):
+        state = alive.filter(F.col("node_outdeg") > 0)
+        if broadcast_state:
+            state = F.broadcast(state)
+        cands = nbr.join(state, nbr.src == state.node).select(
+            "walk_id", "prev", "rank", "dst", "dst_outdeg"
+        )
+        flagged = cands.join(
+            pairs.select(F.col("src").alias("prev"), F.col("dst").alias("dst"),
+                         F.lit(1).alias("_common")),
+            ["prev", "dst"], "left",
+        ).select(
+            "walk_id", "rank", "dst", "dst_outdeg",
+            F.when(F.col("dst") == F.col("prev"), F.lit(b_ret))
+            .when(F.col("_common").isNotNull(), F.lit(b_com))
+            .otherwise(F.lit(b_far)).cast("long").alias("w"),
+        )
+        scored = flagged.select(
+            "walk_id", "rank", "dst", "dst_outdeg", "w",
+            F.sum("w").over(w_cum).alias("cum"),
+            F.sum("w").over(w_all).alias("total"),
+        )
+        r_draw = F.pmod(
+            _hash64(F.concat_ws(":", F.col("walk_id"), F.lit(t), F.lit(seed)), hash_mode),
+            F.col("total"),
+        )
+        hits = scored.filter(F.col("cum") > r_draw)
+        first = hits.groupBy("walk_id").agg(F.min("rank").alias("rank"))
+        # the NEW prev is the walker's position before this hop
+        prev_of = alive.select("walk_id", F.col("node").alias("prev"))
+        if broadcast_state:
+            prev_of = F.broadcast(prev_of)
+        alive = K.materialize(
+            hits.join(first, ["walk_id", "rank"]).join(prev_of, "walk_id").select(
+                "walk_id",
+                "prev",
+                F.col("dst").alias("node"),
+                F.col("dst_outdeg").alias("node_outdeg"),
+            )
+        )
+        rows.append(alive.select("walk_id", F.lit(t).alias("step"), "node"))
+        stats.steps = t
+        if alive.isEmpty():
+            break
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    stats.wall_sec = time.time() - t0
+    return out, stats

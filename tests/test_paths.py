@@ -418,3 +418,93 @@ def test_sssp_rejects_negative_weights(spark):
     src_df = spark.createDataFrame([(0,)], "id long")
     with pytest.raises(ValueError, match="non-negative"):
         sssp(G.edges_from_rows(spark, rows), src_df)
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _n2v_oracle(pairs, walk_length, p, q, seed):
+    """Transliteration of node2vec_walks' integer draw math (md5 mode)."""
+    from dmid_spark.algorithms.paths import N2V_BIAS_SCALE
+
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+    edge = {(s, d) for s, ds in adj.items() for d in ds}
+    b_ret = max(1, round(N2V_BIAS_SCALE / p))
+    b_far = max(1, round(N2V_BIAS_SCALE / q))
+    rows = []
+    for start in sorted(adj):
+        node, prev = start, None
+        rows.append((start, 0, start))
+        for t in range(1, walk_length + 1):
+            ns = adj.get(node)
+            if not ns:
+                break
+            if t == 1:
+                pick = ns[_md5_60(f"{start}:1:{seed}") % len(ns)]
+            else:
+                ws = [b_ret if d == prev else
+                      (N2V_BIAS_SCALE if (prev, d) in edge else b_far) for d in ns]
+                r = _md5_60(f"{start}:{t}:{seed}") % sum(ws)
+                cum, pick = 0, ns[-1]
+                for d, w in zip(ns, ws):
+                    cum += w
+                    if cum > r:
+                        pick = d
+                        break
+            prev, node = node, pick
+            rows.append((start, t, node))
+    return sorted(rows)
+
+
+def test_node2vec_walks_match_transliterated_oracle(spark):
+    from dmid_spark.algorithms.paths import node2vec_walks
+
+    n = 30
+    pairs = [(v, (v * 11 + k * 7 + 3) % n) for v in range(n) for k in range(3)]
+    pairs = sorted({(s, d) for s, d in pairs if s != d})
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    for p, q in ((0.25, 4.0), (1.0, 1.0), (4.0, 0.5)):
+        out, stats = node2vec_walks(e, walk_length=5, p=p, q=q, seed=7, hash_mode="md5")
+        got = sorted((r.walk_id, r.step, r.node) for r in out.collect())
+        assert got == _n2v_oracle(pairs, 5, p, q, 7), (p, q)
+    assert stats.walkers == len({s for s, _ in pairs})
+
+
+def test_node2vec_bias_pulls_walks_back(spark):
+    from dmid_spark.algorithms.paths import node2vec_walks
+
+    # triangle + tail: strong return bias (tiny p) revisits prev often;
+    # strong explore bias (tiny q) never returns when alternatives exist
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (2, 3), (3, 2)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    back, _ = node2vec_walks(e, walk_length=6, p=0.001, q=1000.0, seed=3, hash_mode="md5")
+    rows = {(r.walk_id, r.step): r.node for r in back.collect()}
+    returns = sum(
+        1 for (w, t), v in rows.items()
+        if t >= 2 and rows.get((w, t - 2)) == v
+    )
+    total = sum(1 for (w, t) in rows if t >= 2)
+    assert returns / total > 0.9, (returns, total)
+
+
+def test_node2vec_sink_stop_and_validation(spark):
+    from dmid_spark.algorithms.paths import node2vec_walks
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out, _ = node2vec_walks(e, walk_length=9, seed=1)
+    by_walk = {}
+    for r in out.collect():
+        by_walk.setdefault(r.walk_id, []).append((r.step, r.node))
+    # walker 0: 0->1->2 then sink; walker 1: 1->2 sink
+    assert sorted(by_walk[0]) == [(0, 0), (1, 1), (2, 2)]
+    assert sorted(by_walk[1]) == [(0, 1), (1, 2)]
+    with pytest.raises(ValueError):
+        node2vec_walks(e, walk_length=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(e, walk_length=2, p=0.0)
