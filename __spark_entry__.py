@@ -889,6 +889,20 @@ def q_node2vec(spark, sf_dir):
     return out.select("walk_id", F.col("step").cast("long").alias("step"), "node")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Seeded per-language mixture sampling over documents — content-
+    addressed draws (hash of doc_id, md5 mode), identical in both engines."""
+    from dmid_spark.text import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        rates={"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75},
+        seed=42,
+        hash_mode="md5",
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style word/n-gram repetition filters over documents."""
     from dmid_spark.text import repetition_scores
@@ -1020,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_dedup": q_chunk_dedup,
         "text_decontaminate": q_decontaminate,
         "text_pii_redact": q_pii_redact,
+        "text_stratified_sample": q_stratified_sample,
         "ann_cosine_topk": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_ivf_topk": q_ann_ivf,
@@ -2503,6 +2518,11 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(te, '\+?\d[\d \-]{7,}\d')) AS BIGINT) AS n_phones,
   regexp_replace(te, '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g') AS text_redacted
 FROM e""",
+        "text_stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_md5_long("CAST(doc_id AS VARCHAR) || ':42'")} % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                WHEN 'fr' THEN 100000 WHEN 'es' THEN 750000 ELSE 0 END""",
         "text_tfidf_topk": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -252,6 +252,22 @@ def main():
         "rows": int(n_walk_rows),
     }
 
+    from dmid_spark.algorithms import node2vec_walks
+
+    def run_node2vec():
+        # sampled starts: candidate fan-out is walkers x degree — the
+        # documented cost of exact (non-rejection) second-order sampling
+        starts = G.vertices(edges).filter(F.col("id") % 16 == 0)
+        out, n2v_stats = node2vec_walks(edges, walk_length=6, p=0.25, q=4.0, starts=starts)
+        return out.count(), n2v_stats
+
+    n_n2v, n2v_stats = timed("node2vec_walks", run_node2vec)
+    detail["node2vec"] = {
+        "walkers": n2v_stats.walkers,
+        "walk_length": 6,
+        "rows": int(n_n2v),
+    }
+
     from dmid_spark.algorithms import effective_diameter, hyperball, ktruss
 
     def run_hyperball():

@@ -21,6 +21,9 @@ from .fingerprint import (  # noqa: F401
     document_fingerprints,
     fingerprint_overlap_pairs,
 )
+from .sampling import (  # noqa: F401
+    stratified_sample,
+)
 from .quality import (  # noqa: F401
     doc_fingerprint,
     language_id,

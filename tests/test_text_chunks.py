@@ -116,3 +116,28 @@ def test_redact_pii_counts_and_tokens(spark):
     assert got[3] == (0, 0, "plain text only")
     # the email's digits must not be re-counted as a phone
     assert got[4] == (1, 1, "mixed <EMAIL> then <PHONE> end")
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from dmid_spark.text import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.1, "fr": 0.0}
+    got = stratified_sample(d, rates, seed=9)
+    kept = got.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in kept}
+    assert "fr" not in by
+    assert abs(by["en"] / 1000 - 0.5) < 0.05
+    assert abs(by["de"] / 1000 - 0.1) < 0.03
+    # content-addressed: same rows at different parallelism / rerun
+    again = set(r.doc_id for r in stratified_sample(
+        d.repartition(7), rates, seed=9).collect())
+    assert again == set(r.doc_id for r in got.collect())
+    # unknown group falls back to default_rate
+    full = stratified_sample(d, {"nope": 1.0}, seed=9, default_rate=1.0)
+    assert full.count() == 3000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stratified_sample(d, {"en": 1.5})
