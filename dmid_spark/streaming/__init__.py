@@ -8,4 +8,7 @@ from .windows import (  # noqa: F401
     tumbling_counts_stream,
     run_stream_to_memory,
 )
-from .sketch import windowed_distinct_stream  # noqa: F401
+from .sketch import (  # noqa: F401
+    windowed_distinct_stream,
+    windowed_heavy_hitters_stream,
+)

@@ -78,3 +78,70 @@ def windowed_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HH_SCHEMA = "win long, key string, estimate long"
+
+
+def windowed_heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window_seconds: int = 300,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 42,
+    threshold: int = 10,
+) -> DataFrame:
+    """Per-tumbling-window heavy hitters via a count-min sketch in the
+    state store — the streaming twin of the batch ``cms_build`` +
+    ``cms_estimate`` rollup (__spark_entry__.q_cms_heavy_hitters shape).
+
+    State per window is ONE depth×width long grid (mergeable, counters
+    only grow). Each trigger folds its rows into the grid, then emits
+    ``(win, key, estimate)`` for every key SEEN IN THIS TRIGGER whose
+    min-counter estimate has reached ``threshold`` — update-mode
+    semantics: a key crossing the threshold on a later trigger emits
+    then. Hashing is the engine-portable md5 device (sketch/cms.py md5
+    mode), so an ``availableNow`` run over a static directory emits
+    BIT-EXACT the batch sketch's integer estimates."""
+    size = depth * width
+
+    def update(key, pdfs, state: GroupState):
+        (win,) = key
+        grid = list(state.get[0]) if state.exists else [0] * size
+        seen: set[str] = set()
+        for pdf in pdfs:
+            for k in pdf["k"]:
+                seen.add(k)
+                for d in range(depth):
+                    h = int(
+                        hashlib.md5(f"{d}:{seed}:{k}".encode()).hexdigest()[:15], 16
+                    )
+                    grid[d * width + h % width] += 1
+        state.update((grid,))
+        out_k, out_e = [], []
+        for k in sorted(seen):
+            est = min(
+                grid[d * width
+                     + int(hashlib.md5(f"{d}:{seed}:{k}".encode()).hexdigest()[:15], 16)
+                     % width]
+                for d in range(depth)
+            )
+            if est >= threshold:
+                out_k.append(k)
+                out_e.append(est)
+        yield pd.DataFrame({"win": [win] * len(out_k), "key": out_k, "estimate": out_e})
+
+    prepared = events.select(
+        F.floor(F.col("ts").cast("timestamp").cast("long") / window_seconds)
+        .cast("long")
+        .alias("win"),
+        F.col(key_col).cast("string").alias("k"),
+    )
+    return prepared.groupBy("win").applyInPandasWithState(
+        update,
+        outputStructType=_HH_SCHEMA,
+        stateStructType="grid array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -252,3 +252,73 @@ def test_windowed_distinct_stream_state_merges_across_triggers(spark, tmp_path):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k] == exp[k], k
+
+
+def test_windowed_heavy_hitters_stream_matches_batch_cms(spark, events_path):
+    """availableNow streaming CMS must emit exactly the batch sketch's
+    integer estimates for keys at/over threshold, per window."""
+    from dmid_spark.sketch import cms_build, cms_estimate
+    from dmid_spark.streaming import windowed_heavy_hitters_stream
+
+    stream = stream_events(spark, events_path)
+    # daily windows: 300s windows hold <=2 events per user at this SF (vacuous)
+    out = run_stream_to_memory(
+        windowed_heavy_hitters_stream(
+            stream, threshold=5, depth=4, width=64, window_seconds=86400
+        ),
+        output_mode="update",
+    )
+    got = {(r["win"], r["key"]): r["estimate"] for r in out.collect()}
+
+    batch = spark.read.parquet(events_path).withColumn(
+        "win", F.floor(F.col("ts").cast("timestamp").cast("long") / 86400).cast("long")
+    )
+    exp = {}
+    for win_row in batch.select("win").distinct().collect():
+        win = win_row["win"]
+        sub = batch.filter(F.col("win") == win)
+        sk = cms_build(sub, "user_id", depth=4, width=64, hash_mode="md5")
+        keys = sub.select(F.col("user_id").cast("string").alias("key")).distinct()
+        est = cms_estimate(sk, keys, "key", depth=4, width=64, hash_mode="md5")
+        for r in est.filter(F.col("estimate") >= 5).collect():
+            exp[(win, r["key"])] = r["estimate"]
+    assert got == exp
+    assert len(got) > 0  # non-vacuous on the events table
+
+
+def test_windowed_heavy_hitters_cross_trigger_accumulation(spark, tmp_path):
+    """A key under threshold in trigger 1 that crosses it in trigger 2
+    must emit on the second trigger with the accumulated estimate."""
+    import shutil
+
+    from dmid_spark.streaming import windowed_heavy_hitters_stream
+
+    stage = tmp_path / "stage"
+    ck = str(tmp_path / "ck")
+    stage.mkdir()
+    schema = "ts double, event_type string, user_id long"
+    per_trigger: list[list] = []
+
+    def run_once():
+        batch_rows: list = []
+
+        # foreachBatch sink: supports checkpoint recovery (memory does not)
+        def sink(bdf, _bid):
+            batch_rows.extend(bdf.collect())
+
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = (windowed_heavy_hitters_stream(stream, threshold=5, depth=2, width=16)
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", ck).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        per_trigger.append(batch_rows)
+
+    rows1 = [(float(i), "e", 7) for i in range(3)]  # key 7: 3 arrivals
+    rows2 = [(float(i + 10), "e", 7) for i in range(3)]  # +3 → crosses 5
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(stage))
+    run_once()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(stage))
+    run_once()
+    assert per_trigger[0] == []  # 3 < 5
+    second = {(r["win"], r["key"]): r["estimate"] for r in per_trigger[1]}
+    assert second == {(0, "7"): 6}
