@@ -337,3 +337,18 @@ def test_decontaminate_and_contract_broadcast_plans(spark):
     assert "BroadcastHashJoin" in cplan
     assert "partial_sum" in cplan
     assert "Window" not in cplan and "SinglePartition" not in cplan
+
+
+def test_node2vec_step_has_no_single_partition(spark, monkeypatch):
+    # the weighted pick runs per-walker windows — they must hash-partition
+    # by walk_id, never collapse to a single-partition (global) window
+    import importlib
+
+    paths = importlib.import_module("dmid_spark.algorithms.paths")
+    monkeypatch.setattr(paths.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=80, seed=21)
+    edges = G.edges_from_rows(spark, rows)
+    out, _ = paths.node2vec_walks(edges, walk_length=3, p=0.5, q=2.0)
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
