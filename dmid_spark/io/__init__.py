@@ -1,3 +1,7 @@
+from .bucketed import (  # noqa: F401
+    read_bucketed,
+    write_bucketed,
+)
 from .formats import (  # noqa: F401
     cover_from_doca_lines,
     read_cover_and_graph,

@@ -352,3 +352,52 @@ def test_node2vec_step_has_no_single_partition(spark, monkeypatch):
     plan = plan_of(out)
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark):
+    # bucketBy fixes the hash layout at WRITE time: a same-bucket equi-join
+    # and a bucket-key aggregation must plan with NO Exchange at all
+    from dmid_spark.io.bucketed import read_bucketed, write_bucketed
+
+    rows, _ = random_graph(n=300, seed=13)
+    edges = G.edges_from_rows(spark, rows)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(edges, "bkt_edges_a", ["dst"], num_buckets=8, sort_cols=["dst"])
+        write_bucketed(
+            edges.select("dst", (F.col("weight") * 2).alias("w2")).distinct(),
+            "bkt_edges_b", ["dst"], num_buckets=8, sort_cols=["dst"],
+        )
+        a = read_bucketed(spark, "bkt_edges_a")
+        b = read_bucketed(spark, "bkt_edges_b")
+        # forbid broadcast so only the bucket layout can kill the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = a.join(b, "dst")
+        j.collect()
+        assert "Exchange" not in plan_of(j)
+        agg = a.groupBy("dst").agg(F.sum("weight").alias("w"))
+        agg.collect()
+        assert "Exchange" not in plan_of(agg)
+        # sanity: the same join from plain (non-bucketed) frames DOES shuffle
+        plain = edges.join(
+            edges.select("dst", (F.col("weight") * 2).alias("w2")).distinct(), "dst"
+        )
+        plain.collect()
+        assert "Exchange" in plan_of(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_edges_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_edges_b")
+
+
+def test_bucketed_validation(spark):
+    from dmid_spark.io.bucketed import write_bucketed
+
+    rows, _ = random_graph(n=10, seed=1)
+    edges = G.edges_from_rows(spark, rows)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        write_bucketed(edges, "t", [], 8)
+    with _pt.raises(ValueError):
+        write_bucketed(edges, "t", ["dst"], 0)
