@@ -903,6 +903,16 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_group_sample(spark, sf_dir):
+    """Seeded 5-per-language eval sample (content-addressed rank, md5)."""
+    from dmid_spark.text import group_sample
+
+    out = group_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), k=5, seed=42, hash_mode="md5"
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style word/n-gram repetition filters over documents."""
     from dmid_spark.text import repetition_scores
@@ -1035,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_decontaminate,
         "text_pii_redact": q_pii_redact,
         "text_stratified_sample": q_stratified_sample,
+        "text_group_sample": q_group_sample,
         "ann_cosine_topk": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_ivf_topk": q_ann_ivf,
@@ -2518,6 +2529,15 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(te, '\+?\d[\d \-]{7,}\d')) AS BIGINT) AS n_phones,
   regexp_replace(te, '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g') AS text_redacted
 FROM e""",
+        "text_group_sample": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_md5_long("CAST(doc_id AS VARCHAR) || ':42'")}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5""",
         "text_stratified_sample": f"""
 SELECT doc_id, lang FROM documents
 WHERE {_md5_long("CAST(doc_id AS VARCHAR) || ':42'")} % 1000000 <

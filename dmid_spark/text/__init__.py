@@ -22,6 +22,7 @@ from .fingerprint import (  # noqa: F401
     fingerprint_overlap_pairs,
 )
 from .sampling import (  # noqa: F401
+    group_sample,
     stratified_sample,
 )
 from .quality import (  # noqa: F401

@@ -44,3 +44,29 @@ def stratified_sample(
         F.lit(SAMPLE_RES),
     )
     return df.filter(draw < thr)
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Seeded uniform k-sample per group ("100 eval docs per source"):
+    rank rows within each group by a content-addressed hash (id tiebreak)
+    and keep the k smallest. Deterministic across reruns/partitionings and
+    engine-portable in md5 mode. One window partitioned by group — the
+    skew bound is the group size, same as any per-group top-k."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = _hash64(F.concat_ws(":", F.col(id_col), F.lit(str(seed))), hash_mode)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

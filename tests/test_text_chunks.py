@@ -141,3 +141,26 @@ def test_stratified_sample_deterministic_rates(spark):
 
     with _pt.raises(ValueError):
         stratified_sample(d, {"en": 1.5})
+
+
+def test_group_sample_seeded_k_per_group(spark):
+    from dmid_spark.text import group_sample
+
+    rows = [(i, ["en", "de"][i % 2]) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = group_sample(d, k=7, seed=5)
+    by = {}
+    for r in got.collect():
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by["en"]) == 7 and len(by["de"]) == 7
+    # reproducible across partitionings; different seed → different sample
+    again = group_sample(d.repartition(13), k=7, seed=5)
+    assert {(r.doc_id, r.lang) for r in again.collect()} == {
+        (i, l) for l, ids in by.items() for i in ids for _ in [0]
+    } == {(r.doc_id, r.lang) for r in got.collect()}
+    other = {r.doc_id for r in group_sample(d, k=7, seed=6).collect()}
+    assert other != {i for ids in by.values() for i in ids}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        group_sample(d, k=0)
