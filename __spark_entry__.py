@@ -938,6 +938,24 @@ def q_hll_registers(spark, sf_dir):
     )
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-event-type value quantiles (p50/p90/p99). Both engines use
+    the (n-1)p linear interpolation, rounded 6dp — the float arithmetic of
+    the interpolation itself, not ordering, is the only divergence source.
+    approx_percentile (GK sketch) is the 100 TB path, pytest-bounded."""
+    from dmid_spark.sketch import group_quantiles
+
+    out = group_quantiles(
+        _events(spark, sf_dir), "value", ["event_type"], [0.5, 0.9, 0.99]
+    )
+    return out.select(
+        "event_type",
+        F.round("q_0_5", 6).alias("p50"),
+        F.round("q_0_9", 6).alias("p90"),
+        F.round("q_0_99", 6).alias("p99"),
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Heavy hitters from the count-min sketch: per-user event-count
     estimates (min over the 4 counter rows — pure integers, exact twin),
@@ -1055,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_counters": q_cms_counters,
         "sketch_window_hll": q_window_hll,
         "sketch_cms_heavy_hitters": q_cms_heavy_hitters,
+        "sketch_group_quantiles": q_group_quantiles,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -2578,6 +2597,12 @@ r AS (
   FROM h
 )
 SELECT event_type, register, MAX(rho) AS rho FROM r GROUP BY event_type, register""",
+        "sketch_group_quantiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type""",
         "sketch_cms_heavy_hitters": """
 WITH grid AS (
   SELECT d, w, CAST(COUNT(*) AS BIGINT) AS c FROM (

@@ -5,3 +5,4 @@ from .hll import (  # noqa: F401
     merge_registers,
 )
 from .cms import cms_build, cms_merge, cms_estimate  # noqa: F401
+from .quantiles import group_quantiles  # noqa: F401

@@ -153,3 +153,28 @@ def test_cms_rejects_degenerate_shape(spark):
     df = kv_df(spark, n=10)
     with pytest.raises(ValueError, match="depth, width"):
         cms_build(df, "user", depth=0, width=16)
+
+
+def test_group_quantiles_exact_and_sketch(spark):
+    import numpy as np
+
+    from dmid_spark.sketch.quantiles import group_quantiles
+
+    vals = [(g, float((i * 37 + ord(g) * 11) % 1000))
+            for g in ("a", "b") for i in range(500)]
+    d = spark.createDataFrame(vals, "g string, v double")
+    out = {r.g: (r.q_0_5, r.q_0_9) for r in
+           group_quantiles(d, "v", ["g"], [0.5, 0.9]).collect()}
+    for g in ("a", "b"):
+        arr = np.array([v for gg, v in vals if gg == g])
+        # numpy 'linear' interpolation == Spark percentile's (n-1)p definition
+        assert out[g][0] == pytest.approx(np.percentile(arr, 50), abs=1e-9)
+        assert out[g][1] == pytest.approx(np.percentile(arr, 90), abs=1e-9)
+    approx = {r.g: (r.q_0_5, r.q_0_9) for r in
+              group_quantiles(d, "v", ["g"], [0.5, 0.9], exact=False).collect()}
+    for g in ("a", "b"):
+        assert abs(approx[g][0] - out[g][0]) <= 20  # GK bound at this accuracy
+    with pytest.raises(ValueError):
+        group_quantiles(d, "v", ["g"], [])
+    with pytest.raises(ValueError):
+        group_quantiles(d, "v", ["g"], [1.5])
