@@ -673,6 +673,19 @@ def q_sampled_triangles(spark, sf_dir):
     return out
 
 
+def q_louvain_round(spark, sf_dir):
+    """One synchronous Louvain move phase from the (hash-verified) 1-iter
+    LPA partition. Gains are quantized to 9dp before the argmax (smaller
+    community breaks ties) so both engines pick identical moves."""
+    from dmid_spark.algorithms import label_propagation
+    from dmid_spark.algorithms.louvain import louvain_refine
+
+    e = _edges(spark, sf_dir)
+    labels, _ = label_propagation(e, max_iter=1, until_fixpoint=False)
+    out, _ = louvain_refine(e, labels, rounds=1)
+    return out.select("id", F.col("label").cast("long").alias("label"))
+
+
 def q_pii_redact(spark, sf_dir):
     """PII redaction with planted addresses/numbers (the word-soup corpus
     has none): every 13th doc gets one email + one phone appended — the
@@ -1038,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x22_graph_summary": q_graph_summary,
         "x23_sampled_triangles": q_sampled_triangles,
         "x24_node2vec_walks": q_node2vec,
+        "x25_louvain_round": q_louvain_round,
         "m1_extended_modularity": q_modularity,
         "m2_modularity_npnb08": q_m2,
         "m3_overlapping_nmi": q_m3,
@@ -2103,6 +2117,62 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
+        "x25_louvain_round": _G + """
+, counts AS (
+  SELECT e.dst AS v, e.src AS label_src, COUNT(*) AS c
+  FROM edges e GROUP BY e.dst, e.src
+),
+best AS (
+  SELECT v, label FROM (
+    SELECT v, label_src AS label, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label_src) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+lab AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(b.label, v.id) AS BIGINT) AS label
+  FROM verts v LEFT JOIN best b ON v.id = b.v
+),
+und AS MATERIALIZED (
+  SELECT src, dst, weight FROM edges WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM edges WHERE src <> dst
+),
+deg AS MATERIALIZED (SELECT src AS id, SUM(weight) AS k FROM und GROUP BY 1),
+mm AS (SELECT SUM(k) / 2.0 AS m FROM deg),
+tot AS MATERIALIZED (
+  SELECT l.label, SUM(d.k) AS tot FROM deg d JOIN lab l ON d.id = l.id GROUP BY 1
+),
+kvc AS MATERIALIZED (
+  SELECT u.src AS id, l.label AS nc, SUM(u.weight) AS k_vc
+  FROM und u JOIN lab l ON u.dst = l.id GROUP BY 1, 2
+),
+own AS MATERIALIZED (
+  SELECT l.id, l.label AS c_own, d.k, t.tot AS tot_own
+  FROM lab l JOIN deg d ON l.id = d.id JOIN tot t ON l.label = t.label
+),
+ownw AS (SELECT k.id, k.k_vc AS k_own FROM kvc k JOIN own o ON k.id = o.id AND k.nc = o.c_own),
+cand AS (
+  SELECT o.id, o.c_own, k.nc,
+         CASE WHEN k.nc = o.c_own THEN 0.0
+              ELSE ROUND((k.k_vc - COALESCE(w.k_own, 0.0)) / mm.m
+                   - o.k * (t2.tot - (o.tot_own - o.k)) / (2.0 * mm.m * mm.m), 9)
+         END AS gain
+  FROM kvc k
+  JOIN own o ON k.id = o.id
+  LEFT JOIN ownw w ON k.id = w.id
+  JOIN tot t2 ON k.nc = t2.label
+  CROSS JOIN mm
+),
+moved AS (
+  SELECT id, CASE WHEN gain > 0 AND nc <> c_own THEN nc ELSE c_own END AS label
+  FROM (
+    SELECT id, c_own, nc, gain,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, nc ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT l.id, CAST(COALESCE(mv.label, l.label) AS BIGINT) AS label
+FROM lab l LEFT JOIN moved mv ON l.id = mv.id""",
         "x23_sampled_triangles": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
