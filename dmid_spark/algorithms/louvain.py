@@ -33,6 +33,7 @@ from .. import kernel as K
 class LouvainStats:
     rounds: int = 0
     moved: list[int] = field(default_factory=list)
+    cycled: bool = False  # stopped on a repeated partition (sync 2-cycle)
     modularity: float = 0.0
     wall_sec: float = 0.0
 
@@ -44,15 +45,42 @@ def _und(edges: DataFrame) -> DataFrame:
     )
 
 
+def _degrees(edges: DataFrame, und: DataFrame) -> DataFrame:
+    """Weighted degrees k_v including self-loops (2w each — a coarse node's
+    self-loop is its community's internal mass and must stay in k_v and
+    2m, else coarse-level refinement overestimates every merge)."""
+    base = und.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("_k"))
+    selfw = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg((2.0 * F.sum("weight")).alias("_ks"))
+    )
+    ids = base.select("id").unionByName(selfw.select("id")).distinct()
+    return (
+        ids.join(base, "id", "left")
+        .join(selfw, "id", "left")
+        .select(
+            "id",
+            (F.coalesce("_k", F.lit(0.0)) + F.coalesce("_ks", F.lit(0.0))).alias("k"),
+        )
+    )
+
+
 def partition_modularity(edges: DataFrame, labels: DataFrame) -> float:
     """Newman modularity Q of a hard partition over the undirected graph:
     Q = sum_c [ S_in(c)/(2m) - (S_tot(c)/(2m))^2 ]."""
     und = _und(edges)
     lab = F.broadcast(labels.select("id", "label"))
-    deg = und.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k"))
+    deg = _degrees(edges, und)
     two_m = deg.agg(F.sum("k")).collect()[0][0]
     if not two_m:
         return 0.0
+    self_in = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .join(lab.select(F.col("id").alias("src"), F.col("label").alias("_l")), "src")
+        .groupBy(F.col("_l").alias("label"))
+        .agg((2.0 * F.sum("weight")).alias("s_self"))
+    )
     tot = (
         deg.join(lab, "id")
         .groupBy("label")
@@ -67,8 +95,12 @@ def partition_modularity(edges: DataFrame, labels: DataFrame) -> float:
     )
     row = (
         tot.join(s_in, "label", "left")
+        .join(self_in, "label", "left")
         .agg(
-            F.sum(F.coalesce("s_in", F.lit(0.0)) / two_m).alias("a"),
+            F.sum(
+                (F.coalesce("s_in", F.lit(0.0)) + F.coalesce("s_self", F.lit(0.0)))
+                / two_m
+            ).alias("a"),
             F.sum(F.pow(F.col("tot") / two_m, 2)).alias("b"),
         )
         .collect()[0]
@@ -90,13 +122,14 @@ def louvain_refine(
     t0 = time.time()
     stats = LouvainStats()
     und = K.materialize(_und(edges))
-    deg = K.materialize(und.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k")))
+    deg = K.materialize(_degrees(edges, und))
     two_m = deg.agg(F.sum("k")).collect()[0][0] or 0.0
     lab = K.materialize(labels.select("id", "label"))
     if not two_m:
         stats.wall_sec = time.time() - t0
         return lab, stats
     m = two_m / 2.0
+    seen_sigs: set[int] = set()
     for _ in range(rounds):
         lb = F.broadcast(lab) if broadcast_labels else lab
         # k_vc: vertex -> neighbor-community weight (own community included)
@@ -154,16 +187,115 @@ def louvain_refine(
         # keep their current community
         kept = lab.join(moved_lab.select("id"), "id", "left_anti")
         new_lab = K.materialize(moved_lab.unionByName(kept))
-        moved = (
+        chk = (
             new_lab.join(lab.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .count()
+            .agg(
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("moved"),
+                # 40-bit folded terms: the sum of up to ~2^23 of them cannot
+                # overflow int64 under ANSI mode
+                F.sum(F.pmod(F.xxhash64("id", "label"), F.lit(1 << 40))).alias("sig"),
+            )
+            .collect()[0]
         )
+        moved, sig = int(chk["moved"] or 0), int(chk["sig"] or 0)
         stats.rounds += 1
-        stats.moved.append(int(moved))
+        stats.moved.append(moved)
+        if lab is not labels:
+            # drop the superseded checkpoint: dead localCheckpoint RDDs +
+            # their broadcasts pile up across rounds and inflate every later
+            # job in the session (the bench.py gc.collect() gotcha, but
+            # in-loop, so it must be handled here)
+            lab.unpersist()
         lab = new_lab
         if moved == 0:
             break
+        if sig in seen_sigs:
+            # synchronous move phases can enter a label 2-cycle (the classic
+            # parallel-Louvain flap: two vertices keep swapping communities);
+            # a repeated partition signature proves the cycle — stop instead
+            # of burning the remaining rounds oscillating
+            stats.cycled = True
+            break
+        seen_sigs.add(sig)
     stats.modularity = partition_modularity(edges, lab)
+    und.unpersist()
+    deg.unpersist()
     stats.wall_sec = time.time() - t0
     return lab, stats
+
+
+def louvain(
+    edges: DataFrame,
+    max_levels: int = 3,
+    max_rounds_per_level: int = 8,
+    broadcast_labels: bool = True,
+    rebase_limit: int = 2_000_000,
+) -> tuple[DataFrame, LouvainStats]:
+    """Full multi-level Louvain: synchronous move phases to a local
+    fixpoint, contract communities to a coarse weighted graph
+    (graph.contract_graph — X21), recurse, and compose the level mappings
+    back to original vertex ids. Returns ``(labels(id, label), stats)``
+    with the final modularity measured on the ORIGINAL graph.
+
+    Scale: each level's graph is strictly smaller (vertices = communities
+    of the previous level); the move phases and the contraction are the
+    already-plan-tested X25/X21 relations, so the whole pipeline inherits
+    their shuffle shape."""
+    from .. import graph as G
+
+    t0 = time.time()
+    stats = LouvainStats()
+    cur_edges = edges
+    # identity mapping at level 0
+    mapping = K.materialize(
+        G.vertices(_und(edges).select("src", "dst")).select(
+            "id", F.col("id").alias("label")
+        )
+    )
+    for _ in range(max_levels):
+        verts = G.vertices(_und(cur_edges).select("src", "dst"))
+        singletons = verts.select("id", F.col("id").alias("label"))
+        lab, st = louvain_refine(
+            cur_edges, singletons, rounds=max_rounds_per_level,
+            broadcast_labels=broadcast_labels,
+        )
+        stats.rounds += st.rounds
+        stats.moved.extend(st.moved)
+        if not any(st.moved):
+            break  # no structure left to extract at this level
+        # compose: original id -> current coarse label -> new community
+        lb = F.broadcast(lab) if broadcast_labels else lab
+        old_mapping = mapping
+        mapping = K.materialize(
+            mapping.join(
+                lb.select(F.col("id").alias("label"), F.col("label").alias("_nl")),
+                "label",
+            ).select("id", F.col("_nl").alias("label"))
+        )
+        old_mapping.unpersist()
+        # self-loops KEPT: they carry each community's internal mass into the
+        # coarse level (dropping them makes every cross-bridge merge look free)
+        coarse = G.contract_graph(cur_edges, lab, drop_self=False)
+        # re-base the coarse graph as a fresh DataFrame: stacking localCheckpoint
+        # generations (checkpoint of a plan over a checkpoint of ...) degrades
+        # execution of every later job in the session — observed ~5x per extra
+        # generation on this Spark build. The contracted graph is communities-
+        # sized, so driver round-tripping is cheap; for a coarse graph that is
+        # still huge, raise rebase_limit and expect level-1-only behavior.
+        rows = coarse.collect() if coarse.count() <= rebase_limit else None
+        if cur_edges is not edges:
+            cur_edges.unpersist()
+        lab.unpersist()
+        if rows is None:
+            cur_edges = K.materialize(coarse)
+        else:
+            if not rows:
+                break
+            cur_edges = edges.sparkSession.createDataFrame(
+                rows, "src long, dst long, weight double"
+            )
+        if rows is None and cur_edges.isEmpty():
+            break
+    stats.modularity = partition_modularity(edges, mapping)
+    stats.wall_sec = time.time() - t0
+    return mapping, stats

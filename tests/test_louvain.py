@@ -118,3 +118,46 @@ def test_refine_validation_and_isolated_vertices(spark):
     assert set(got) == {0, 1, 99}
     with pytest.raises(ValueError):
         louvain_refine(e, lab, rounds=0)
+
+
+def test_multilevel_louvain_finds_planted_cliques(spark):
+    from dmid_spark.algorithms.louvain import louvain
+
+    # three 5-cliques joined by single bridges
+    pairs = []
+    for c in range(3):
+        base = c * 5
+        pairs += [(base + a, base + b, 1) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(4, 5, 1), (9, 10, 1)]
+    e = _edges(spark, pairs)
+    out, stats = louvain(e, max_levels=3)
+    got = {r.id: r.label for r in out.collect()}
+    comms = {}
+    for v, c in got.items():
+        comms.setdefault(c, set()).add(v)
+    assert sorted(sorted(m) for m in comms.values()) == [
+        list(range(0, 5)), list(range(5, 10)), list(range(10, 15))
+    ]
+    # the planted partition is the modularity optimum here
+    truth = spark.createDataFrame([(v, v // 5) for v in range(15)], "id long, label long")
+    assert stats.modularity == pytest.approx(partition_modularity(e, truth), abs=1e-12)
+
+
+def test_modularity_counts_self_loop_mass(spark):
+    # coarse-graph shape: two nodes with heavy self-loops (internal mass)
+    # and one weak bridge; merging them must be modularity-NEGATIVE
+    from dmid_spark.algorithms.louvain import louvain_refine
+
+    e = _edges(spark, [(0, 0, 10), (1, 1, 10), (0, 1, 1)])
+    split = spark.createDataFrame([(0, 0), (1, 1)], "id long, label long")
+    merged = spark.createDataFrame([(0, 0), (1, 0)], "id long, label long")
+    q_split = partition_modularity(e, split)
+    q_merged = partition_modularity(e, merged)
+    # hand calc: 2m = 42, split Q = 20/42 + 20/42 - (21/42)^2*2 = 0.452...
+    assert q_split == pytest.approx(40 / 42 - 2 * (21 / 42) ** 2, abs=1e-12)
+    assert q_merged == pytest.approx(42 / 42 - 1.0, abs=1e-12)
+    assert q_split > q_merged
+    # and refine must therefore REFUSE the merge
+    out, st = louvain_refine(e, split, rounds=2)
+    assert {r.id: r.label for r in out.collect()} == {0: 0, 1: 1}
+    assert st.moved[0] == 0
