@@ -487,6 +487,17 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_rp_lsh(spark, sf_dir):
+    """Random-hyperplane LSH candidate pairs over the embeddings table —
+    integer-quantized sign signatures (md5-derived hyperplanes), so the
+    signature/bucket/pair relation is exact on both engines (no float
+    sign boundary)."""
+    from dmid_spark.sim import rp_lsh_candidates, rp_signatures
+
+    sigs = rp_signatures(_emb(spark, sf_dir), dim=64, n_bits=16, seed=42)
+    return rp_lsh_candidates(sigs, bands=4, n_bits=16, max_bucket=200)
+
+
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1081,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_rp_lsh": q_rp_lsh,
         "events_sessionize": q_sessionize,
         "events_tumbling_window": q_tumbling,
         "sketch_hll_registers": q_hll_registers,
@@ -2794,6 +2806,37 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "dedup_neardup_clusters": _neardup_clusters_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
         "pipeline_clean_corpus": _clean_corpus_sql(min_quality=0.8, num_hashes=32, bands=8, max_bucket=200, seed=42),
         "ann_ivf_topk": _ivf_topk_sql(n_centroids=8, k=10, n_probe=3, seed=42, n_queries=5),
+        "ann_rp_lsh": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+plane AS MATERIALIZED (
+  SELECT i, j,
+         CAST(('0x' || substr(md5('42:' || i || ':' || j), 1, 15)) AS BIGINT) % 2001 - 1000 AS r
+  FROM range(0, 16) t1(i), range(0, 64) t2(j)
+),
+dots AS (
+  SELECT q.vec_id, p.i, SUM(q.qv[p.j + 1] * p.r) AS dot
+  FROM q, plane p GROUP BY 1, 2
+),
+sigs AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END) AS sig
+  FROM dots GROUP BY vec_id
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id, b.band, (sig >> CAST(b.band * 4 AS INT)) & 15 AS key
+  FROM sigs, (SELECT range AS band FROM range(0, 4)) b
+),
+sized AS (
+  SELECT band, key FROM buckets GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 200
+)
+SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b
+FROM buckets a
+JOIN sized s ON a.band = s.band AND a.key = s.key
+JOIN buckets b2 ON b2.band = a.band AND b2.key = a.key AND a.vec_id < b2.vec_id""",
         # x1_pagerank_converged, dmid_cover: iterative-to-convergence
         # operators — intentionally no SQL twin (driver rows-only check);
         # exactness is covered by the NumPy-oracle pytest suite instead.

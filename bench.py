@@ -268,6 +268,23 @@ def main():
         "rows": int(n_n2v),
     }
 
+    from dmid_spark.algorithms import louvain
+
+    def run_louvain():
+        # bounded schedule: the bench measures move-phase + contraction
+        # throughput, not convergence depth (same spirit as lpa_5iter)
+        out, lv_stats = louvain(edges, max_levels=2, max_rounds_per_level=3)
+        return out.count(), lv_stats
+
+    n_lv, lv_stats = timed("louvain_2level", run_louvain)
+    detail["louvain"] = {
+        "rounds": lv_stats.rounds,
+        "moved": lv_stats.moved,
+        "cycled": lv_stats.cycled,
+        "modularity": round(lv_stats.modularity, 6),
+        "vertices": int(n_lv),
+    }
+
     from dmid_spark.algorithms import effective_diameter, hyperball, ktruss
 
     def run_hyperball():

@@ -18,7 +18,10 @@ from .hyperball import (  # noqa: F401
     hyperball_estimates,
     hyperball_harmonic,
 )
-from .louvain import louvain_refine, partition_modularity  # noqa: F401
+# NOTE: binding `louvain` (the function) deliberately shadows the submodule
+# name in the package namespace — `from dmid_spark.algorithms import louvain`
+# must give the callable
+from .louvain import louvain, louvain_refine, partition_modularity  # noqa: F401
 from .spectral import hits, personalized_pagerank  # noqa: F401
 from .scc import strongly_connected_components  # noqa: F401
 from .paths import (  # noqa: F401

@@ -6,3 +6,8 @@ from .ann import (  # noqa: F401
     ivf_recall_at_k,
     ivf_topk,
 )
+from .rplsh import (  # noqa: F401
+    rp_lsh_candidates,
+    rp_near_duplicates,
+    rp_signatures,
+)

@@ -401,3 +401,20 @@ def test_bucketed_validation(spark):
         write_bucketed(edges, "t", [], 8)
     with _pt.raises(ValueError):
         write_bucketed(edges, "t", ["dst"], 0)
+
+
+def test_louvain_round_plan_quality(spark, monkeypatch):
+    # a move phase must broadcast the O(V) label/community tables into the
+    # edge-scale joins and keep every aggregate map-side combining — no
+    # single-partition exchange, no unpartitioned window
+    import importlib
+
+    lv = importlib.import_module("dmid_spark.algorithms.louvain")
+    monkeypatch.setattr(lv.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=150, seed=17)
+    edges = G.edges_from_rows(spark, rows)
+    labels = G.vertices(edges).select("id", (F.col("id") % 5).alias("label"))
+    out, _ = lv.louvain_refine(edges, labels, rounds=1)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan and "Window" not in plan

@@ -219,3 +219,58 @@ def test_ivf_lloyd_refinement_improves_index(spark):
     r3 = ivf_recall_at_k(df, q, k=5, n_probes=(1,), n_centroids=6, lloyd_iters=3)
     assert r3[1] >= r0[1]
     assert r3[1] >= 0.99
+
+
+def test_rp_lsh_signatures_and_candidates(spark):
+    import math
+    import random
+
+    from dmid_spark.sim import rp_lsh_candidates, rp_near_duplicates, rp_signatures
+    from dmid_spark.sim.rplsh import _hyperplanes, QUANT
+
+    rng = random.Random(7)
+    dim = 16
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = []
+    # 0 and 1: identical; 2: tiny perturbation; others: random
+    rows.append((0, base))
+    rows.append((1, list(base)))
+    rows.append((2, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    for i in range(3, 40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sigs = rp_signatures(emb, dim=dim, n_bits=16, seed=3)
+    got = {r.vec_id: r.sig for r in sigs.collect()}
+    assert got[0] == got[1]  # identical vectors, identical signatures
+    # transliterated signature oracle (same md5 planes, int dots)
+    planes = _hyperplanes(dim, 16, 3)
+    emb32 = {r.vec_id: r.embedding for r in emb.collect()}  # float32 values
+    for v in (0, 2, 5):
+        q = [round(float(x) * QUANT) for x in emb32[v]]
+        sig = sum(
+            (1 << i) for i, row in enumerate(planes)
+            if sum(a * b for a, b in zip(q, row)) >= 0
+        )
+        assert got[v] == sig, v
+
+    cand = rp_lsh_candidates(sigs, bands=4, n_bits=16)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+    near = rp_near_duplicates(emb, dim=dim, threshold=0.99, n_bits=16, bands=4, seed=3)
+    found = {(r.doc_a, r.doc_b): r.cosine for r in near.collect()}
+    assert found[(0, 1)] == pytest.approx(1.0, abs=1e-9)
+    assert found[(0, 2)] > 0.99
+    # exact rerank: cosine matches a driver-side computation
+    dot = sum(float(a) * float(b) for a, b in zip(emb32[0], emb32[2]))
+    na = math.sqrt(sum(float(x) ** 2 for x in emb32[0]))
+    nb = math.sqrt(sum(float(x) ** 2 for x in emb32[2]))
+    assert found[(0, 2)] == pytest.approx(dot / (na * nb), rel=1e-9)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rp_signatures(emb, dim=dim, n_bits=0)
+    with _pt.raises(ValueError):
+        rp_lsh_candidates(sigs, bands=5, n_bits=16)
