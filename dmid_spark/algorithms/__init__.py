@@ -27,6 +27,7 @@ from .scc import strongly_connected_components  # noqa: F401
 from .paths import (  # noqa: F401
     bfs_distances,
     harmonic_centrality,
+    embed_walks,
     node2vec_walks,
     random_walks,
     ranked_adjacency,

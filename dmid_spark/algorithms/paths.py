@@ -625,3 +625,46 @@ def node2vec_walks(
         out = out.unionByName(r)
     stats.wall_sec = time.time() - t0
     return out, stats
+
+
+def embed_walks(
+    walks: DataFrame,
+    dim: int = 32,
+    window: int = 5,
+    min_count: int = 0,
+    max_iter: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """node2vec/DeepWalk step 2: train skip-gram embeddings over the walk
+    corpus with Spark ML's Word2Vec (distributed fit — the JVM-side
+    implementation, no Python in the hot path). Input is the
+    ``(walk_id, step, node)`` relation from random_walks/node2vec_walks;
+    output is ``(id, vector array<float>)`` per visited node.
+
+    The composition random_walks/node2vec_walks → embed_walks →
+    sim.rp_near_duplicates / brute_force_topk is the full embedding
+    pipeline: generate corpus, train, then similarity-search the result.
+    Training is seeded but floating-point and partition-order dependent —
+    embeddings are validated structurally (communities cluster), never
+    byte-compared."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.sql import Window as W
+
+    sent = (
+        walks.withColumn("_s", F.col("node").cast("string"))
+        .groupBy("walk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("step", "_s"))).alias("_ss"))
+        .select(F.transform("_ss", lambda s: s["_s"]).alias("sentence"))
+    )
+    w2v = Word2Vec(
+        vectorSize=dim, windowSize=window, minCount=min_count, maxIter=max_iter,
+        seed=seed, inputCol="sentence", outputCol="_vec",
+    )
+    model = w2v.fit(sent)
+    vecs = model.getVectors()  # (word, vector)
+    from pyspark.ml.functions import vector_to_array
+
+    return vecs.select(
+        F.col("word").cast("long").alias("id"),
+        vector_to_array("vector", "float32").alias("vector"),
+    )

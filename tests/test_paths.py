@@ -508,3 +508,32 @@ def test_node2vec_sink_stop_and_validation(spark):
         node2vec_walks(e, walk_length=0)
     with pytest.raises(ValueError):
         node2vec_walks(e, walk_length=2, p=0.0)
+
+
+def test_embed_walks_clusters_planted_communities(spark):
+    from dmid_spark.algorithms.paths import embed_walks, node2vec_walks
+
+    # two 6-cliques joined by one bridge: walks stay inside cliques, so
+    # within-community embedding similarity must beat cross-community
+    pairs = []
+    for c in range(2):
+        b = c * 6
+        pairs += [(b + x, b + y) for x in range(6) for y in range(6) if x != y]
+    pairs += [(5, 6), (6, 5)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    walks, _ = node2vec_walks(e, walk_length=8, p=1.0, q=0.5, seed=11)
+    emb = embed_walks(walks, dim=16, max_iter=3, seed=7)
+    vecs = {r.id: r.vector for r in emb.collect()}
+    assert set(vecs) == set(range(12))
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return d / (na * nb)
+
+    within = [cos(a, b) for a in range(6) for b in range(a + 1, 6)]
+    across = [cos(a, b) for a in range(4) for b in range(7, 12)]
+    assert sum(within) / len(within) > sum(across) / len(across) + 0.1
