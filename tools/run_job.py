@@ -28,7 +28,7 @@ def main(argv=None):
         "pagerank", "dmid", "rawlpa", "components", "corpus-edges",
         "scc", "kcore", "coreness", "hits", "ppr", "bfs", "harmonic", "walks",
         "betweenness", "sssp", "ktruss", "hyperball",
-        "clean-corpus", "chunk-dedup", "decontaminate",
+        "clean-corpus", "chunk-dedup", "decontaminate", "node2vec",
     ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--benchmark", help="decontaminate: parquet path of benchmark docs")
     p.add_argument("--chunk-words", type=int, default=20)
     p.add_argument("--ngram", type=int, default=13, help="decontaminate window")
+    p.add_argument("--p", type=float, default=1.0, help="node2vec return bias")
+    p.add_argument("--q", type=float, default=1.0, help="node2vec in-out bias")
+    p.add_argument("--dim", type=int, default=32, help="node2vec embedding size")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -193,6 +196,18 @@ def main(argv=None):
             )
             out.write.mode("overwrite").parquet(args.output)
             stats = {"walkers": st.walkers, "steps": st.steps}
+        elif args.job == "node2vec":
+            from dmid_spark.algorithms import embed_walks, node2vec_walks
+
+            starts = spark.read.parquet(args.seeds) if args.seeds else None
+            walks, st = node2vec_walks(
+                edges, walk_length=args.walk_length, p=args.p, q=args.q,
+                seed=args.seed, starts=starts,
+            )
+            emb = embed_walks(walks, dim=args.dim, seed=args.seed)
+            emb.write.mode("overwrite").parquet(args.output)
+            stats = {"walkers": st.walkers, "steps": st.steps,
+                     "vocab": spark.read.parquet(args.output).count()}
         elif args.job == "ppr":
             from dmid_spark.algorithms import personalized_pagerank
 
