@@ -233,14 +233,16 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     )
 
 
-def degree_assortativity(edges: DataFrame) -> DataFrame:
+def degree_assortativity(edges: DataFrame, broadcast_degrees: bool = True) -> DataFrame:
     """Degree assortativity of the undirected simple graph: the Pearson
     correlation of (deg(u), deg(v)) over the *doubled* edge-end list (each
     undirected edge contributes both orientations — the standard estimator
     for Newman's assortativity coefficient, r ∈ [−1, 1]).
 
-    One broadcast join of the O(V) degree table against the edge list, one
-    aggregate — a scan-shaped job at any scale. Returns a single row
+    One join of the O(V) degree table against the edge list (broadcast by
+    default; ``broadcast_degrees=False`` is the ≳10⁹-vertex escape hatch —
+    same knob as components.py ``broadcast_mins``), one aggregate — a
+    scan-shaped job at any scale. Returns a single row
     ``(assortativity, n_edges)``; assortativity is NULL on degree-regular
     graphs (zero variance).
     """
@@ -252,7 +254,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("double").alias("deg"))
     )
     both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    d = F.broadcast(deg)
+    d = F.broadcast(deg) if broadcast_degrees else deg
     ends = (
         both.join(d, both.u == d.id)
         .select("v", F.col("deg").alias("du"))
@@ -272,7 +274,9 @@ class LinkPredStats:
 
 
 def link_prediction(
-    edges: DataFrame, max_wedge_degree: int | None = None
+    edges: DataFrame,
+    max_wedge_degree: int | None = None,
+    broadcast_degrees: bool = True,
 ) -> tuple[DataFrame, LinkPredStats]:
     """Common-neighbor link-prediction scores for non-adjacent vertex pairs.
 
@@ -291,7 +295,9 @@ def link_prediction(
     engine's other bounded-fanout caps (LSH ``max_bucket``, Jaccard
     ``max_doc_freq``). A dropped hub contributes ≤ 1/ln(cap) per pair to
     adamic_adar, so the cap trades a quantified score underestimate for a
-    bounded shuffle.
+    bounded shuffle. ``broadcast_degrees=False`` is the ≳10⁹-vertex escape
+    hatch for the three O(V) degree-table joins (same knob as
+    components.py ``broadcast_mins``).
     """
     t0 = time.time()
     stats = LinkPredStats()
@@ -301,7 +307,8 @@ def link_prediction(
     deg = both.groupBy(F.col("u").alias("id")).agg(
         F.count("*").cast("long").alias("deg")
     )
-    adj = both.join(F.broadcast(deg), both.u == F.col("id")).select(
+    deg_j = F.broadcast(deg) if broadcast_degrees else deg
+    adj = both.join(deg_j, both.u == F.col("id")).select(
         F.col("u").alias("w"), F.col("v").alias("nbr"), F.col("deg").alias("deg_w")
     )
     if max_wedge_degree is not None:
@@ -326,7 +333,7 @@ def link_prediction(
     scores = scores.join(
         und, (scores.a == und.u) & (scores.b == und.v), "left_anti"
     )
-    d = F.broadcast(deg)
+    d = F.broadcast(deg) if broadcast_degrees else deg
     out = (
         scores.join(d, scores.a == d.id)
         .select("a", "b", "common_neighbors", "adamic_adar", F.col("deg").alias("da"))
@@ -381,6 +388,7 @@ def ktruss(
     k: int,
     max_rounds: int | None = None,
     degree_ordered: bool = True,
+    broadcast_rank_map: bool = True,
 ) -> tuple[DataFrame, KTrussStats]:
     """k-truss of the undirected simple graph: the maximal subgraph where
     every edge participates in ≥ k-2 triangles *within the subgraph*, by
@@ -393,12 +401,13 @@ def ktruss(
     convergence. Scale: each round reuses the degree-ordered orientation
     (triangles.py) — no vertex fans out more than O(√m) oriented out-edges
     even under power-law skew — and the support aggregate combines
-    map-side; the edge relation only shrinks."""
+    map-side; the edge relation only shrinks. ``broadcast_rank_map=False``
+    is the ≳10⁹-vertex escape hatch for the O(V) rank-dictionary joins."""
     if k < 3:
         raise ValueError(f"k must be >= 3, got {k}")
     t0 = time.time()
     stats = KTrussStats()
-    oriented, rank_map = _oriented(edges, degree_ordered)
+    oriented, rank_map = _oriented(edges, degree_ordered, broadcast_rank_map)
     cur = K.materialize(oriented)
     prev_n = cur.count()
     stats.edge_counts.append(prev_n)
@@ -427,7 +436,7 @@ def ktruss(
     out_r = cur.join(sup, ["a", "b"], "left").select(
         "a", "b", F.coalesce("sup", F.lit(0)).alias("support")
     )
-    rm = F.broadcast(rank_map)
+    rm = F.broadcast(rank_map) if broadcast_rank_map else rank_map
     out = (
         out_r.join(rm, out_r.a == rm.rank)
         .select(F.col("id").alias("ia"), "b", "support")

@@ -25,9 +25,16 @@ class TriangleStats:
     wall_sec: float = 0.0
 
 
-def _oriented(edges: DataFrame, degree_ordered: bool) -> tuple[DataFrame, DataFrame]:
+def _oriented(
+    edges: DataFrame, degree_ordered: bool, broadcast_rank_map: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Undirected simple edges oriented by rank; returns (oriented(a, b),
-    rank_map(id, rank)) with rank dense. a, b are ranks with a < b."""
+    rank_map(id, rank)) with rank dense. a, b are ranks with a < b.
+
+    ``broadcast_rank_map`` hints the O(V) rank dictionary into the two
+    rewrite joins; disable at ≳10⁹ vertices (the engine-wide escape hatch —
+    same knob as components.py ``broadcast_mins``) so the planner falls back
+    to a shuffle join that never centralizes O(V) state on executors."""
     und = (
         G.drop_self_loops(edges)
         .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
@@ -49,7 +56,7 @@ def _oriented(edges: DataFrame, degree_ordered: bool) -> tuple[DataFrame, DataFr
         )
     else:
         rank_map = verts.select("id", F.col("id").alias("rank"))
-    rm = F.broadcast(rank_map)
+    rm = F.broadcast(rank_map) if broadcast_rank_map else rank_map
     oriented = (
         und.join(rm, und.u == rm.id)
         .select(F.col("rank").alias("ru"), "v")
@@ -61,12 +68,14 @@ def _oriented(edges: DataFrame, degree_ordered: bool) -> tuple[DataFrame, DataFr
 
 
 def triangle_counts(
-    edges: DataFrame, degree_ordered: bool = True
+    edges: DataFrame, degree_ordered: bool = True, broadcast_rank_map: bool = True
 ) -> tuple[DataFrame, TriangleStats]:
     """Per-vertex triangle counts on the undirected simple graph.
-    Returns (counts(id, triangles), stats) — every vertex present."""
+    Returns (counts(id, triangles), stats) — every vertex present.
+    ``broadcast_rank_map=False`` is the ≳10⁹-vertex escape hatch for the
+    O(V) rank-dictionary joins (see :func:`_oriented`)."""
     t0 = time.time()
-    oriented, rank_map = _oriented(edges, degree_ordered)
+    oriented, rank_map = _oriented(edges, degree_ordered, broadcast_rank_map)
     oriented = K.materialize(oriented)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")

@@ -62,7 +62,9 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def densify_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def densify_ids(
+    edges: DataFrame, broadcast_map: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Re-map arbitrary vertex ids onto dense ``[0, N)``.
 
     Relational analog of the reference's ``cleanBrokenIDs`` + BrokenNodeList
@@ -70,7 +72,9 @@ def densify_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``(edges_dense, id_map(orig_id, dense_id))``. Deterministic: dense ids
     are assigned in ascending original-id order. The id dictionary is tiny
     relative to the edge table (|V| << |E|), so the two rewrite joins
-    broadcast at any realistic scale.
+    broadcast at any realistic scale; ``broadcast_map=False`` is the
+    ≳10⁹-vertex escape hatch (shuffle joins instead — same knob as
+    components.py ``broadcast_mins``).
     """
     from . import kernel as _K
 
@@ -81,7 +85,7 @@ def densify_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     id_map = _K.distributed_rank(ids, ["id"], out_col="dense_id").withColumnRenamed(
         "id", "orig_id"
     )
-    m = F.broadcast(id_map)
+    m = F.broadcast(id_map) if broadcast_map else id_map
     dense = (
         edges.join(m, edges.src == m.orig_id)
         .select(F.col("dense_id").alias("src"), "dst", "weight")

@@ -403,6 +403,59 @@ def test_bucketed_validation(spark):
         write_bucketed(edges, "t", ["dst"], 0)
 
 
+def test_broadcast_opt_outs_match_and_shuffle(spark):
+    # VERDICT r2 item 1: every op that hard-hinted an O(V) broadcast join
+    # must have a broadcast_*=False escape hatch with IDENTICAL results and
+    # a plan that actually falls back to a non-broadcast join (auto
+    # broadcast disabled so only the hint could have forced one).
+    from dmid_spark.algorithms import (
+        degree_assortativity,
+        ktruss,
+        link_prediction,
+        triangle_counts,
+    )
+
+    rows, n = random_graph(n=150, seed=23)
+    edges = G.edges_from_rows(spark, rows)
+
+    def rowset(df):
+        # float aggregates (corr, adamic_adar) legitimately move a few ulps
+        # when the join strategy changes the add order — quantize to 9dp
+        return sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+
+    tri_on, _ = triangle_counts(edges)
+    da_on = degree_assortativity(edges)
+    lp_on, _ = link_prediction(edges)
+    kt_on, _ = ktruss(edges, k=3)
+    dense_on, map_on = G.densify_ids(edges)
+    expected = [rowset(d) for d in (tri_on, da_on, lp_on, kt_on, dense_on, map_on)]
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tri, _ = triangle_counts(edges, broadcast_rank_map=False)
+        da = degree_assortativity(edges, broadcast_degrees=False)
+        lp, _ = link_prediction(edges, broadcast_degrees=False)
+        kt, _ = ktruss(edges, k=3, broadcast_rank_map=False)
+        dense, id_map = G.densify_ids(edges, broadcast_map=False)
+        got = []
+        # id_map has no joins of its own; the joined frames must show a
+        # shuffle join where the hint used to force a broadcast. (The tiny
+        # O(partitions) offset join inside distributed_rank still
+        # broadcasts — that one is not O(V) and keeps its hint.)
+        for d in (tri, da, lp, kt, dense):
+            got.append(rowset(d))
+            p = plan_of(d)
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        got.append(rowset(id_map))
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_louvain_round_plan_quality(spark, monkeypatch):
     # a move phase must broadcast the O(V) label/community tables into the
     # edge-scale joins and keep every aggregate map-side combining — no
