@@ -1469,8 +1469,12 @@ JOIN mins ma ON p.doc_a = ma.doc_id
 JOIN mins mb ON p.doc_b = mb.doc_id"""
 
 
-def _simhash_sql(bits: int = 60, chunk_bits: int = 15, max_hamming: int = 10) -> str:
-    """DuckDB twin of q_simhash_neardup (md5 mode, 60-bit signatures)."""
+def _simhash_sql(
+    bits: int = 60, chunk_bits: int = 15, max_hamming: int = 10, max_bucket: int = 200
+) -> str:
+    """DuckDB twin of q_simhash_neardup (md5 mode, 60-bit signatures),
+    including the hot-bucket cap (buckets > max_bucket docs are dropped
+    from pairing, mirroring dedup.simhash_near_duplicates)."""
     n_chunks = bits // chunk_bits
     ones = ",\n    ".join(
         f"SUM((th >> {i}) & 1) AS o{i}" for i in range(bits)
@@ -1496,8 +1500,15 @@ g AS (
   FROM th GROUP BY doc_id
 ),
 sig AS (SELECT doc_id, ({sig}) AS simhash FROM g),
-banded AS (
+banded0 AS (
   {banded}
+),
+kept AS (
+  SELECT chunk, key FROM banded0 GROUP BY chunk, key
+  HAVING COUNT(*) <= {max_bucket}
+),
+banded AS (
+  SELECT b.* FROM banded0 b JOIN kept k ON b.chunk = k.chunk AND b.key = k.key
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

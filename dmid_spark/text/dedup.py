@@ -286,12 +286,17 @@ def simhash(
     across tokens, sign → bit.
 
     The bit-vote is ``bits`` JVM-side ``sum((th >> i) & 1)`` aggregate
-    columns folded into the signature with shiftleft — one map-side-combined
-    shuffle, no Python anywhere (the previous ``applyInPandas`` made one
-    pandas group per document: billions of tiny Python groups at scale).
-    Bit i of token-hash ``th`` survives arithmetic shiftright because
-    ``& 1`` reads the landed bit only. Bit 63's shiftleft(1, 63) IS the
-    signed long min — exactly the two's-complement value wanted.
+    columns folded into the signature via one ``aggregate`` over the vote
+    array — one map-side-combined shuffle, no Python anywhere (the previous
+    ``applyInPandas`` made one pandas group per document: billions of tiny
+    Python groups at scale). The fold is a higher-order-function loop, not
+    a ``bits``-term expression chain: the old chained ``when`` sum generated
+    a >64 KB ``processNext()`` that janino refused to compile, silently
+    dropping the whole scan stage to interpreted execution. Bit i of
+    token-hash ``th`` survives arithmetic shiftright because ``& 1`` reads
+    the landed bit only; bit 63's shiftleft(1, 63) IS the signed long min —
+    exactly the two's-complement value wanted (shifts are bitwise, exempt
+    from ANSI overflow checks).
 
     ``hash_mode='md5'`` (use with bits=60): 60-bit md5-prefix token hashes,
     engine-portable for the DuckDB twin."""
@@ -308,22 +313,41 @@ def simhash(
         for i in range(bits)
     ]
     g = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(
-            F.col(f"o{i}") * 2 > F.col("n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-    return g.select("doc_id", sig.alias("simhash"))
+    votes = F.array(
+        *[(F.col(f"o{i}") * 2 > F.col("n")).cast("long") for i in range(bits)]
+    )
+    sig = F.expr(
+        f"aggregate(zip_with(_votes, sequence(0, {bits - 1}),"
+        " (v, i) -> shiftleft(v, CAST(i AS INT))),"
+        " CAST(0 AS LONG), (acc, x) -> acc | x)"
+    )
+    return g.select("doc_id", votes.alias("_votes")).select(
+        "doc_id", sig.alias("simhash")
+    )
 
 
 def simhash_near_duplicates(
-    sims: DataFrame, max_hamming: int = 3, chunk_bits: int = 16, bits: int = 64
+    sims: DataFrame,
+    max_hamming: int = 3,
+    chunk_bits: int = 16,
+    bits: int = 64,
+    max_bucket: int = 200,
+    capped_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits``-bit signature into
     ``chunk_bits``-bit chunks (pigeonhole: hamming < n_chunks ⇒ some chunk
     matches exactly), bucket-join, verify exact hamming distance. Output
-    (doc_a, doc_b, hamming)."""
+    (doc_a, doc_b, hamming).
+
+    Buckets holding more than ``max_bucket`` docs are dropped from pairing
+    — the same hot-bucket cap as :func:`minhash_lsh_candidates`: short or
+    templated corpora collapse many docs onto identical chunks (the
+    all-zero chunk especially), and one hot (chunk, key) bucket is a
+    quadratic all-pairs join in disguise. The drop is reported, never
+    silent: pass a list as ``capped_out`` and it receives one
+    ``(chunk, key, bucket_size)`` tuple per dropped bucket (an action —
+    only runs when asked). A doc dropped from a hot chunk can still pair
+    through its other, rarer chunks."""
     n_chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
     banded = sims.select(
@@ -341,6 +365,16 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    sizes = banded.groupBy("chunk", "key").agg(F.count("*").alias("bsz"))
+    if capped_out is not None:
+        capped_out.extend(
+            (r["chunk"], r["key"], r["bsz"])
+            for r in sizes.filter(F.col("bsz") > max_bucket).collect()
+        )
+    banded = banded.join(
+        sizes.filter(F.col("bsz") <= max_bucket).select("chunk", "key"),
+        ["chunk", "key"],
+    )
     a = banded.select("chunk", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = banded.select("chunk", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     pairs = (

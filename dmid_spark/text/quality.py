@@ -38,18 +38,33 @@ def language_id(
 ) -> DataFrame:
     """Stopword-marker language heuristic → (doc_id, lang_pred, lang_hits).
     Ties and zero hits fall back to 'und' (undetermined); deterministic
-    (greatest hit count, then language-code order)."""
-    hits = [
-        _word_hits(F.col(text_col), ws).alias(f"hits_{lang}")
-        for lang, ws in _LANG_MARKERS.items()
-    ]
-    scored = docs.select(F.col(id_col).alias("doc_id"), *hits)
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANG_MARKERS])
-    # deterministic pick: first language (in sorted code order) achieving max
-    expr = F.lit("und")
-    for lang in reversed(sorted(_LANG_MARKERS)):
-        expr = F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return scored.select("doc_id", expr.alias("lang_pred"), best.alias("lang_hits"))
+    (greatest hit count, then language-code order).
+
+    The argmax is ONE ``array_max`` over (hits, −index, lang) structs —
+    struct comparison picks the max hit count, ties resolve to the earliest
+    language in sorted code order via −index. The previous
+    greatest + chained-``when`` formulation re-expanded every score
+    expression inside every comparison after CollapseProject (~7 copies of
+    each 5-marker chain), which blew whole-stage codegen past janino's
+    64 KB method cap and silently dropped the scan stage of any consumer
+    (clean_corpus) to interpreted execution."""
+    langs = sorted(_LANG_MARKERS)
+    arr = F.array(
+        *[
+            F.struct(
+                _word_hits(F.col(text_col), _LANG_MARKERS[lang]).alias("h"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(arr)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["h"].alias("lang_hits"),
+    )
 
 
 def quality_scores(

@@ -90,6 +90,37 @@ def test_simhash_near_duplicates(spark):
     assert (0, 3) not in got  # unrelated text far away
 
 
+def test_simhash_hot_bucket_cap(spark):
+    # 1,000 docs sharing an all-zero low chunk: uncapped pairing would emit
+    # O(10^6) bucket-join rows from that single hot (chunk, key) bucket.
+    # With max_bucket the pair count stays O(max_bucket^2) and the dropped
+    # bucket is reported, not silent.
+    n = 1000
+    # signatures identical in chunk 0 (low 16 bits all zero), unique above —
+    # hamming between any two docs is large, so only the bucket JOIN size
+    # matters, which the filter on hamming doesn't bound.
+    sims = spark.createDataFrame(
+        [(i, (i + 1) << 16) for i in range(n)], "doc_id long, simhash long"
+    )
+    capped: list = []
+    pairs = simhash_near_duplicates(
+        sims, max_hamming=64, chunk_bits=16, bits=64, max_bucket=100, capped_out=capped
+    )
+    cnt = pairs.count()
+    # chunk 0 bucket (key=0, 1000 docs) must be dropped and reported
+    assert (0, 0, n) in capped
+    # remaining chunks: signatures (i+1)<<16 collide only where the upper
+    # 48 bits share chunk values — tiny buckets; far below the hot-bucket n²/2
+    assert cnt < 100 * 100
+    # sanity: a genuinely identical pair still pairs through a kept bucket
+    sims2 = spark.createDataFrame(
+        [(1, 12345), (2, 12345)] + [(i, (i + 7) << 16) for i in range(10, 40)],
+        "doc_id long, simhash long",
+    )
+    got = {(r.doc_a, r.doc_b) for r in simhash_near_duplicates(sims2, max_hamming=0).collect()}
+    assert (1, 2) in got
+
+
 def test_language_id(spark):
     out = language_id(docs_df(spark))
     got = {r.doc_id: r.lang_pred for r in out.collect()}
