@@ -573,7 +573,10 @@ def q_ann_ivf(spark, sf_dir):
     from dmid_spark.sim import ivf_build, ivf_topk
 
     emb = _emb(spark, sf_dir)
-    assigned, cents = ivf_build(emb, n_centroids=8, hash_mode="md5")
+    # lloyd_iters pinned to 0: refined centroids depend on partition-order
+    # float sums, so only the untrained index is bitwise-reproducible for
+    # the DuckDB twin (ivf_build docstring); the engine default is 2.
+    assigned, cents = ivf_build(emb, n_centroids=8, hash_mode="md5", lloyd_iters=0)
     out = ivf_topk(assigned, cents, emb.filter("vec_id < 5"), k=10, n_probe=3)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),

@@ -83,21 +83,26 @@ def brute_force_topk(
 
 def ivf_build(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     hash_mode: str = "xxhash64",
-    lloyd_iters: int = 0,
+    lloyd_iters: int = 2,
 ) -> tuple[DataFrame, np.ndarray]:
     """Build an IVF index: centroids = deterministic sample of corpus
-    vectors (hash-ordered, reproducible), optionally refined by
-    ``lloyd_iters`` rounds of spherical k-means (the FAISS-style training
-    step: assign → per-cell mean of unit vectors → renormalize), then one
-    vectorized assignment pass. Returns (assignments(vec_id, cell,
-    embedding), centroids array). ``hash_mode='md5'`` orders the centroid
+    vectors (hash-ordered, reproducible), refined by ``lloyd_iters`` rounds
+    of spherical k-means (the FAISS-style training step: assign → per-cell
+    mean of unit vectors → renormalize — **on by default**: untrained
+    hash-sampled centroids measurably under-recall at every operating
+    point), then one vectorized assignment pass. Returns
+    (assignments(vec_id, cell, embedding), centroids array).
+    ``n_centroids=None`` picks ~√N (one count action) — the standard
+    billion-scale sizing: cells of ~√N vectors bound the probe cost at
+    O(√N · n_probe) per query. ``hash_mode='md5'`` orders the centroid
     sample by the md5-prefix hash (engine-portable — the DuckDB oracle
-    twin's mode).
+    twin's mode; the bitwise-reproducible oracle also pins
+    ``lloyd_iters=0``, see below).
 
     Each Lloyd round is one ``mapInPandas`` pass emitting per-partition
     per-cell partial sums (≤ partitions × n_centroids tiny rows, Arrow
@@ -106,6 +111,10 @@ def ivf_build(
     order float summation makes refined centroids deterministic only for a
     fixed partition layout, so the bitwise-reproducible driver oracle keeps
     ``lloyd_iters=0``; empty cells keep their previous centroid."""
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(4, round(math.sqrt(corpus.count())))
     if hash_mode == "md5":
         hkey = F.conv(
             F.substring(F.md5((F.col(id_col) + seed).cast("string")), 1, 15), 16, 10
@@ -186,11 +195,20 @@ def ivf_topk(
     centroids: np.ndarray,
     queries: DataFrame,
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: each query scans only its n_probe nearest cells."""
+    """Approximate top-k: each query scans only its n_probe nearest cells.
+
+    The default operating point (16 trained centroids, n_probe=12) holds
+    measured recall@10 ≥ 0.8 even on near-uniform embeddings — the IVF
+    worst case, where recall cannot beat the probed-cell fraction by much
+    (the testdata embeddings measure 0.92). On clustered real-world
+    embeddings the same defaults are ~1.0 and n_probe can drop to 2-4;
+    size ``n_centroids≈√N`` at billion scale and re-pick n_probe from
+    :func:`ivf_recall_at_k` — an approximate operator without a measured
+    recall number is unfinished."""
     spark = assignments.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -255,11 +273,11 @@ def ivf_recall_at_k(
     queries: DataFrame,
     k: int = 10,
     n_probes: tuple[int, ...] = (1, 2, 4, 8),
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    lloyd_iters: int = 0,
+    lloyd_iters: int = 2,
 ) -> dict[int, float]:
     """Measured recall@k of the IVF index vs the brute-force oracle:
     ``recall = |topk_ivf ∩ topk_brute| / |topk_brute|`` averaged over the
@@ -313,14 +331,33 @@ def brute_force_near_duplicates(
 def cosine_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int = 5000,
+    capped_out: list | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold), blocked by IVF cell —
     only same-cell pairs are compared (recall trades against the quadratic
-    cross join; raise n_probe-style recall by lowering n_centroids)."""
+    cross join; raise n_probe-style recall by lowering n_centroids).
+
+    Cells holding more than ``max_cell`` vectors are dropped from pairing —
+    the same quadratic-bucket reasoning as the LSH/SimHash ``max_bucket``
+    caps: with a low n_centroids default one fat cell is an all-pairs join
+    in disguise. Drops are reported, never silent: pass a list as
+    ``capped_out`` to receive ``(cell, cell_size)`` per dropped cell (an
+    action — only runs when asked). Size ``n_centroids ≈ N / target_cell``
+    (or ``None`` for √N cells) so real corpora stay under the cap."""
     assigned, _ = ivf_build(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("csz"))
+    if capped_out is not None:
+        capped_out.extend(
+            (r["cell"], r["csz"])
+            for r in sizes.filter(F.col("csz") > max_cell).collect()
+        )
+    assigned = assigned.join(
+        sizes.filter(F.col("csz") <= max_cell).select("cell"), "cell"
+    )
     a = assigned.select(
         "cell", F.col("vec_id").alias("doc_a"), F.col("embedding").cast("array<double>").alias("va")
     )

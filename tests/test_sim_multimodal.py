@@ -86,6 +86,28 @@ def test_cosine_near_duplicates(spark):
     assert all(a % 4 == b % 4 for a, b in got)
 
 
+def test_cosine_neardup_fat_cell_cap(spark):
+    # one planted fat cell (every vector identical direction → all land in
+    # the same IVF cell): uncapped blocking would emit n²/2 pairs from it.
+    # With max_cell the cell is dropped AND reported.
+    n = 60
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped: list = []
+    pairs = cosine_near_duplicates(
+        df, threshold=0.5, n_centroids=2, max_cell=30, capped_out=capped
+    )
+    assert pairs.count() == 0  # the only populated cell was dropped
+    assert capped and capped[0][1] == n  # (cell, size) reported
+    # under the cap, pairing works normally
+    capped2: list = []
+    pairs2 = cosine_near_duplicates(
+        df, threshold=0.5, n_centroids=2, max_cell=100, capped_out=capped2
+    )
+    assert pairs2.count() == n * (n - 1) // 2
+    assert not capped2
+
+
 def test_multimodal_plumbing_fake_decode(spark):
     media = synth_media_table(spark, n=48)
     imgs = decode_image(media, impl="fake")
@@ -209,13 +231,13 @@ def test_ivf_lloyd_refinement_improves_index(spark):
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         return float((v @ cents.T).max(axis=1).mean())
 
-    _, c0 = ivf_build(df, n_centroids=6)
+    _, c0 = ivf_build(df, n_centroids=6, lloyd_iters=0)
     _, c3 = ivf_build(df, n_centroids=6, lloyd_iters=3)
     assert np.allclose(np.linalg.norm(c3, axis=1), 1.0)
     assert objective(c3) > objective(c0) + 0.05
 
     q = df.filter("vec_id < 16")
-    r0 = ivf_recall_at_k(df, q, k=5, n_probes=(1,), n_centroids=6)
+    r0 = ivf_recall_at_k(df, q, k=5, n_probes=(1,), n_centroids=6, lloyd_iters=0)
     r3 = ivf_recall_at_k(df, q, k=5, n_probes=(1,), n_centroids=6, lloyd_iters=3)
     assert r3[1] >= r0[1]
     assert r3[1] >= 0.99
