@@ -36,6 +36,7 @@ class LouvainStats:
     cycled: bool = False  # stopped on a repeated partition (sync 2-cycle)
     modularity: float = 0.0
     wall_sec: float = 0.0
+    levels_wall: list[float] = field(default_factory=list)  # per-level (louvain)
 
 
 def _und(edges: DataFrame) -> DataFrame:
@@ -230,6 +231,7 @@ def louvain(
     max_rounds_per_level: int = 8,
     broadcast_labels: bool = True,
     rebase_limit: int = 2_000_000,
+    rebase_dir: str | None = None,
 ) -> tuple[DataFrame, LouvainStats]:
     """Full multi-level Louvain: synchronous move phases to a local
     fixpoint, contract communities to a coarse weighted graph
@@ -240,19 +242,28 @@ def louvain(
     Scale: each level's graph is strictly smaller (vertices = communities
     of the previous level); the move phases and the contraction are the
     already-plan-tested X25/X21 relations, so the whole pipeline inherits
-    their shuffle shape."""
+    their shuffle shape. Coarse graphs up to ``rebase_limit`` rows re-base
+    through the driver (collect + createDataFrame); bigger ones round-trip
+    through parquet (``rebase_dir`` or a fresh temp dir) — both cut the
+    cross-level lineage, avoiding the stacked-localCheckpoint generation
+    pathology that slowed every later job 3-5× per extra level."""
+    import tempfile
+
     from .. import graph as G
+    from ..checkpoint import CheckpointManager
 
     t0 = time.time()
     stats = LouvainStats()
     cur_edges = edges
+    ckpt: CheckpointManager | None = None
     # identity mapping at level 0
     mapping = K.materialize(
         G.vertices(_und(edges).select("src", "dst")).select(
             "id", F.col("id").alias("label")
         )
     )
-    for _ in range(max_levels):
+    for level in range(max_levels):
+        t_level = time.time()
         verts = G.vertices(_und(cur_edges).select("src", "dst"))
         singletons = verts.select("id", F.col("id").alias("label"))
         lab, st = louvain_refine(
@@ -262,6 +273,7 @@ def louvain(
         stats.rounds += st.rounds
         stats.moved.extend(st.moved)
         if not any(st.moved):
+            stats.levels_wall.append(time.time() - t_level)
             break  # no structure left to extract at this level
         # compose: original id -> current coarse label -> new community
         lb = F.broadcast(lab) if broadcast_labels else lab
@@ -279,23 +291,32 @@ def louvain(
         # re-base the coarse graph as a fresh DataFrame: stacking localCheckpoint
         # generations (checkpoint of a plan over a checkpoint of ...) degrades
         # execution of every later job in the session — observed ~5x per extra
-        # generation on this Spark build. The contracted graph is communities-
-        # sized, so driver round-tripping is cheap; for a coarse graph that is
-        # still huge, raise rebase_limit and expect level-1-only behavior.
-        rows = coarse.collect() if coarse.count() <= rebase_limit else None
+        # generation on this Spark build. take(limit+1) executes the plan once
+        # (no count-then-collect double run): small coarse graphs re-base
+        # through the driver, bigger ones through a parquet round-trip — the
+        # lineage is cut either way.
+        rows = coarse.select("src", "dst", "weight").take(rebase_limit + 1)
         if cur_edges is not edges:
             cur_edges.unpersist()
         lab.unpersist()
-        if rows is None:
-            cur_edges = K.materialize(coarse)
+        if len(rows) > rebase_limit:
+            if ckpt is None:
+                ckpt = CheckpointManager(
+                    edges.sparkSession,
+                    rebase_dir or tempfile.mkdtemp(prefix="louvain_rebase_"),
+                    run_id="louvain",
+                )
+            cur_edges = ckpt.save(
+                coarse.select("src", "dst", "weight"), "coarse", level
+            )
         else:
             if not rows:
+                stats.levels_wall.append(time.time() - t_level)
                 break
             cur_edges = edges.sparkSession.createDataFrame(
                 rows, "src long, dst long, weight double"
             )
-        if rows is None and cur_edges.isEmpty():
-            break
+        stats.levels_wall.append(time.time() - t_level)
     stats.modularity = partition_modularity(edges, mapping)
     stats.wall_sec = time.time() - t0
     return mapping, stats

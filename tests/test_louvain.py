@@ -161,3 +161,41 @@ def test_modularity_counts_self_loop_mass(spark):
     out, st = louvain_refine(e, split, rounds=2)
     assert {r.id: r.label for r in out.collect()} == {0: 0, 1: 1}
     assert st.moved[0] == 0
+
+
+def test_louvain_parquet_rebase_path_flat_walls(spark, tmp_path):
+    from dmid_spark.algorithms.louvain import louvain
+
+    # rebase_limit=0 forces EVERY coarse level through the parquet
+    # round-trip (the big-coarse path). Results must match the driver
+    # re-base path exactly, and per-level wall times must stay flat —
+    # the stacked-localCheckpoint pathology this replaces grew 3-5x per
+    # extra generation.
+    # hierarchical fixture so MULTIPLE coarse levels run: 9 5-cliques
+    # (weight 10) in 3 super-groups (cliques tied pairwise at weight 3),
+    # super-groups tied by single weight-1 bridges. Level 1 merges
+    # vertices into cliques; level 2 merges cliques into super-groups.
+    pairs = []
+    for c in range(9):
+        base = c * 5
+        pairs += [(base + a, base + b, 10) for a in range(5) for b in range(a + 1, 5)]
+    for g in range(3):
+        cs = [g * 3, g * 3 + 1, g * 3 + 2]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                pairs += [(cs[i] * 5, cs[j] * 5, 3), (cs[i] * 5 + 1, cs[j] * 5 + 1, 3)]
+    pairs += [(0, 15, 1), (15, 30, 1)]
+    e = _edges(spark, pairs)
+    out_small, st_small = louvain(e, max_levels=3)
+    out_big, st_big = louvain(
+        e, max_levels=3, rebase_limit=0, rebase_dir=str(tmp_path)
+    )
+    assert sorted(map(tuple, out_big.collect())) == sorted(
+        map(tuple, out_small.collect())
+    )
+    assert st_big.modularity == pytest.approx(st_small.modularity, abs=1e-12)
+    # flat per-level wall: later levels (smaller graphs!) must not blow up.
+    # The generation pathology measured 0.6 -> 6.2 -> 33.9s on 2-row rounds;
+    # allow generous host noise while still catching any 3x+ growth trend.
+    assert len(st_big.levels_wall) >= 2
+    assert st_big.levels_wall[-1] < 3.0 * st_big.levels_wall[0] + 1.0
