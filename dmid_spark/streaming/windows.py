@@ -57,26 +57,33 @@ def tumbling_counts_stream(
     )
 
 
-_SESSION_STATE_SCHEMA = "last_ts long, n_events long, n_sessions long"
-_SESSION_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+_SESSION_STATE_SCHEMA = "last_ts long, n_events long, n_sessions long, n_late long"
+_SESSION_OUT_SCHEMA = (
+    "user_id long, kind string, n_sessions long, n_events long, n_late long, "
+    "late_ts long"
+)
 
 
 def sessionize_stream(
     events: DataFrame, gap_seconds: int = 1800, timeout: str = "NoTimeout"
 ) -> DataFrame:
     """Per-user session counting as a custom stateful operator
-    (``applyInPandasWithState``): state = (last event ts, running counts);
-    a gap > ``gap_seconds`` starts a new session. Emits the running
-    per-user totals on every trigger — the streaming twin of the batch
-    lag-window sessionizer (__spark_entry__.q_sessionize).
+    (``applyInPandasWithState``): state = (per-user max ts, running counts,
+    late count); a gap > ``gap_seconds`` starts a new session. Emits the
+    running per-user totals on every trigger (``kind='totals'``) — the
+    streaming twin of the batch lag-window sessionizer
+    (__spark_entry__.q_sessionize).
 
     Ordering contract: timestamps sort within a micro-batch, and the stored
-    ``last_ts`` acts as a per-user watermark across triggers — an event
-    arriving in a later trigger with ``t < last_ts`` is LATE and is dropped
-    (state never regresses, sessions are never double-counted). Exact
-    batch parity therefore holds for in-order or single-batch
-    (availableNow) input; late cross-trigger events are lost rather than
-    miscounted."""
+    per-user max ts acts as a per-user watermark across triggers — an event
+    arriving in a later trigger with ``t < max_ts`` is LATE: it is never
+    folded into the session state (state never regresses, sessions are
+    never double-counted) but it is NOT silently lost — each late event is
+    emitted as a flagged ``kind='late'`` side-output row carrying its
+    timestamp, and the cumulative ``n_late`` rides on every totals row, so
+    a downstream reconciliation job can reprocess the stragglers. Exact
+    batch parity on the totals rows holds for in-order or single-batch
+    (availableNow) input."""
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -85,21 +92,31 @@ def sessionize_stream(
             ts_all.extend(pdf["t"].tolist())
         ts_all.sort()
         if state.exists:
-            last_ts, n_events, n_sessions = state.get
+            last_ts, n_events, n_sessions, n_late = state.get
         else:
-            last_ts, n_events, n_sessions = None, 0, 0
+            last_ts, n_events, n_sessions, n_late = None, 0, 0, 0
+        late = []
         if last_ts is not None:
-            # per-user watermark: drop events older than already-folded state
+            # per-user watermark: events older than already-folded state go
+            # to the flagged side output instead of regressing the state
+            late = [t for t in ts_all if t < last_ts]
             ts_all = [t for t in ts_all if t >= last_ts]
         for t in ts_all:
             if last_ts is None or t - last_ts > gap_seconds:
                 n_sessions += 1
             last_ts = t
             n_events += 1
-        state.update((last_ts, n_events, n_sessions))
-        yield pd.DataFrame(
-            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
-        )
+        n_late += len(late)
+        state.update((last_ts, n_events, n_sessions, n_late))
+        rows = {
+            "user_id": [user_id] * (1 + len(late)),
+            "kind": ["totals"] + ["late"] * len(late),
+            "n_sessions": [n_sessions] + [None] * len(late),
+            "n_events": [n_events] + [None] * len(late),
+            "n_late": [n_late] + [None] * len(late),
+            "late_ts": [None] + late,
+        }
+        yield pd.DataFrame(rows)
 
     prepared = events.select(
         "user_id", F.col("ts").cast("timestamp").cast("long").alias("t")

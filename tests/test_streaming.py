@@ -74,9 +74,13 @@ def test_sessionize_stream_matches_batch(spark, events_path):
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     final = (
-        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        out.filter("kind = 'totals'")
+        .withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     )
     got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in final.collect()}
+    # single availableNow batch: nothing can be late
+    assert out.filter("kind = 'late'").count() == 0
+    assert final.filter("n_late <> 0").count() == 0
 
     ev = spark.read.parquet(events_path).select(
         "user_id", F.col("ts").cast("timestamp").cast("long").alias("t")
@@ -93,6 +97,55 @@ def test_sessionize_stream_matches_batch(spark, events_path):
     )
     want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()}
     assert got == want
+
+
+def test_sessionize_stream_cross_trigger_late_event(spark, tmp_path):
+    # trigger 1: user 1 events at t=1000 and t=5000 (two sessions, gap 1800);
+    # trigger 2: an ON-TIME event t=5100 (same session) for user 2 context
+    # plus an OUT-OF-ORDER event t=2000 (< user 1's max ts 5000). The late
+    # event must NOT regress state or alter session counts, and must come
+    # out as one flagged kind='late' row instead of vanishing.
+    # Memory sink can't resume from a checkpoint — use foreachBatch.
+    data_dir = tmp_path / "ev"
+    ckpt = str(tmp_path / "ckpt")
+    data_dir.mkdir()
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    def run_once():
+        schema = "user_id long, ts timestamp"
+        stream = spark.readStream.schema(schema).parquet(str(data_dir))
+        q = (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, t long").select(
+            "user_id", F.col("t").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(str(data_dir))
+
+    write_batch("b1", [(1, 1000), (1, 5000)])
+    run_once()
+    write_batch("b2", [(1, 5100), (1, 2000)])
+    run_once()
+
+    totals = [r for r in collected if r["kind"] == "totals" and r["user_id"] == 1]
+    late = [r for r in collected if r["kind"] == "late"]
+    final = max(totals, key=lambda r: r["n_events"])
+    # batch twin over the in-order events only: sessions {1000} and
+    # {5000, 5100} -> 2 sessions, 3 events
+    assert (final["n_sessions"], final["n_events"]) == (2, 3)
+    assert final["n_late"] == 1
+    assert len(late) == 1
+    assert (late[0]["user_id"], late[0]["late_ts"]) == (1, 2000)
 
 
 def test_dedup_stream_matches_batch_twin(spark, tmp_path):
