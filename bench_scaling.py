@@ -113,6 +113,34 @@ out["dmid_rw"] = {
     "steady_edges_per_sec": round(m / steady(rw.iter_secs), 1),
     "iter_secs": [round(t, 3) for t in rw.iter_secs],
 }
+# -- text scan-stage jobs (chunk dedup + benchmark decontamination) --------
+# one-shot scan pipelines, not supersteps: the honest-noise protocol here is
+# inner repeats with minima (identical work each repeat), reported as
+# corpus-MB/s so the N->4N pairs get the same efficiency treatment
+tpath = os.environ.get("SCALE_TEXT")
+if tpath:
+    from dmid_spark.text import chunk_dedup_summary, decontaminate
+
+    docs = spark.read.parquet(tpath).persist()
+    n_docs = docs.count()
+    mb = docs.selectExpr("sum(length(text)) AS s").first()["s"] / 1e6
+    bench_docs = docs.filter("doc_id % 97 = 0")
+    for key, fn in (
+        ("text_chunk_dedup", lambda: chunk_dedup_summary(docs, chunk_words=20).count()),
+        ("text_decontaminate", lambda: decontaminate(docs, bench_docs, n=13).count()),
+    ):
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            walls.append(time.time() - t0)
+        w = float(np.min(walls))
+        out[key] = {
+            "docs": n_docs, "corpus_mb": round(mb, 1), "wall": round(w, 2),
+            "mb_per_sec": round(mb / w, 2), "walls": [round(x, 2) for x in walls],
+        }
+    docs.unpersist()
+
 floor = measure_floor(spark.sparkContext, cores, n)
 out["superstep_floor_sec"] = round(floor, 3)
 for job in ("pagerank", "dmid_rw"):
@@ -201,9 +229,42 @@ def ensure_graph() -> str:
     return path
 
 
-def run(cpus: int, graph: str) -> dict:
+N_TEXT_REPL = int(os.environ.get("SCALE_TEXT_REPL", "200"))
+
+
+def ensure_text_corpus() -> str:
+    """Deterministic scaled-up documents table for the text scan-stage jobs:
+    each sf0.1 doc replicated N_TEXT_REPL times with a fresh doc_id and a
+    per-copy suffix token — chunk dedup still finds the shared chunks across
+    copies (real dedup work), decontamination scans real n-grams."""
+    path = os.path.join(REPO, "BENCH", "data", f"text_corpus_x{N_TEXT_REPL}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        print(f"--- generating text corpus x{N_TEXT_REPL} ---", flush=True)
+        code = (
+            "import sys, os; sys.path.insert(0, os.environ['SCALE_REPO']);"
+            "from dmid_spark.session import get_spark;"
+            "from pyspark.sql import functions as F;"
+            "spark = get_spark('gentext', cores=32, shuffle_partitions=64);"
+            "docs = spark.read.parquet('/root/testdata/sf0.1/documents.parquet');"
+            f"r = spark.range({N_TEXT_REPL}).select(F.col('id').alias('rep'));"
+            "out = docs.crossJoin(r).select("
+            f" (F.col('doc_id') * {N_TEXT_REPL} + F.col('rep')).alias('doc_id'),"
+            " F.concat(F.col('text'), F.lit(' v'), F.col('rep')).alias('text'));"
+            f"out.repartition(64).write.mode('overwrite').parquet({path!r})"
+        )
+        subprocess.run(
+            [sys.executable, "-c", code], env={**os.environ, "SCALE_REPO": REPO},
+            check=True,
+        )
+    return path
+
+
+def run(cpus: int, graph: str, text: str) -> dict:
     print(f"--- scaling job at local[{cpus}] ---", flush=True)
-    env = dict(os.environ, SCALE_CORES=str(cpus), SCALE_REPO=REPO, SCALE_GRAPH=graph)
+    env = dict(
+        os.environ, SCALE_CORES=str(cpus), SCALE_REPO=REPO, SCALE_GRAPH=graph,
+        SCALE_TEXT=text,
+    )
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")
     subprocess.run(
         [sys.executable, "-c", _JOB], env=env, check=True,
@@ -238,6 +299,10 @@ def _best_of(runs: list[dict]) -> dict:
         out[job]["wall"] = min(r[job]["wall"] for r in runs)
         out[job]["edges_per_sec"] = max(r[job]["edges_per_sec"] for r in runs)
         out[job]["supersteps_per_sec"] = max(r[job]["supersteps_per_sec"] for r in runs)
+    for job in ("text_chunk_dedup", "text_decontaminate"):
+        if job in best:
+            out[job]["wall"] = min(r[job]["wall"] for r in runs)
+            out[job]["mb_per_sec"] = max(r[job]["mb_per_sec"] for r in runs)
     out["repeats"] = len(runs)
     return out
 
@@ -253,9 +318,10 @@ def main():
                 results[c] = json.load(f)
     else:
         graph = ensure_graph()
+        text = ensure_text_corpus()
         results = {}
         for c in levels:
-            results[c] = _best_of([run(c, graph) for _ in range(repeats)])
+            results[c] = _best_of([run(c, graph, text) for _ in range(repeats)])
             with open(os.path.join(REPO, "BENCH", f"scaling_run_{c}.json"), "w") as f:
                 json.dump(results[c], f, indent=2)
     print("--- hardware ceiling microbenchmark ---", flush=True)
@@ -335,6 +401,42 @@ def main():
                 f"| {lo}→{hi} | {name} | **{e2e}** | **{ss}** | **{comp}** "
                 f"| {cl['mem_bound_ceiling']} | {cl['cpu_bound_ceiling']} |"
             )
+    if "text_chunk_dedup" in results[levels[0]]:
+        tref = results[levels[0]]["text_chunk_dedup"]
+        lines += [
+            "",
+            "## Text scan-stage jobs (chunk dedup, 13-gram decontamination)",
+            "",
+            f"Same corpus at every level: {tref['docs']:,} documents /"
+            f" {tref['corpus_mb']:,} MB of text (sf0.1 deterministically"
+            f" replicated ×{N_TEXT_REPL}); min of 3 inner repeats per run,"
+            " per-level minima across SCALE_REPEATS (the graph-job noise"
+            " protocol). One-shot scans have no superstep floor — wall IS the"
+            " job.",
+            "",
+            "| job | cores | wall | corpus MB/s |",
+            "|---|---|---|---|",
+        ]
+        for name in ("text_chunk_dedup", "text_decontaminate"):
+            for c in levels:
+                r = results[c][name]
+                lines.append(
+                    f"| {name} | {c} | {r['wall']}s | {r['mb_per_sec']:,} |"
+                )
+        lines += [
+            "",
+            "| pair | job | efficiency (MB/s) | box mem-bound ceiling |",
+            "|---|---|---|---|",
+        ]
+        for lo, hi in pairs:
+            factor = hi / lo
+            cl = ceil[f"{lo}->{hi}"]
+            for name in ("text_chunk_dedup", "text_decontaminate"):
+                a, b = results[lo][name], results[hi][name]
+                eff = round(b["mb_per_sec"] / (factor * a["mb_per_sec"]), 3)
+                lines.append(
+                    f"| {lo}→{hi} | {name} | **{eff}** | {cl['mem_bound_ceiling']} |"
+                )
     lines += [
         "",
         "## Reading these numbers",
