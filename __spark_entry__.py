@@ -2683,11 +2683,13 @@ scored AS (
   FROM tf JOIN dft USING (term) CROSS JOIN nd
 ),
 r AS (
-  SELECT doc_id, term, tf, tfidf,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  -- rank on the 9dp-quantized score (matches the engine: last-ulp ln
+  -- differences must not flip top-k membership between engines)
+  SELECT doc_id, term, tf, ROUND(tfidf, 9) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ROUND(tfidf, 9) DESC, term) AS rnk
   FROM scored
 )
-SELECT doc_id, term, tf, ROUND(tfidf, 9) AS tfidf, CAST(rnk AS BIGINT) AS rank
+SELECT doc_id, term, tf, tfidf, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= 5""",
         "sketch_hll_registers": """
 WITH h AS (

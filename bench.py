@@ -69,20 +69,23 @@ def get_dmid_graph(spark, sym_edges):
     double-digit cascade rounds), so dmid_full measures the iterative
     engine, not just the phase-2/3 joins.
 
-    v3: vertices with no out-edges (locally-most-popular repos — every
+    v4: vertices with no out-edges (locally-most-popular repos — every
     neighbor has a larger id) can never join a community (profitability =
     cnt/out_deg is null), which forces the master's restart schedule all
     the way to a negative threshold; that final epoch admits every vertex
     into every reachable community — a ~V x C membership closure that is
     faithful to the reference's schedule but measures a degenerate regime.
-    Flipping ONE incident edge per such vertex (the max-src in-edge) gives
-    every vertex an out-edge, so the cascade terminates at a meaningful
-    threshold and the bench measures the iterative game, not the closure."""
+    ADDING the reverse of the max-src in-edge for each such vertex gives
+    every vertex an out-edge BY CONSTRUCTION (additions never create new
+    zero-out vertices, unlike v3's flip, whose donor could lose its only
+    out-edge), so the cascade terminates at a meaningful threshold and the
+    bench measures the iterative game, not the closure. The invariant is
+    re-asserted on the built graph before it is written."""
     from pyspark.sql import functions as F
 
     from dmid_spark import graph as G
 
-    path = os.path.join(REPO, "BENCH", "data", f"dmid_v3_r{N_REPOS}_c{N_COMMITS}")
+    path = os.path.join(REPO, "BENCH", "data", f"dmid_v4_r{N_REPOS}_c{N_COMMITS}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         directed = sym_edges.filter(
@@ -93,18 +96,21 @@ def get_dmid_graph(spark, sym_edges):
         zero_out = directed.select(F.col("dst").alias("v")).distinct().join(
             srcs.withColumnRenamed("src", "v"), "v", "left_anti"
         )
-        flip = (
+        add = (
             directed.join(zero_out, directed.dst == F.col("v"))
             .groupBy("v")
             .agg(F.max("src").alias("u"), F.max_by("weight", "src").alias("weight"))
         )
-        kept = directed.join(
-            flip.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-            ["src", "dst"], "left_anti",
+        fixed = directed.unionByName(
+            add.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
         )
-        fixed = kept.unionByName(
-            flip.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
+        # the invariant the cascade schedule depends on: no zero-out vertices
+        remaining = (
+            fixed.select(F.col("dst").alias("v")).distinct()
+            .join(fixed.select(F.col("src").alias("v")).distinct(), "v", "left_anti")
+            .count()
         )
+        assert remaining == 0, f"dmid_v4 fixture: {remaining} zero-out vertices remain"
         dense, _ = G.densify_ids(fixed)
         dense.repartition(CPUS).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -88,8 +88,15 @@ def strongly_connected_components(
     for outer in range(1, max_outer + 1):
         stats.outer_rounds = outer
         # --- 1. trim pure-DAG vertices to fixpoint ------------------------
+        # Per-PHASE budgets (a fresh counter each outer round, accumulated
+        # into stats): comparing the cumulative stats counter against
+        # max_inner would shrink later rounds' budgets toward zero. A trim
+        # cap is safe (untrimmed DAG vertices stay active and resolve in a
+        # later outer round); a capped coloring or marking phase is NOT —
+        # it would emit a wrongly-split component — so those raise instead.
         n_prev = n_next = cur.count()
-        while stats.trim_rounds < max_inner:
+        trim_r = 0
+        while trim_r < max_inner:
             srcs = cur.select(F.col("src").alias("id")).distinct()
             dsts = cur.select(F.col("dst").alias("id")).distinct()
             keep = K.materialize(
@@ -100,6 +107,7 @@ def strongly_connected_components(
                 .join(_hint(keep, broadcast_state), cur.dst == F.col("_k"), "left_semi")
             )
             n_next = nxt.count()
+            trim_r += 1
             stats.trim_rounds += 1
             cur = nxt
             if n_next == n_prev or n_next == 0:
@@ -117,7 +125,9 @@ def strongly_connected_components(
 
         # --- 2. forward-min coloring to fixpoint --------------------------
         color = K.materialize(active.select("id", F.col("id").alias("color")))
-        while stats.color_rounds < max_inner:
+        color_r = 0
+        color_converged = False
+        while color_r < max_inner:
             incoming = (
                 cur.join(
                     _hint(color.select(F.col("id").alias("_s"), "color"), broadcast_state),
@@ -139,10 +149,18 @@ def strongly_connected_components(
                 .filter(F.col("color") != F.col("old"))
                 .count()
             )
+            color_r += 1
             stats.color_rounds += 1
             color = new_color
             if changed == 0:
+                color_converged = True
                 break
+        if not color_converged:
+            raise RuntimeError(
+                f"scc: coloring phase hit max_inner={max_inner} before its "
+                f"fixpoint (outer round {outer}); proceeding would split an "
+                "SCC — raise max_inner"
+            )
 
         # --- 3. backward containment from the color roots -----------------
         # same-color reverse edges only; marks spread dst→src
@@ -162,7 +180,9 @@ def strongly_connected_components(
             color.filter(F.col("id") == F.col("color")).select("id", "color")
         )
         frontier = marked
-        while stats.mark_rounds < max_inner:
+        mark_r = 0
+        mark_converged = False
+        while mark_r < max_inner:
             preds = (
                 same.join(
                     _hint(frontier.select(F.col("id").alias("_m"), "color"), broadcast_state),
@@ -173,10 +193,18 @@ def strongly_connected_components(
                 .join(marked.select("id"), "id", "left_anti")
             )
             frontier = K.materialize(preds)
+            mark_r += 1
             stats.mark_rounds += 1
             if frontier.count() == 0:
+                mark_converged = True
                 break
             marked = K.materialize(marked.unionByName(frontier))
+        if not mark_converged:
+            raise RuntimeError(
+                f"scc: backward-containment phase hit max_inner={max_inner} "
+                f"before its fixpoint (outer round {outer}); proceeding would "
+                "emit a partial SCC — raise max_inner"
+            )
 
         done_parts.append(
             K.materialize(marked.select("id", F.col("color").alias("scc")))

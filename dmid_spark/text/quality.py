@@ -241,7 +241,13 @@ def tfidf_top_terms(
     Scale: tokenize-explode (scan stage) → one groupBy (doc_id, term) for
     tf → one groupBy (term) for df (broadcast back: O(vocab) rows) → per-doc
     top-k via the bounded sorted-list aggregate (the same device as
-    brute_force_topk — no global or per-doc window)."""
+    brute_force_topk — no global or per-doc window).
+
+    The rank sorts the tfidf QUANTIZED to 9 dp (the same
+    quantize-before-compare device as louvain_refine's gains): Spark's
+    Math.log and another engine's libm ln can differ in the last ulp, and
+    an exact-float tiebreak would let near-equal scores flip top-k
+    membership between engine and oracle."""
     n_docs = docs.count()
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toks = (
@@ -265,7 +271,9 @@ def tfidf_top_terms(
             F.slice(
                 F.array_sort(
                     F.collect_list(
-                        F.struct((-F.col("tfidf")).alias("neg"), "term", "tf")
+                        F.struct(
+                            (-F.round(F.col("tfidf"), 9)).alias("neg"), "term", "tf"
+                        )
                     )
                 ),
                 1,
@@ -277,7 +285,7 @@ def tfidf_top_terms(
             "doc_id",
             F.col("t.term").alias("term"),
             F.col("t.tf").alias("tf"),
-            F.round(-F.col("t.neg"), 9).alias("tfidf"),
+            (-F.col("t.neg")).alias("tfidf"),
             (F.col("pos") + 1).cast("long").alias("rank"),
         )
     )

@@ -124,3 +124,25 @@ def test_scc_random_graphs_match_tarjan(spark, seed, avg_deg):
     got, stats = run(spark, rows)
     assert stats.converged
     assert got == scc_oracle(rows, n)
+
+
+def test_scc_per_phase_budgets_and_capped_phase_raises(spark):
+    # two 3-cycles chained by DAG edges: resolving the second cycle takes a
+    # second outer round. Per-PHASE inner budgets must not shrink across
+    # outer rounds — with a budget big enough for any single phase (but far
+    # smaller than the old cumulative counters would need), both rounds run.
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+            (2, 3, 1.0),
+            (3, 4, 1.0), (4, 5, 1.0), (5, 3, 1.0)]
+    edges = G.edges_from_rows(spark, rows)
+    labels, stats = strongly_connected_components(edges, max_inner=6)
+    got = {r["id"]: r["scc"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    assert stats.converged
+    # a coloring/marking phase that cannot reach its fixpoint within the
+    # budget must raise (a silent cap would emit a split SCC), never return
+    long_cycle = [(i, (i + 1) % 12, 1.0) for i in range(12)]
+    with pytest.raises(RuntimeError, match="max_inner"):
+        strongly_connected_components(
+            G.edges_from_rows(spark, long_cycle), max_inner=3
+        )
