@@ -451,6 +451,15 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-split sequence packing over the documents
+    table (budget 512): pure integer arithmetic over a distributed
+    exclusive prefix sum of token counts — bitwise engine-portable."""
+    from dmid_spark.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
 def q_fingerprint(spark, sf_dir):
     from dmid_spark.text import document_fingerprints
 
@@ -1114,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_heavy_hitters": q_cms_heavy_hitters,
         "sketch_group_quantiles": q_group_quantiles,
         "tpch_q1": q_tpch_q1,
+        "text_pack_sequences": q_pack_sequences,
     }
 
 
@@ -2573,6 +2583,23 @@ SELECT source,
   CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END) AS BIGINT) AS total_tokens,
   ROUND(AVG(length(text)), 6) AS avg_chars
 FROM documents GROUP BY source""",
+        "text_pack_sequences": r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_token,
+       CAST(start_token // 512 AS BIGINT) AS pack_id,
+       CAST(start_token % 512 AS BIGINT) AS pack_offset
+FROM c""",
         "text_fingerprint_winnow": r"""
 WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts

@@ -32,7 +32,7 @@ from typing import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointManager
@@ -506,6 +506,46 @@ def distributed_rank(
         .join(F.broadcast(adj_df), "_pid")
         .withColumn(out_col, (F.col("_mid") + F.col("_adj")).cast("long"))
         .drop("_pid", "_mid", "_adj")
+    )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global EXCLUSIVE prefix sum of ``value_col`` over rows ordered by
+    ``order_cols`` (each row gets the sum of all strictly-earlier rows) —
+    the distributed replacement for ``sum().over(Window.orderBy(...))``,
+    which funnels the whole relation through ONE task.
+
+    Same machinery as :func:`distributed_rank`: range-partition on the
+    order key, sort within partitions, per-partition prefix via a window
+    PARTITIONED by the range-partition id (never global), collect only the
+    O(num_partitions) per-partition totals, broadcast the cumulative
+    offsets back. Integer values make the result bitwise engine-portable
+    (the add order cannot matter). ``order_cols`` must be a unique key."""
+    spark = df.sparkSession
+    ranged = materialize(_ranged_with_mid(df, order_cols, num_partitions))
+    tagged = ranged.withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+    totals = tagged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    adj, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        adj.append((int(r["_pid"]), acc))
+        acc += int(r["_t"] or 0)
+    adj_df = spark.createDataFrame(adj, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0).cast("long"))
+    return (
+        tagged.join(F.broadcast(adj_df), "_pid")
+        .withColumn(out_col, (local + F.col("_off")).cast("long"))
+        .drop("_pid", "_mid", "_off")
     )
 
 

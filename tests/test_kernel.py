@@ -138,3 +138,21 @@ def test_deterministic_sum_is_layout_proof(spark):
     # empty input
     empty = spark.createDataFrame([], "id long, value double")
     assert K.deterministic_sum(empty, "id", "value") == 0.0
+
+
+def test_distributed_cumsum_matches_sequential(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["cs"]
+        for r in K.distributed_cumsum(df, ["id"], "v", out_col="cs").collect()
+    }
+    acc, want = 0, {}
+    for i, v in sorted(rows):
+        want[i] = acc
+        acc += v
+    assert got == want

@@ -471,3 +471,21 @@ def test_louvain_round_plan_quality(spark, monkeypatch):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan and "Window" not in plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    # the prefix sum must never funnel the corpus through one task: range
+    # exchange + per-range-partition windows only
+    from dmid_spark.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7)) for i in range(300)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget=16)
+    out.collect()
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    # the range exchange itself sits behind the materialize() lineage cut —
+    # test_distributed_rank_is_not_single_partition inspects that fragment;
+    # here the visible window must be partitioned (by _pid), never global
+    assert "Window [" not in plan or "SinglePartition" not in plan

@@ -397,3 +397,31 @@ def test_tfidf_top_terms(spark):
         exp = [(i + 1, t, c, pytest.approx(-neg, abs=1e-9)) for i, (neg, t, c) in enumerate(scored)]
         assert sorted(got[d]) == exp, d
     assert 6 not in got  # empty doc yields no rows
+
+
+def test_pack_sequences_matches_oracle(spark):
+    from dmid_spark.text import pack_sequences
+
+    rows = [
+        (0, "a b c"),            # 3 tokens, start 0
+        (1, ""),                 # 0 tokens, start 3
+        (2, "d e f g h"),        # 5 tokens, start 3 -> spans the budget-4 cut
+        (3, "i j"),              # start 8 -> pack 2 offset 0
+        (4, "   "),              # whitespace-only = 0 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_token"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(docs, budget=4).collect()
+    }
+    assert got == {
+        0: (3, 0, 0, 0),
+        1: (0, 3, 0, 3),
+        2: (5, 3, 0, 3),
+        3: (2, 8, 2, 0),
+        4: (0, 10, 2, 2),
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pack_sequences(docs, budget=0)
