@@ -451,6 +451,23 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_prepare_training(spark, sf_dir):
+    """End-to-end training-data prep: clean (quality/language/exact/near
+    dedup) → 13-gram decontamination vs the doc_id%97 'benchmark' →
+    concat-and-split packing at budget 512. Returns the packed survivor
+    table — all integers, hash-verified against the composed DuckDB twin."""
+    from dmid_spark.text import CleanCorpusParams, prepare_training_data
+
+    docs = _docs(spark, sf_dir)
+    params = CleanCorpusParams(
+        min_quality=0.8, keep_langs=("de", "en", "es", "fr"), hash_mode="md5"
+    )
+    packed, _ = prepare_training_data(
+        docs, docs.filter("doc_id % 97 = 0"), params=params, budget=512
+    )
+    return packed
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-split sequence packing over the documents
     table (budget 512): pure integer arithmetic over a distributed
@@ -1124,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_group_quantiles": q_group_quantiles,
         "tpch_q1": q_tpch_q1,
         "text_pack_sequences": q_pack_sequences,
+        "pipeline_prepare_training": q_prepare_training,
     }
 
 
@@ -1792,6 +1810,72 @@ SELECT q.doc_id, q.lang_pred,
 FROM q
 LEFT JOIN exact_dropped ed ON q.doc_id = ed.doc_id
 LEFT JOIN near_dropped nd ON q.doc_id = nd.doc_id"""
+
+
+def _prepare_training_sql(
+    min_quality: float = 0.8,
+    keep_langs: tuple[str, ...] = ("de", "en", "es", "fr"),
+    n: int = 13,
+    budget: int = 512,
+    **minhash_kwargs,
+) -> str:
+    """DuckDB twin of q_prepare_training: the clean_corpus twin nested as a
+    CTE, then md5 13-gram decontamination of the kept docs against the
+    doc_id%97 benchmark, then the exclusive-prefix-sum packing twin."""
+    clean = _clean_corpus_sql(
+        min_quality=min_quality, keep_langs=keep_langs, **minhash_kwargs
+    )
+    gram = (
+        "CAST(('0x' || substr(md5(array_to_string(list_slice(ts, i, i+"
+        + str(n - 1)
+        + "), ' ')), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH decisions AS MATERIALIZED (
+{clean}
+),
+kept AS MATERIALIZED (
+  SELECT d.doc_id, doc.text
+  FROM decisions d JOIN documents doc USING (doc_id)
+  WHERE d.decision = 'keep'
+),
+ktoks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+  FROM kept WHERE trim(text) <> ''
+),
+btoks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ts
+  FROM documents WHERE doc_id % 97 = 0 AND trim(text) <> ''
+),
+kg AS (
+  SELECT DISTINCT doc_id, {gram} AS gh
+  FROM ktoks, LATERAL unnest(range(1, len(ts) - {n - 2})) AS t(i)
+),
+bg AS (
+  SELECT DISTINCT {gram} AS gh
+  FROM btoks, LATERAL unnest(range(1, len(ts) - {n - 2})) AS t(i)
+),
+contaminated AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (gh)),
+final AS MATERIALIZED (
+  SELECT k.doc_id, k.text FROM kept k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+ptoks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM final
+),
+pc AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+  FROM ptoks
+)
+SELECT doc_id, n_tokens, start_token,
+       CAST(start_token // {budget} AS BIGINT) AS pack_id,
+       CAST(start_token % {budget} AS BIGINT) AS pack_offset
+FROM pc"""
 
 
 def _betweenness_sql(src_mod: int, levels: int = 12) -> str:
@@ -2858,6 +2942,10 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "dedup_simhash": _simhash_sql(bits=60, chunk_bits=15, max_hamming=10),
         "dedup_neardup_clusters": _neardup_clusters_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
         "pipeline_clean_corpus": _clean_corpus_sql(min_quality=0.8, num_hashes=32, bands=8, max_bucket=200, seed=42),
+        "pipeline_prepare_training": _prepare_training_sql(
+            min_quality=0.8, n=13, budget=512,
+            num_hashes=32, bands=8, max_bucket=200, seed=42,
+        ),
         "ann_ivf_topk": _ivf_topk_sql(n_centroids=8, k=10, n_probe=3, seed=42, n_queries=5),
         "ann_rp_lsh": """
 WITH q AS (

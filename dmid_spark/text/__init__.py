@@ -16,6 +16,7 @@ from .chunks import (  # noqa: F401
 from .pipeline import (  # noqa: F401
     CleanCorpusParams,
     clean_corpus,
+    prepare_training_data,
 )
 from .fingerprint import (  # noqa: F401
     document_fingerprints,

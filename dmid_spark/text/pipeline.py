@@ -107,3 +107,63 @@ def clean_corpus(
             decision.alias("decision"),
         )
     )
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    params: CleanCorpusParams = CleanCorpusParams(),
+    decontaminate_n: int = 13,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The full end-to-end training-data preparation a pretraining run
+    consumes: ``clean_corpus`` (quality → language → exact dedup → near
+    dedup) → n-gram benchmark decontamination → GPT-style sequence packing.
+
+    Returns ``(packed, decisions)``:
+
+    - ``packed``: ``pack_sequences`` output over the final survivor set —
+      each surviving doc's (n_tokens, start_token, pack_id, pack_offset)
+      in the packed token stream.
+    - ``decisions``: one auditable row per INPUT doc; ``clean_corpus``'s
+      decision column extended with ``'contaminated'`` for docs that
+      survived cleaning but share a ``decontaminate_n``-gram with the
+      benchmark corpus.
+
+    Scale shape is the union of its stages' shapes: scan-stage scoring,
+    one hash groupBy, bucket-capped LSH + components on the shrinking
+    survivor set, a broadcast benchmark-gram semi-join, and one
+    distributed prefix sum. Every stage's output feeds the next stage's
+    smaller input; nothing is quadratic in documents.
+    """
+    from .chunks import decontaminate
+    from .packing import pack_sequences
+
+    decisions = clean_corpus(docs, params, text_col=text_col, id_col=id_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    kept = base.join(
+        decisions.filter(F.col("decision") == "keep").select("doc_id"), "doc_id"
+    )
+    contaminated = decontaminate(
+        kept, benchmark, n=decontaminate_n, text_col="text", id_col="doc_id",
+        hash_mode=params.hash_mode,
+    ).select("doc_id")
+    final_decisions = (
+        decisions.join(contaminated.withColumn("_c", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality_score",
+            F.when(
+                (F.col("decision") == "keep") & F.col("_c").isNotNull(),
+                F.lit("contaminated"),
+            )
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+        )
+    )
+    final = kept.join(contaminated, "doc_id", "left_anti")
+    packed = pack_sequences(final, budget=budget, text_col="text", id_col="doc_id")
+    return packed, final_decisions

@@ -425,3 +425,39 @@ def test_pack_sequences_matches_oracle(spark):
 
     with _pt.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+def test_prepare_training_data_end_to_end(spark):
+    from dmid_spark.text import CleanCorpusParams, prepare_training_data
+
+    good_en = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs to the forest with a friend of the pack in the morning"
+    )
+    other_en = (
+        "a tall ship sails to the harbor and the crew is glad of the wind "
+        "that is steady in the morning and the sea is calm for the day"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good_en),        # keep, but contaminated (== benchmark doc 10)
+            (2, good_en),        # exact_dup of 1
+            (3, other_en),       # keep -> packed
+            (5, "short text"),   # quality drop
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(10, good_en)], "doc_id long, text string")
+    params = CleanCorpusParams(min_quality=0.5, keep_langs=("de", "en", "es", "fr"))
+    packed, decisions = prepare_training_data(
+        docs, bench, params=params, decontaminate_n=13, budget=8
+    )
+    dec = {r["doc_id"]: r["decision"] for r in decisions.collect()}
+    assert dec == {1: "contaminated", 2: "exact_dup", 3: "keep", 5: "quality"}
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    assert list(rows) == [3]  # only the clean, uncontaminated doc packs
+    r = rows[3]
+    n = len(other_en.split())
+    assert (r["n_tokens"], r["start_token"], r["pack_id"], r["pack_offset"]) == (
+        n, 0, 0, 0
+    )
