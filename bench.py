@@ -354,6 +354,21 @@ def main():
     n_cont = timed("decontaminate_13gram", run_decontaminate)
     detail["decontaminate"] = {"contaminated_docs": int(n_cont)}
 
+    from dmid_spark.text import CleanCorpusParams, pack_sequences, prepare_training_data
+
+    timed("pack_sequences", lambda: pack_sequences(docs, budget=2048).count())
+
+    def run_prepare():
+        # the flagship composition: clean -> dedup -> decontaminate -> pack
+        packed, _ = prepare_training_data(
+            docs, docs.filter(F.col("doc_id") % 97 == 0),
+            params=CleanCorpusParams(min_quality=0.5),
+        )
+        return packed.count()
+
+    n_packed = timed("prepare_training_data", run_prepare)
+    detail["prepare_training_data"] = {"packed_docs": int(n_packed)}
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     def run_ann():
