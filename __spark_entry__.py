@@ -538,6 +538,14 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_transition_graph(spark, sf_dir):
+    """Event-type Markov transition edges from each user's timeline —
+    the events-table → graph-engine bridge (graph.transition_edges)."""
+    from dmid_spark.graph import transition_edges
+
+    return transition_edges(_events(spark, sf_dir))
+
+
 def q_tumbling(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -1142,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "text_pack_sequences": q_pack_sequences,
         "pipeline_prepare_training": q_prepare_training,
+        "events_transition_graph": q_transition_graph,
     }
 
 
@@ -2921,6 +2930,18 @@ r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DES
 SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
        CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
 FROM r WHERE rn <= 10""",
+        "events_transition_graph": """
+WITH o AS (
+  SELECT user_id, event_type AS dst_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+         ) AS src_type
+  FROM events
+)
+SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS transitions
+FROM o WHERE src_type IS NOT NULL
+GROUP BY src_type, dst_type""",
         "events_sessionize": """
 WITH ev AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
 l AS (SELECT user_id, t, LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM ev),

@@ -163,6 +163,41 @@ def contract_graph(
     return out
 
 
+def transition_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """Markov transition edge table from an event stream: one weighted edge
+    ``(src_type, dst_type, transitions)`` per consecutive event-type pair
+    within each user's timeline — the bridge from the events table into the
+    graph engine (relabel types to ids via densify_ids and any algorithm
+    runs on it: PageRank gives steady-state type importance, components
+    give behavioral clusters).
+
+    Ordering is total per user — (ts, tiebreak_col) — so the result is
+    deterministic and engine-portable (a bare ts would leave same-timestamp
+    pairs ambiguous). The lag window is PARTITIONED by user (bounded by a
+    user's event count, never a global sort); the aggregation map-side
+    combines on the tiny type×type key space."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).cast("timestamp").cast("long")]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("dst_type"),
+        F.lag(type_col).over(w).alias("src_type"),
+    ).filter(F.col("src_type").isNotNull())
+    return pairs.groupBy("src_type", "dst_type").agg(
+        F.count("*").cast("long").alias("transitions")
+    )
+
+
 def graph_summary(edges: DataFrame) -> DataFrame:
     """One-row global shape summary of the directed simple graph:
     ``(n_vertices, n_edges, n_self_loops, n_reciprocal, max_in_deg,

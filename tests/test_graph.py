@@ -85,3 +85,25 @@ def test_graph_summary_exact_counts(spark):
     assert row.n_reciprocal == 3
     assert row.max_in_deg == 3  # vertex 0 from 1, 2, 3
     assert row.max_out_deg == 3  # vertex 2 -> 2, 0, 1
+
+
+def test_transition_edges_matches_sequential(spark):
+    from pyspark.sql import functions as F
+
+    from dmid_spark.graph import transition_edges
+
+    # two users; u1 has a same-timestamp pair disambiguated by event_id
+    rows = [
+        (1, 100, 10, "a"), (2, 200, 10, "b"), (3, 200, 10, "c"), (4, 300, 10, "a"),
+        (5, 100, 20, "b"), (6, 150, 20, "b"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, float(t), u, k) for e, t, u, k in rows],
+        "event_id long, ts double, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    got = {
+        (r["src_type"], r["dst_type"]): r["transitions"]
+        for r in transition_edges(ev).collect()
+    }
+    # u10: a->b (ts100->200), b->c (same ts, event_id order), c->a; u20: b->b
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1, ("b", "b"): 1}
