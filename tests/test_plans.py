@@ -489,3 +489,19 @@ def test_pack_sequences_no_global_window(spark):
     # test_distributed_rank_is_not_single_partition inspects that fragment;
     # here the visible window must be partitioned (by _pid), never global
     assert "Window [" not in plan or "SinglePartition" not in plan
+
+
+def test_transition_edges_window_is_per_user(spark):
+    # the lag window must hash-partition by user, never collapse global;
+    # the type-pair aggregation must combine map-side
+    from dmid_spark.graph import transition_edges
+
+    ev = spark.createDataFrame(
+        [(i, float(i * 7 % 100), i % 9, f"t{i % 4}") for i in range(300)],
+        "event_id long, ts double, user_id long, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    out = transition_edges(ev)
+    out.collect()
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan
