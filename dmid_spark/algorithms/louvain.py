@@ -256,6 +256,7 @@ def louvain(
     stats = LouvainStats()
     cur_edges = edges
     ckpt: CheckpointManager | None = None
+    auto_rebase_dir: str | None = None
     # identity mapping at level 0
     mapping = K.materialize(
         G.vertices(_und(edges).select("src", "dst")).select(
@@ -291,25 +292,28 @@ def louvain(
         # re-base the coarse graph as a fresh DataFrame: stacking localCheckpoint
         # generations (checkpoint of a plan over a checkpoint of ...) degrades
         # execution of every later job in the session — observed ~5x per extra
-        # generation on this Spark build. take(limit+1) executes the plan once
-        # (no count-then-collect double run): small coarse graphs re-base
-        # through the driver, bigger ones through a parquet round-trip — the
-        # lineage is cut either way.
-        rows = coarse.select("src", "dst", "weight").take(rebase_limit + 1)
+        # generation on this Spark build. Persist before the size probe so the
+        # contraction executes once whichever path is taken, and so the
+        # >limit path never hauls rebase_limit rows to the driver just to
+        # discard them: the probe is a limit-pruned count, the small path
+        # collects from cache, the large path writes parquet from cache.
+        coarse_sel = coarse.select("src", "dst", "weight").persist()
+        n_coarse = coarse_sel.limit(rebase_limit + 1).count()
         if cur_edges is not edges:
             cur_edges.unpersist()
         lab.unpersist()
-        if len(rows) > rebase_limit:
+        if n_coarse > rebase_limit:
             if ckpt is None:
-                ckpt = CheckpointManager(
-                    edges.sparkSession,
-                    rebase_dir or tempfile.mkdtemp(prefix="louvain_rebase_"),
-                    run_id="louvain",
-                )
-            cur_edges = ckpt.save(
-                coarse.select("src", "dst", "weight"), "coarse", level
-            )
+                base = rebase_dir or tempfile.mkdtemp(prefix="louvain_rebase_")
+                # auto-created dirs are ours to remove on return; a caller
+                # passing rebase_dir owns its lifecycle (resumable runs)
+                auto_rebase_dir = None if rebase_dir else base
+                ckpt = CheckpointManager(edges.sparkSession, base, run_id="louvain")
+            cur_edges = ckpt.save(coarse_sel, "coarse", level)
+            coarse_sel.unpersist()
         else:
+            rows = coarse_sel.take(rebase_limit)
+            coarse_sel.unpersist()
             if not rows:
                 stats.levels_wall.append(time.time() - t_level)
                 break
@@ -318,5 +322,11 @@ def louvain(
             )
         stats.levels_wall.append(time.time() - t_level)
     stats.modularity = partition_modularity(edges, mapping)
+    if auto_rebase_dir is not None:
+        # mapping is localCheckpointed (executor-resident), so the coarse
+        # parquet round-trips are dead weight once modularity is measured
+        import shutil
+
+        shutil.rmtree(auto_rebase_dir, ignore_errors=True)
     stats.wall_sec = time.time() - t0
     return mapping, stats

@@ -107,10 +107,27 @@ def hll_distinct_counts(
     group_cols: list[str] | None = None,
     p: int = 8,
     hash_mode: str = "xxhash64",
+    max_groups: int = 10_000,
 ) -> dict[tuple, float]:
     """Convenience end-to-end: registers → per-group estimates (driver-side
-    dict keyed by the group tuple; () for the global group)."""
+    dict keyed by the group tuple; () for the global group).
+
+    DRIVER-SIDE FAN-IN: this collects O(groups · 2^p) register rows to the
+    driver — the right tool for dashboards/reports over a bounded group set,
+    NOT for high-cardinality groups. Raises when the group count exceeds
+    ``max_groups``; at scale, keep the mergeable register TABLE from
+    :func:`hll_registers` (the verified distributed artifact) and estimate
+    downstream, or raise ``max_groups`` only if the driver can truly hold
+    the fan-in."""
     gcols = list(group_cols or [])
+    if gcols:
+        n_groups = df.select(*gcols).distinct().limit(max_groups + 1).count()
+        if n_groups > max_groups:
+            raise ValueError(
+                f"hll_distinct_counts would collect >{max_groups} groups "
+                f"(x 2^{p} registers) to the driver; use hll_registers() and "
+                "keep the register table distributed, or raise max_groups"
+            )
     pdf = hll_registers(df, key_col, gcols, p=p, hash_mode=hash_mode).toPandas()
     out: dict[tuple, float] = {}
     if not len(pdf):

@@ -138,18 +138,28 @@ def prepare_training_data(
     distributed prefix sum. Every stage's output feeds the next stage's
     smaller input; nothing is quadratic in documents.
     """
+    from .. import kernel as K
     from .chunks import decontaminate
     from .packing import pack_sequences
 
-    decisions = clean_corpus(docs, params, text_col=text_col, id_col=id_col)
+    # materialize each fan-out point ONCE: `decisions` feeds both the kept
+    # join and final_decisions, `kept` feeds both decontaminate and the
+    # final survivor set, `contaminated` feeds both final_decisions and the
+    # final anti-join — without the lineage cuts the quality/lang scoring
+    # and the minhash signature build re-run 3-4x (once per consumer)
+    decisions = K.materialize(clean_corpus(docs, params, text_col=text_col, id_col=id_col))
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    kept = base.join(
-        decisions.filter(F.col("decision") == "keep").select("doc_id"), "doc_id"
+    kept = K.materialize(
+        base.join(
+            decisions.filter(F.col("decision") == "keep").select("doc_id"), "doc_id"
+        )
     )
-    contaminated = decontaminate(
-        kept, benchmark, n=decontaminate_n, text_col="text", id_col="doc_id",
-        hash_mode=params.hash_mode,
-    ).select("doc_id")
+    contaminated = K.materialize(
+        decontaminate(
+            kept, benchmark, n=decontaminate_n, text_col="text", id_col="doc_id",
+            hash_mode=params.hash_mode,
+        ).select("doc_id")
+    )
     final_decisions = (
         decisions.join(contaminated.withColumn("_c", F.lit(1)), "doc_id", "left")
         .select(

@@ -82,7 +82,8 @@ def quality_scores(
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = F.split(F.trim(t), r"\s+")
-    n_tokens = F.when(F.trim(t) == "", 0).otherwise(F.size(toks))
+    # NULL folds into the zero branch (size(split(NULL)) would yield NULL)
+    n_tokens = F.when(t.isNull() | (F.trim(t) == ""), 0).otherwise(F.size(toks))
     n_words = F.size(F.expr(f"regexp_extract_all({text_col}, '[\\\\p{{L}}\\\\p{{N}}]+', 0)"))
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}]", ""))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))

@@ -487,8 +487,11 @@ def test_pack_sequences_no_global_window(spark):
     assert "SinglePartition" not in plan
     # the range exchange itself sits behind the materialize() lineage cut —
     # test_distributed_rank_is_not_single_partition inspects that fragment;
-    # here the visible window must be partitioned (by _pid), never global
-    assert "Window [" not in plan or "SinglePartition" not in plan
+    # here every visible Window node must be partitioned by _pid (an empty
+    # partition spec would be the global funnel)
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, f"unpartitioned window: {line}"
 
 
 def test_transition_edges_window_is_per_user(spark):

@@ -142,6 +142,21 @@ def test_cms_merge_equals_whole(spark):
     assert merged == whole
 
 
+def test_hll_distinct_counts_guards_driver_fanin(spark):
+    """The convenience dict path is O(groups * 2^p) on the driver: above
+    max_groups it must refuse and point at the distributed register table."""
+    import pytest as _pt
+
+    df = spark.range(40).selectExpr(
+        "id as event_id", "cast(id as string) as user", "cast(id % 20 as string) as typ"
+    )
+    with _pt.raises(ValueError, match="hll_registers"):
+        hll_distinct_counts(df, "user", group_cols=["typ"], p=5, max_groups=10)
+    # under the cap the path still works
+    got = hll_distinct_counts(df, "user", group_cols=["typ"], p=5, max_groups=20)
+    assert len(got) == 20
+
+
 def test_sketches_empty_input(spark):
     empty = spark.createDataFrame([], "event_id long, user string, typ string")
     assert hll_registers(empty, "user", p=5).collect() == []

@@ -427,6 +427,45 @@ def test_pack_sequences_matches_oracle(spark):
         pack_sequences(docs, budget=0)
 
 
+def test_pack_sequences_null_text_is_zero_tokens(spark):
+    """NULL text folds into the empty branch (size(split(NULL)) is NULL —
+    or -1 under legacy sizeOfNull — either would corrupt every later doc's
+    start_token through the prefix sum)."""
+    from dmid_spark.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, None), (2, "c d e")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_token"])
+        for r in pack_sequences(docs, budget=4).collect()
+    }
+    assert got == {0: (2, 0), 1: (0, 2), 2: (3, 2)}
+
+
+def test_pack_sequences_precomputed_token_counts(spark):
+    """tokens_col drives the packing (real-tokenizer counts computed
+    upstream); text is never read, NULL counts pack as 0, and the result is
+    bitwise-identical to the integer oracle."""
+    from dmid_spark.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, None, 7), (1, "ignored", None), (2, None, 3), (3, None, 6)],
+        "doc_id long, text string, bpe_count int",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_token"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(docs, budget=4, tokens_col="bpe_count").collect()
+    }
+    # exclusive prefix sums of (7, 0, 3, 6): starts 0, 7, 7, 10
+    assert got == {
+        0: (7, 0, 0, 0),
+        1: (0, 7, 1, 3),
+        2: (3, 7, 1, 3),
+        3: (6, 10, 2, 2),
+    }
+
+
 def test_prepare_training_data_end_to_end(spark):
     from dmid_spark.text import CleanCorpusParams, prepare_training_data
 
@@ -461,3 +500,11 @@ def test_prepare_training_data_end_to_end(spark):
     assert (r["n_tokens"], r["start_token"], r["pack_id"], r["pack_offset"]) == (
         n, 0, 0, 0
     )
+    # the fan-out points (decisions / kept / contaminated) are materialized
+    # once inside prepare_training_data: neither returned frame's plan may
+    # re-run the cleaning scan stages (quality regexes, minhash aggregates)
+    # — a lineage cut shows up as a checkpoint scan instead
+    for frame in (packed, decisions):
+        plan = frame._jdf.queryExecution().toString()
+        assert "regexp_extract_all" not in plan
+        assert "xxhash64" not in plan.lower()
