@@ -594,6 +594,24 @@ def q_minhash_lsh(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-ingest incremental dedup: every 10th doc re-ingested under
+    doc_id+100000 as the 'new batch', LSH-matched against the stored
+    signature index of the full corpus — old x old pairs are never
+    generated (dedup.dedup_against)."""
+    from dmid_spark.text import dedup_against, minhash_signatures
+
+    d = _docs(spark, sf_dir)
+    idx = minhash_signatures(d, shingle_n=3, num_hashes=32, hash_mode="md5")
+    new = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    out = dedup_against(
+        new, idx, shingle_n=3, num_hashes=32, bands=8, max_bucket=200, hash_mode="md5"
+    )
+    return out.select("new_id", "old_id", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     from dmid_spark.text import simhash, simhash_near_duplicates
 
@@ -1090,7 +1108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_coreness": q_coreness,
         "x12_scc": q_scc,
         "x13_bfs_distances": q_bfs,
-        "x15_random_walks": q_random_walks,
         "x16_betweenness_sample": q_betweenness,
         "x17_sssp_sample": q_sssp,
         "x19_hyperball": q_hyperball,
@@ -1112,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_simhash_neardup,
         "pipeline_clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
@@ -1148,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_heavy_hitters": q_cms_heavy_hitters,
         "sketch_group_quantiles": q_group_quantiles,
         "tpch_q1": q_tpch_q1,
+        "x15_random_walks": q_random_walks,
         "text_pack_sequences": q_pack_sequences,
         "pipeline_prepare_training": q_prepare_training,
         "events_transition_graph": q_transition_graph,
@@ -1517,6 +1536,71 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN mins ma ON p.doc_a = ma.doc_id
 JOIN mins mb ON p.doc_b = mb.doc_id"""
+
+
+def _dedup_against_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200,
+                       seed: int = 42) -> str:
+    """DuckDB twin of q_dedup_incremental (md5 hash mode): signatures for
+    corpus + re-ingested batch, banded buckets sized on the INDEX side
+    only, new x old bucket join — old x old pairs structurally absent."""
+    from dmid_spark.text.dedup import _hash_params, _P
+
+    a, b = _hash_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    mins = ",\n    ".join(
+        f"MIN(({int(a[i])} * (sh % {_P}) + {int(b[i])}) % {_P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    banded = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, is_new, {band} AS band, md5(concat_ws(',', {cols})) AS bucket FROM mins".format(
+            band=i,
+            cols=", ".join(f"h{i * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for i in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    gram = "ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]"
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text, 0 AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, 1 AS is_new FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (
+  SELECT doc_id, is_new, string_split_regex(lower(text), '\\s+') AS ts FROM docs2
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_new, {_md5_long(gram)} AS sh
+  FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE ({gram}) <> ''
+),
+mins AS MATERIALIZED (
+  SELECT doc_id, is_new, {mins}
+  FROM grams GROUP BY doc_id, is_new
+),
+banded AS MATERIALIZED (
+  {banded}
+),
+sizes AS (
+  SELECT band, bucket, COUNT(*) AS bsz FROM banded WHERE is_new = 0 GROUP BY 1, 2
+),
+kept_old AS (
+  SELECT b.doc_id, b.band, b.bucket FROM banded b
+  JOIN sizes s ON b.band = s.band AND b.bucket = s.bucket
+  WHERE b.is_new = 0 AND s.bsz <= {max_bucket}
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM (SELECT doc_id, band, bucket FROM banded WHERE is_new = 1) n
+  JOIN kept_old o ON n.band = o.band AND n.bucket = o.bucket
+)
+SELECT p.new_id, p.old_id,
+       ROUND(({matches}) / {float(num_hashes)}, 6) AS est_jaccard
+FROM pairs p
+JOIN mins ma ON p.new_id = ma.doc_id
+JOIN mins mb ON p.old_id = mb.doc_id"""
 
 
 def _simhash_sql(
@@ -2960,6 +3044,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "slpa_cover": _G + _slpa_sql(iterations=5, r=0.3, seed=42),
         "dedup_minhash_lsh": _minhash_lsh_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
+        "dedup_incremental": _dedup_against_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
         "dedup_simhash": _simhash_sql(bits=60, chunk_bits=15, max_hamming=10),
         "dedup_neardup_clusters": _neardup_clusters_sql(num_hashes=32, bands=8, max_bucket=200, seed=42),
         "pipeline_clean_corpus": _clean_corpus_sql(min_quality=0.8, num_hashes=32, bands=8, max_bucket=200, seed=42),

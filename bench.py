@@ -324,12 +324,38 @@ def main():
     # --- training-data pipeline workload on the SF tables -----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
+    lsh_pairs_holder = {}
+
     def run_minhash():
         sigs = minhash_signatures(docs, shingle_n=3, num_hashes=32)
-        return minhash_lsh_candidates(sigs, bands=8).count()
+        pairs = minhash_lsh_candidates(sigs, bands=8, num_hashes=32).persist()
+        lsh_pairs_holder["pairs"] = pairs
+        return pairs.count()
 
     n_cand = timed("minhash_lsh_dedup", run_minhash)
     detail["minhash"] = {"candidate_pairs": int(n_cand)}
+
+    # measured recall/precision of the LSH blocker at its shipping defaults
+    # (shingle_n=3, num_hashes=32, bands=8, max_bucket=200) vs exact n-gram
+    # Jaccard >= 0.5 ground truth — not timed as a query, it exists to
+    # quantify the approximation the near-dedup family sits on (the same
+    # honesty contract as ann_recall_at_10). 8 bands x 4 rows puts the LSH
+    # s-curve midpoint at ~0.59, so 0.5 is the demanding side of the curve.
+    from dmid_spark.text import ngram_jaccard_pairs
+
+    truth = (
+        ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_truth = truth.count()
+    lsh_pairs = lsh_pairs_holder["pairs"].select("doc_a", "doc_b")
+    n_hit = truth.join(lsh_pairs, ["doc_a", "doc_b"]).count()
+    detail["minhash_recall"] = round(n_hit / n_truth, 4) if n_truth else None
+    detail["minhash_precision"] = round(n_hit / n_cand, 4) if n_cand else None
+    detail["minhash_truth_pairs"] = int(n_truth)
+    truth.unpersist()
+    lsh_pairs_holder["pairs"].unpersist()
 
     from dmid_spark.text import document_fingerprints, repetition_scores
 
@@ -371,13 +397,28 @@ def main():
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
+    ivf_split = {}
+
     def run_ann():
         # the library defaults: 16 trained centroids (lloyd_iters=2),
-        # n_probe=12 — the operating point the recall detail below measures
+        # n_probe=12 — the operating point the recall detail below measures.
+        # Build (centroid training + assignment materialization) and probe
+        # are timed separately in detail so future recall/latency trades
+        # stay visible; the query row is their sum.
+        t_b = time.time()
         assigned, cents = ivf_build(emb)
-        return ivf_topk(assigned, cents, emb.limit(64), k=10).count()
+        assigned = assigned.persist()
+        n_idx = assigned.count()
+        ivf_split["ivf_build_sec"] = round(time.time() - t_b, 3)
+        ivf_split["indexed_vectors"] = int(n_idx)
+        t_p = time.time()
+        n = ivf_topk(assigned, cents, emb.limit(64), k=10).count()
+        ivf_split["ivf_probe_sec"] = round(time.time() - t_p, 3)
+        assigned.unpersist()
+        return n
 
     timed("ann_ivf_topk", run_ann)
+    detail["ann_ivf_split"] = ivf_split
     # measured recall@10 vs the brute-force oracle (not timed as a query —
     # it exists to quantify the approximation, reported per n_probe).
     # ann_recall_at_10 runs at the library DEFAULTS (trained index); the

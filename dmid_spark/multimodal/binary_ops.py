@@ -40,10 +40,10 @@ def synth_media_table(
 
     ``payload='hash'``: opaque sha256-derived bytes (exercises the fake
     decode path and the unknown-container error path).
-    ``payload='encoded'``: real container bytes — BMP for images, PCM16 WAV
-    for audio — generated per-row from a payload-seeded PRNG, so the *real*
-    decode path round-trips. Video stays opaque (no uncompressed container
-    worth faking)."""
+    ``payload='encoded'``: real container bytes — BMP/PNG (alternating by
+    media_id) for images, PCM16 WAV for audio — generated per-row from a
+    payload-seeded PRNG, so the *real* decode path round-trips. Video stays
+    opaque (no uncompressed container worth faking)."""
     base = (
         spark.range(n)
         .select(
@@ -79,7 +79,11 @@ def synth_media_table(
                 if kind == "image":
                     w, h = int(meta["width"]), int(meta["height"])
                     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    payloads.append(codecs.encode_bmp(img))
+                    # alternate containers so the real-decode path exercises
+                    # both the raw-layout (BMP) and DEFLATE (PNG) codecs
+                    payloads.append(
+                        codecs.encode_png(img) if int(mid) % 2 else codecs.encode_bmp(img)
+                    )
                 elif kind == "audio":
                     sr = int(meta["sample_rate"])
                     samples = rng.integers(-(2**15), 2**15, size=sr // 10, dtype=np.int16)
@@ -103,9 +107,10 @@ def _fake_pixels(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
 
 def decode_image(df: DataFrame, impl: str = "fake") -> DataFrame:
     """binary payload → flat pixel array + dims. Arrow-batched. ``impl='real'``
-    sniffs the container and decodes BMP/PGM/PPM with pure NumPy
-    (``codecs.decode_image_payload``); compressed containers raise at the
-    declared PIL/turbojpeg plug point."""
+    sniffs the container and decodes BMP/PGM/PPM (pure NumPy) and PNG
+    (stdlib zlib + filter reconstruction) via
+    ``codecs.decode_image_payload``; JPEG/video remain the declared
+    PIL/turbojpeg plug point."""
 
     def run(it):
         for pdf in it:

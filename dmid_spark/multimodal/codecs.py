@@ -1,10 +1,11 @@
 """Pure-NumPy codecs for uncompressed media containers.
 
-The sandbox has no PIL/libjpeg/ffmpeg, but that only rules out *compressed*
-codecs. Uncompressed containers — BMP (24-bit), PGM/PPM (binary P5/P6),
-WAV (PCM16 RIFF) — are byte-layout specs that NumPy reads directly, so the
-decode step of the multimodal pipeline is real for those formats and only
-falls back to a declared plug-point for JPEG/PNG/H.264.
+The sandbox has no PIL/libjpeg/ffmpeg, but that only rules out codecs with
+non-trivial entropy coding. Uncompressed containers — BMP (24-bit), PGM/PPM
+(binary P5/P6), WAV (PCM16 RIFF) — are byte-layout specs that NumPy reads
+directly, and PNG is DEFLATE (stdlib ``zlib``) plus a per-scanline byte
+filter, so the decode step of the multimodal pipeline is real for all of
+those and only falls back to a declared plug-point for JPEG/H.264.
 
 Everything here is driver/executor-agnostic pure functions over ``bytes``;
 the Spark integration (Arrow batching, schemas, partitioning) lives in
@@ -123,6 +124,158 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     return raw.reshape(h, w, 3) if c == 3 else raw.reshape(h, w)
 
 
+# -- PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced) -------------
+#
+# PNG is DEFLATE (stdlib zlib) inside a chunked container plus a per-scanline
+# byte filter — no external codec needed. Spec: RFC 2083 / W3C PNG (IHDR
+# layout §11.2.2, filter types 0-4 §9, chunk CRC §5.3).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples per pixel
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}  # channels -> color_type
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, c: int) -> np.ndarray:
+    """Forward filter one scanline (encode side). row/prev: (w*c,) uint8."""
+    if ftype == 0:
+        return row
+    left = np.zeros_like(row)
+    left[c:] = row[:-c]
+    if ftype == 1:
+        return row - left
+    if ftype == 2:
+        return row - prev
+    if ftype == 3:
+        return row - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(np.uint8)
+    if ftype == 4:
+        ul = np.zeros_like(prev)
+        ul[c:] = prev[:-c]
+        return row - _paeth(left, prev, ul)
+    raise ValueError(f"bad PNG filter type {ftype}")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (all uint8 inputs)."""
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, cc))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
+    return out.astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filters: list[int] | int = 0) -> bytes:
+    """(h, w) or (h, w, c) uint8 (c in 1/2/3/4) → PNG bytes. ``filters``
+    picks the per-scanline filter type (int for all rows, or one per row) —
+    type 0 everywhere is always valid; other types exist so tests can
+    exercise every reconstruction path in :func:`decode_png`."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in _PNG_COLOR_TYPE:
+        raise ValueError(f"encode_png expects 1/2/3/4 channels, got {c}")
+    ftypes = [filters] * h if isinstance(filters, int) else list(filters)
+    if len(ftypes) != h:
+        raise ValueError("one filter per scanline required")
+    flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * c)
+    prev = np.zeros(w * c, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        lines.append(bytes([ftypes[y]]) + _png_filter_row(ftypes[y], flat[y], prev, c).tobytes())
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, c) uint8. Supports the common web/still formats:
+    8-bit depth, gray / gray+alpha / RGB / RGBA, non-interlaced. Palette,
+    16-bit, and Adam7 interlacing raise (rare in training corpora; plug
+    point stays honest)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = meta
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={depth}, interlace={interlace}) — "
+            "8-bit non-interlaced only"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type} (palette?) unsupported")
+    c = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: uint8 cumulative sum per channel phase (mod 256)
+            rec = line.reshape(w, c)
+            rec = np.add.accumulate(rec, axis=0, dtype=np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 3:  # Average: left-dependency → per-pixel scan
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                rec[x] = (int(rec[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth: left/upper-left dependency → per-pixel scan
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (int(rec[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
 # -- WAV (RIFF, PCM16) ------------------------------------------------------
 
 
@@ -173,6 +326,8 @@ def decode_image_payload(payload: bytes) -> np.ndarray:
     if kind in ("pgm", "ppm"):
         img = decode_pnm(payload)
         return img[:, :, None] if img.ndim == 2 else img
+    if kind == "png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"compressed image codec ({kind}) requires PIL/libjpeg — not in this "
         "container; plug the codec in here"

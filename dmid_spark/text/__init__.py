@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    dedup_against,
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,

@@ -191,6 +191,104 @@ def minhash_lsh_candidates(
     )
 
 
+def _band_table(
+    sig: DataFrame, bands: int, rows_per_band: int, hash_mode: str, id_alias: str
+) -> DataFrame:
+    """(id, band, bucket) rows from a (doc_id, sig) signature table — the
+    same banding as :func:`minhash_lsh_candidates`, reusable against a
+    stored index."""
+
+    def bucket_of(i: int) -> F.Column:
+        slice_str = F.concat_ws(
+            ",",
+            *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)],
+        )
+        return F.md5(slice_str) if hash_mode == "md5" else F.xxhash64(slice_str).cast("string")
+
+    return sig.select(
+        F.col("doc_id").alias(id_alias),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), bucket_of(i).alias("bucket"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_alias, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    capped_out: list | None = None,
+) -> DataFrame:
+    """Incremental dedup: LSH-match a NEW batch of documents against a
+    STORED signature table without ever re-pairing the old corpus with
+    itself — the daily-ingest shape of a training-data pipeline. Output
+    ``(new_id, old_id, est_jaccard)``: every index document whose banded
+    minhash signature collides with a new document's, with the estimated
+    Jaccard (fraction of matching minhashes).
+
+    ``existing_sigs`` is a ``minhash_signatures`` output (persisted from a
+    previous run); ``shingle_n``/``num_hashes``/``seed``/``hash_mode`` MUST
+    match the parameters the index was built with or the hash families
+    disagree and nothing collides. Batch-internal duplicates are a separate
+    concern: run :func:`minhash_lsh_candidates` on the new batch's
+    signatures for those.
+
+    Scale shape: the new batch's signatures are one scan + groupBy over the
+    (small) batch; the bucket join touches only index rows whose (band,
+    bucket) appears in the NEW batch — the old corpus never self-joins, so
+    daily cost is O(batch + collisions), not O(corpus). Index-side buckets
+    larger than ``max_bucket`` (boilerplate) are dropped with the same
+    reported-never-silent cap as the other blockers: pass ``capped_out`` to
+    receive one ``(band, bucket, bucket_size)`` tuple per drop."""
+    new_sigs = minhash_signatures(
+        new_docs, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, seed=seed, hash_mode=hash_mode,
+    )
+    rows_per_band = max(1, num_hashes // bands)
+    nb = _band_table(new_sigs, bands, rows_per_band, hash_mode, "new_id")
+    ob = _band_table(existing_sigs, bands, rows_per_band, hash_mode, "old_id")
+    # the hot-bucket cap is measured on the INDEX side (that is where
+    # boilerplate accumulates over time); a capped bucket drops from
+    # matching entirely — reported, never silent
+    sizes = ob.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    if capped_out is not None:
+        capped_out.extend(
+            (r["band"], r["bucket"], r["bsz"])
+            for r in sizes.filter(F.col("bsz") > max_bucket).collect()
+        )
+    ob_kept = ob.join(
+        sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    pairs = (
+        nb.join(ob_kept, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sn = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_n"))
+    so = existing_sigs.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_o"))
+    est = F.size(
+        F.filter(F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.join(sn, "new_id")
+        .join(so, "old_id")
+        .select("new_id", "old_id", est.alias("est_jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

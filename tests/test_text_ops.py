@@ -427,6 +427,59 @@ def test_pack_sequences_matches_oracle(spark):
         pack_sequences(docs, budget=0)
 
 
+def test_dedup_against_never_pairs_old_corpus(spark):
+    """Incremental dedup matches a new batch against a stored signature
+    index; the old corpus must NEVER self-pair (the whole point of the
+    daily-ingest shape), and matches hit every colliding index doc."""
+    from dmid_spark.text import dedup_against, minhash_signatures
+
+    dup_text = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the soft morning light near the old stone bridge"
+    )
+    other = (
+        "completely different content about tall ships and busy harbors "
+        "and the open sea at dawn with wheeling gulls overhead"
+    )
+    old = spark.createDataFrame(
+        [(1, dup_text), (2, dup_text), (3, other)], "doc_id long, text string"
+    )
+    idx = minhash_signatures(old, shingle_n=3, num_hashes=32)
+    # old docs 1 and 2 are identical — every band bucket collides between
+    # them — yet an unrelated new batch must yield ZERO pairs: (1, 2) is an
+    # old x old pair and the incremental path never generates those
+    new_unrelated = spark.createDataFrame(
+        [(100, "unrelated words about mountains and snow and rocky trails far away from here today")],
+        "doc_id long, text string",
+    )
+    assert dedup_against(new_unrelated, idx).collect() == []
+    # a new doc equal to old 1 pairs with BOTH identical index docs
+    new_dup = spark.createDataFrame([(101, dup_text)], "doc_id long, text string")
+    rows = {
+        (r["new_id"], r["old_id"]): r["est_jaccard"]
+        for r in dedup_against(new_dup, idx).collect()
+    }
+    assert set(rows) == {(101, 1), (101, 2)}
+    assert all(v == 1.0 for v in rows.values())
+
+
+def test_dedup_against_caps_hot_index_buckets(spark):
+    """Index-side buckets above max_bucket drop from matching and are
+    reported through capped_out, mirroring the other blockers."""
+    from dmid_spark.text import dedup_against, minhash_signatures
+
+    boiler = "same boilerplate header text repeated across the whole stored corpus every single day"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string"
+    )
+    idx = minhash_signatures(old, shingle_n=3, num_hashes=32)
+    new = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    capped: list = []
+    got = dedup_against(new, idx, max_bucket=2, capped_out=capped)
+    assert got.collect() == []  # every bucket is hot -> nothing matches
+    assert capped and all(bsz == 5 for _, _, bsz in capped)
+
+
 def test_pack_sequences_null_text_is_zero_tokens(spark):
     """NULL text folds into the empty branch (size(split(NULL)) is NULL —
     or -1 under legacy sizeOfNull — either would corrupt every later doc's
