@@ -347,24 +347,60 @@ def ngram_jaccard_pairs(
 
 
 def near_duplicate_clusters(
-    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
+    driver_limit: int = 100_000,
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into clusters and a canonical
     keep-list: ``(doc_id, canonical_id, cluster_size)`` — the output shape a
     training pipeline consumes (keep rows where doc_id == canonical_id,
     drop the rest). Canonical = min doc id per connected component of the
-    pair graph (small-star/large-star CC — same kernel as X2, so resolution
-    scales like the graph engine, not like the pair count²). Only docs
-    appearing in ``pairs`` are returned (singletons are trivially
-    canonical). Works on the candidate pairs of any near-dup operator:
-    minhash_lsh_candidates, simhash_near_duplicates,
-    cosine_near_duplicates."""
+    pair graph. Only docs appearing in ``pairs`` are returned (singletons
+    are trivially canonical). Works on the candidate pairs of any near-dup
+    operator: minhash_lsh_candidates, simhash_near_duplicates,
+    cosine_near_duplicates.
+
+    Pair sets up to ``driver_limit`` rows resolve through a driver-side
+    union-find (the iterative small-star/large-star CC costs several fixed
+    job rounds — pure overhead on a small pair table); bigger sets run the
+    distributed CC kernel (same as X2, so resolution scales like the graph
+    engine, not like the pair count²). Both paths produce identical rows —
+    components and min-id canonicals are algorithm-independent — mirroring
+    the louvain rebase_limit small/large pattern."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    n_pairs = edges.limit(driver_limit + 1).count()
+    if n_pairs <= driver_limit:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = int(r["src"]), int(r["dst"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[int, list[int]] = {}
+        for v in parent:
+            comp.setdefault(find(v), []).append(v)
+        out = [
+            (v, root, len(members))
+            for root, members in comp.items()
+            for v in members
+        ]
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id long, canonical_id long, cluster_size long"
+        )
     from ..algorithms.components import connected_components
 
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).withColumn("weight", F.lit(1.0))
-    labels, _ = connected_components(edges)
+    labels, _ = connected_components(edges.withColumn("weight", F.lit(1.0)))
+    edges.unpersist()
     clusters = labels.groupBy("component").agg(
         F.min("id").alias("canonical_id"), F.count("*").alias("cluster_size")
     )

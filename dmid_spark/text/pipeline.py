@@ -53,13 +53,22 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """One decision row per input doc; see module docstring for semantics."""
+    """One decision row per input doc; see module docstring for semantics.
+
+    The internal fan-out points are materialized once: ``annotated`` feeds
+    both the survivor chain and the final decision join, and
+    ``exact_dropped`` feeds both the canonical anti-join (under the whole
+    minhash chain) and the final join — without lineage cuts the scan-stage
+    regex scoring and the sha256 groupBy each execute twice inside the one
+    decisions job."""
+    from .. import kernel as K
+
     p = params
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     scored = quality_scores(base).select("doc_id", "quality_score")
     langs = language_id(base).select("doc_id", "lang_pred")
-    annotated = base.join(scored, "doc_id").join(langs, "doc_id")
+    annotated = K.materialize(base.join(scored, "doc_id").join(langs, "doc_id"))
 
     lang_ok = (
         F.col("lang_pred").isin(*p.keep_langs) if p.keep_langs else F.lit(True)
@@ -71,7 +80,7 @@ def clean_corpus(
     # exact dedup among survivors: non-canonical members of identical-text
     # clusters drop; canonical (min doc_id) rows continue
     exact = exact_duplicates(survivors).filter(F.col("doc_id") != F.col("canonical_id"))
-    exact_dropped = exact.select("doc_id")
+    exact_dropped = K.materialize(exact.select("doc_id"))
     canon = survivors.join(exact_dropped, "doc_id", "left_anti")
 
     # near-dedup on the canonical survivor set: LSH pairs → components →

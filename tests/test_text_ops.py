@@ -237,10 +237,18 @@ def test_near_duplicate_clusters_matches_union_find(spark):
 
     pairs = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (8, 10)]
     pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    # driver_limit=0 forces the distributed small-star/large-star path (the
+    # default would take the driver union-find shortcut on 6 pairs)
     got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in near_duplicate_clusters(pdf, driver_limit=0).collect()
+    }
+    # the driver small path must produce identical rows
+    small = {
         r["doc_id"]: (r["canonical_id"], r["cluster_size"])
         for r in near_duplicate_clusters(pdf).collect()
     }
+    assert small == got
     parent = {}
 
     def find(x):
