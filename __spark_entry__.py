@@ -1017,6 +1017,19 @@ def q_hll_registers(spark, sf_dir):
     )
 
 
+def q_bloom_bits(spark, sf_dir):
+    """Bloom filter bit table (m=512, k=4) for user_id per event_type —
+    the mergeable membership sketch itself is the verified output (pure
+    integer rows via double hashing); no-false-negative / bounded-FP
+    properties are pytest-verified (sketch/bloom.py)."""
+    from dmid_spark.sketch import bloom_bits
+
+    out = bloom_bits(
+        _events(spark, sf_dir), "user_id", ["event_type"], m=512, k=4, hash_mode="md5"
+    )
+    return out.select("event_type", F.col("bit").cast("long").alias("bit"))
+
+
 def q_group_quantiles(spark, sf_dir):
     """Exact per-event-type value quantiles (p50/p90/p99). Both engines use
     the (n-1)p linear interpolation, rounded 6dp — the float arithmetic of
@@ -1107,7 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_hits_5iter": q_hits5,
         "x11_coreness": q_coreness,
         "x12_scc": q_scc,
-        "x13_bfs_distances": q_bfs,
         "x16_betweenness_sample": q_betweenness,
         "x17_sssp_sample": q_sssp,
         "x19_hyperball": q_hyperball,
@@ -1138,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         # sketch + events families
         "sketch_hll_registers": q_hll_registers,
+        "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py) ---
         "x6_clustering_coeff": q_clustering,
@@ -1166,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_heavy_hitters": q_cms_heavy_hitters,
         "sketch_group_quantiles": q_group_quantiles,
         "tpch_q1": q_tpch_q1,
+        "x13_bfs_distances": q_bfs,
         "x15_random_walks": q_random_walks,
         "text_pack_sequences": q_pack_sequences,
         "pipeline_prepare_training": q_prepare_training,
@@ -2909,6 +2923,15 @@ r AS (
   FROM h
 )
 SELECT event_type, register, MAX(rho) AS rho FROM r GROUP BY event_type, register""",
+        "sketch_bloom_bits": """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS h1,
+         1 + CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':2'), 1, 15)) AS BIGINT) % 511 AS h2
+  FROM events
+)
+SELECT DISTINCT event_type, CAST((h1 + t.i * h2) % 512 AS BIGINT) AS bit
+FROM h, range(4) t(i)""",
         "sketch_group_quantiles": """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,

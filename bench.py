@@ -357,6 +357,20 @@ def main():
     truth.unpersist()
     lsh_pairs_holder["pairs"].unpersist()
 
+    def run_dedup_incremental():
+        # daily-ingest shape: match a re-ingested 10% batch against the
+        # stored signature index of the full corpus (old x old never pairs)
+        from dmid_spark.text import dedup_against
+
+        idx = minhash_signatures(docs, shingle_n=3, num_hashes=32)
+        new = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        return dedup_against(new, idx, shingle_n=3, num_hashes=32).count()
+
+    n_inc = timed("dedup_incremental", run_dedup_incremental)
+    detail["dedup_incremental"] = {"matches": int(n_inc)}
+
     from dmid_spark.text import document_fingerprints, repetition_scores
 
     timed(

@@ -142,6 +142,61 @@ def test_cms_merge_equals_whole(spark):
     assert merged == whole
 
 
+def test_bloom_no_false_negatives_bounded_fp(spark):
+    from dmid_spark.sketch import bloom_bits, bloom_might_contain, bloom_fp_rate
+
+    inserted = spark.range(300).selectExpr("concat('key-', id) AS k")
+    bits = bloom_bits(inserted, "k", m=2048, k=4)
+    assert bits.count() <= 2048
+    disjoint = spark.range(1000).selectExpr("concat('other-', id) AS k")
+    probes = inserted.unionByName(disjoint)
+    res = {r["k"]: r["might_contain"] for r in
+           bloom_might_contain(bits, probes, "k", m=2048, k=4).collect()}
+    # no false negatives, ever
+    assert all(res[f"key-{i}"] for i in range(300))
+    # false positives on disjoint probes track the standard estimate
+    fp = sum(res[f"other-{i}"] for i in range(1000))
+    assert fp <= max(10, 3 * bloom_fp_rate(300, 2048, 4) * 1000)
+
+
+def test_bloom_merge_and_groups(spark):
+    from dmid_spark.sketch import bloom_bits, bloom_might_contain
+
+    a = spark.range(50).selectExpr("concat('a-', id) AS k", "'g1' AS grp")
+    b = spark.range(50).selectExpr("concat('b-', id) AS k", "'g2' AS grp")
+    whole = bloom_bits(a.unionByName(b), "k", group_cols=["grp"], m=512, k=3)
+    merged = (
+        bloom_bits(a, "k", group_cols=["grp"], m=512, k=3)
+        .unionByName(bloom_bits(b, "k", group_cols=["grp"], m=512, k=3))
+        .distinct()
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    # group separation: a g1 key probed against g2's filter is (almost
+    # surely) absent; against its own group it is always present
+    res = {
+        (r["grp"], r["k"]): r["might_contain"]
+        for r in bloom_might_contain(
+            whole,
+            spark.createDataFrame([("a-0", "g1"), ("a-0", "g2")], "k string, grp string"),
+            "k", group_cols=["grp"], m=512, k=3,
+        ).collect()
+    }
+    assert res[("g1", "a-0")] is True
+
+
+def test_bloom_validation():
+    import pytest as _pt
+
+    from dmid_spark.sketch import bloom_fp_rate
+    from dmid_spark.sketch.bloom import bloom_bits as bb
+
+    assert 0.0 < bloom_fp_rate(100, 1024, 4) < 1.0
+    with _pt.raises(ValueError):
+        bb(None, "k", m=1)
+    with _pt.raises(ValueError):
+        bb(None, "k", k=0)
+
+
 def test_hll_distinct_counts_guards_driver_fanin(spark):
     """The convenience dict path is O(groups * 2^p) on the driver: above
     max_groups it must refuse and point at the distributed register table."""
