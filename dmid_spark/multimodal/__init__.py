@@ -1,4 +1,5 @@
 from . import codecs  # noqa: F401
+from . import jpeg  # noqa: F401
 from .binary_ops import (  # noqa: F401
     MEDIA_SCHEMA,
     decode_audio,

@@ -2,12 +2,12 @@
 
 The Spark-side plumbing — schema, partition-friendly batching, Arrow UDF
 signatures, output shapes — is real and tested. The codec step is real for
-*uncompressed* containers (BMP / PGM / PPM images, PCM16 WAV audio — pure
-NumPy, see ``codecs``); compressed formats (JPEG/PNG/H.264) raise
-NotImplementedError at the decode boundary, marking exactly where a
-PIL/ffmpeg call plugs in (those libs are not in this container). Each
-operator takes ``impl='fake'`` (deterministic bytes-derived output) or
-``impl='real'`` (container sniff + NumPy decode).
+BMP / PGM / PPM / PNG / baseline JPEG images and PCM16 WAV audio (pure
+NumPy + stdlib, see ``codecs`` and ``jpeg``); video (H.264) and exotic
+variants raise NotImplementedError at the decode boundary, marking exactly
+where an ffmpeg call plugs in (not in this container). Each operator takes
+``impl='fake'`` (deterministic bytes-derived output) or ``impl='real'``
+(container sniff + NumPy decode).
 
 All operators are ``mapInPandas`` (Arrow batch iterators): one Python
 worker round-trip per batch, never per row; binary payloads stream through
@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codecs
+from . import jpeg as jpeg_codec
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -40,7 +41,7 @@ def synth_media_table(
 
     ``payload='hash'``: opaque sha256-derived bytes (exercises the fake
     decode path and the unknown-container error path).
-    ``payload='encoded'``: real container bytes — BMP/PNG (alternating by
+    ``payload='encoded'``: real container bytes — BMP/PNG/JPEG (rotating by
     media_id) for images, PCM16 WAV for audio — generated per-row from a
     payload-seeded PRNG, so the *real* decode path round-trips. Video stays
     opaque (no uncompressed container worth faking)."""
@@ -79,11 +80,17 @@ def synth_media_table(
                 if kind == "image":
                     w, h = int(meta["width"]), int(meta["height"])
                     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    # alternate containers so the real-decode path exercises
-                    # both the raw-layout (BMP) and DEFLATE (PNG) codecs
-                    payloads.append(
-                        codecs.encode_png(img) if int(mid) % 2 else codecs.encode_bmp(img)
-                    )
+                    # rotate containers so the real-decode path exercises the
+                    # raw-layout (BMP), DEFLATE (PNG), and DCT+Huffman (JPEG)
+                    # codecs; JPEG is lossy, so its pixels are the decoder's
+                    # reconstruction, not the PRNG draw — fine for plumbing
+                    slot = int(mid) % 3
+                    if slot == 0:
+                        payloads.append(codecs.encode_bmp(img))
+                    elif slot == 1:
+                        payloads.append(codecs.encode_png(img))
+                    else:
+                        payloads.append(jpeg_codec.encode_jpeg(img, quality=90))
                 elif kind == "audio":
                     sr = int(meta["sample_rate"])
                     samples = rng.integers(-(2**15), 2**15, size=sr // 10, dtype=np.int16)
@@ -107,10 +114,10 @@ def _fake_pixels(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
 
 def decode_image(df: DataFrame, impl: str = "fake") -> DataFrame:
     """binary payload → flat pixel array + dims. Arrow-batched. ``impl='real'``
-    sniffs the container and decodes BMP/PGM/PPM (pure NumPy) and PNG
-    (stdlib zlib + filter reconstruction) via
-    ``codecs.decode_image_payload``; JPEG/video remain the declared
-    PIL/turbojpeg plug point."""
+    sniffs the container and decodes BMP/PGM/PPM (pure NumPy), PNG (stdlib
+    zlib + filter reconstruction), and baseline JPEG (NumPy DCT + canonical
+    Huffman) via ``codecs.decode_image_payload``; video remains the declared
+    ffmpeg plug point."""
 
     def run(it):
         for pdf in it:

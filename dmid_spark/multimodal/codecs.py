@@ -3,9 +3,11 @@
 The sandbox has no PIL/libjpeg/ffmpeg, but that only rules out codecs with
 non-trivial entropy coding. Uncompressed containers — BMP (24-bit), PGM/PPM
 (binary P5/P6), WAV (PCM16 RIFF) — are byte-layout specs that NumPy reads
-directly, and PNG is DEFLATE (stdlib ``zlib``) plus a per-scanline byte
-filter, so the decode step of the multimodal pipeline is real for all of
-those and only falls back to a declared plug-point for JPEG/H.264.
+directly, PNG is DEFLATE (stdlib ``zlib``) plus a per-scanline byte
+filter, and baseline JPEG is an 8×8 DCT plus canonical Huffman coding
+(see ``jpeg``), so the decode step of the multimodal pipeline is real for
+every common still-image training-corpus format and only falls back to a
+declared plug-point for video (H.264) and exotic variants.
 
 Everything here is driver/executor-agnostic pure functions over ``bytes``;
 the Spark integration (Arrow batching, schemas, partitioning) lives in
@@ -328,7 +330,11 @@ def decode_image_payload(payload: bytes) -> np.ndarray:
         return img[:, :, None] if img.ndim == 2 else img
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        from . import jpeg
+
+        return jpeg.decode_jpeg(payload)
     raise NotImplementedError(
-        f"compressed image codec ({kind}) requires PIL/libjpeg — not in this "
-        "container; plug the codec in here"
+        f"image codec ({kind}) unsupported — BMP/PGM/PPM/PNG/baseline-JPEG "
+        "decode natively here; plug exotic codecs in at this point"
     )
