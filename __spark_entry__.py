@@ -992,6 +992,35 @@ def q_group_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_mix_epochs(spark, sf_dir):
+    """Weighted dataset mixing with UP-sampling: repeat each doc
+    floor(w) times plus a seeded-coin extra for the fractional part —
+    integer millionth arithmetic, bitwise identical in both engines."""
+    from dmid_spark.text import mix_epochs
+
+    out = mix_epochs(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        weights={"en": 2.5, "de": 0.4, "zh": 0.0},
+        seed=42,
+        hash_mode="md5",
+    )
+    return out.select("doc_id", "lang", F.col("epoch").cast("long").alias("epoch"))
+
+
+def q_token_budget(spark, sf_dir):
+    """Greedy per-language token-budget fill (seeded-hash priority order,
+    distributed prefix sum for the running totals)."""
+    from dmid_spark.text import token_budget_sample
+
+    out = token_budget_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "text"),
+        budgets={"en": 20000, "fr": 5000, "de": 8000},
+        seed=42,
+        hash_mode="md5",
+    )
+    return out.select("doc_id", "lang", "n_tokens", "tokens_before")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style word/n-gram repetition filters over documents."""
     from dmid_spark.text import repetition_scores
@@ -1115,9 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_lpa_1iter": q_lpa1,
         "x4_triangle_counts": q_triangles,
         "x5_kcore": q_kcore,
-        "x7_degree_assortativity": q_assortativity,
         "x8_link_prediction": q_link_prediction,
-        "x9_hits_5iter": q_hits5,
         "x11_coreness": q_coreness,
         "x12_scc": q_scc,
         "x16_betweenness_sample": q_betweenness,
@@ -1145,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash_neardup,
         "pipeline_clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
+        "sample_mix_epochs": q_mix_epochs,
+        "sample_token_budget": q_token_budget,
         # ANN family
         "ann_rp_lsh": q_rp_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1154,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_sessionize,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py) ---
         "x6_clustering_coeff": q_clustering,
+        "x7_degree_assortativity": q_assortativity,
+        "x9_hits_5iter": q_hits5,
         "x10_ppr_5iter": q_ppr5,
         "x14_harmonic_centrality": q_harmonic,
         "x18_diameter_sweep": q_diameter,
@@ -2886,6 +2917,39 @@ SELECT doc_id, lang FROM documents
 WHERE {_md5_long("CAST(doc_id AS VARCHAR) || ':42'")} % 1000000 <
       CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                 WHEN 'fr' THEN 100000 WHEN 'es' THEN 750000 ELSE 0 END""",
+        "sample_mix_epochs": f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2500000 WHEN 'de' THEN 400000
+                   WHEN 'zh' THEN 0 ELSE 1000000 END AS wq,
+         {_md5_long("CAST(doc_id AS VARCHAR) || ':mix:42'")} % 1000000 AS coin
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         wq // 1000000 + CASE WHEN coin < wq % 1000000 THEN 1 ELSE 0 END AS n
+  FROM base
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, CAST(n AS BIGINT))) AS BIGINT) AS epoch
+FROM n WHERE n >= 1""",
+        "sample_token_budget": f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         {_md5_long("CAST(doc_id AS VARCHAR) || ':budget:42'")} % 1000000 AS prio
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY prio, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, tokens_before
+FROM c
+WHERE tokens_before < CASE lang WHEN 'en' THEN 20000 WHEN 'fr' THEN 5000
+                                WHEN 'de' THEN 8000 ELSE 0 END""",
         "text_tfidf_topk": r"""
 WITH toks AS (
   SELECT doc_id,

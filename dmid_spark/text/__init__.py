@@ -25,7 +25,9 @@ from .fingerprint import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     group_sample,
+    mix_epochs,
     stratified_sample,
+    token_budget_sample,
 )
 from .quality import (  # noqa: F401
     doc_fingerprint,

@@ -70,3 +70,128 @@ def group_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mix_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_weight: float = 1.0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Weighted dataset mixing with UP-sampling: repeat each row
+    ``weight[group]`` times (fractional weights resolved by a seeded coin).
+
+    Training mixtures over-sample small high-quality sources (e.g. an
+    encyclopedia subset at weight 3.2: every doc appears 3 times, and a
+    deterministic 20% of docs a 4th time) while ``stratified_sample`` can
+    only drop rows. Emits one row per (doc, epoch) with an ``epoch`` column
+    in ``1..n`` so downstream packing/shuffling sees distinct copies.
+
+    Deterministic and content-addressed like the rest of this module:
+    ``n = floor(w) + (hash64(id:mix:seed) mod 1e6 < frac(w)*1e6)``, all
+    integer arithmetic — bit-reproducible at any parallelism and in the
+    DuckDB twin (``hash_mode='md5'``). Pure scan stage: weight lookup and
+    the coin are column expressions; the repeat is ``explode(sequence)``,
+    no shuffle, no driver loop. Weights are capped at 1000 so a typo can't
+    explode the corpus by 10^6.
+    """
+    for g, wgt in weights.items():
+        if not 0.0 <= wgt <= 1000.0:
+            raise ValueError(f"weight for {g!r} must be in [0, 1000], got {wgt}")
+    if not 0.0 <= default_weight <= 1000.0:
+        raise ValueError(f"default_weight must be in [0, 1000], got {default_weight}")
+    wq = F.lit(round(default_weight * SAMPLE_RES))
+    for g, wgt in sorted(weights.items()):
+        wq = F.when(F.col(group_col) == g, F.lit(round(wgt * SAMPLE_RES))).otherwise(wq)
+    coin = F.pmod(
+        _hash64(F.concat_ws(":", F.col(id_col), F.lit(f"mix:{seed}")), hash_mode),
+        F.lit(SAMPLE_RES),
+    )
+    n = (wq / SAMPLE_RES).cast("long") + (coin < wq % SAMPLE_RES).cast("long")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)  # sequence(1, 0) would step BACKWARD in Spark
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    by: str | None = None,
+    seed: int = 42,
+    default_budget: int = 0,
+    hash_mode: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy per-group token-budget selection: order each group's docs by
+    a priority, keep docs while the running token total is under the
+    group's budget ("2M tokens of French, 10M of code").
+
+    Priority is a seeded content hash (``by=None`` — a deterministic
+    shuffle) or a named column descending (``by='quality_score'`` — best
+    docs first), with ``id_col`` as tiebreak. A doc whose preceding total
+    is under the budget is kept even if it crosses the line (greedy fill,
+    same convention as sequence packing). Token counts follow
+    ``pack_sequences``: whitespace tokens of ``text_col`` with NULL/empty
+    → 0, or a precomputed ``tokens_col``.
+
+    Scale path: the running total is kernel.distributed_cumsum over the
+    (group, priority, id) ordering — range-partitioned prefix sum, never a
+    per-group global window, so one huge group cannot funnel through a
+    single task. Per-group exclusive totals are recovered by subtracting
+    the group's minimum cumsum (an O(groups) broadcast join). Integer token
+    counts make the totals bit-reproducible across engines.
+
+    Returns the kept rows with ``n_tokens`` and ``tokens_before`` (the
+    group-local exclusive running total) appended.
+    """
+    from .. import kernel as K
+
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+    if tokens_col is not None:
+        n_tokens = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0).cast("long"))
+    else:
+        t = F.col(text_col)
+        n_tokens = (
+            F.when(t.isNull() | (F.trim(t) == ""), F.lit(0))
+            .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+            .cast("long")
+        )
+    if by is None:
+        prio = F.pmod(
+            _hash64(F.concat_ws(":", F.col(id_col), F.lit(f"budget:{seed}")), hash_mode),
+            F.lit(SAMPLE_RES),
+        )
+    else:
+        prio = -F.col(by)
+    staged = df.withColumn("n_tokens", n_tokens).withColumn("_prio", prio)
+    summed = K.distributed_cumsum(
+        staged,
+        [group_col, "_prio", id_col],
+        "n_tokens",
+        out_col="_cum",
+        num_partitions=num_partitions,
+    )
+    group_base = summed.groupBy(group_col).agg(F.min("_cum").alias("_base"))
+    budget = F.lit(int(default_budget)).cast("long")
+    for g, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == g, F.lit(int(b)).cast("long")).otherwise(budget)
+    return (
+        summed.join(F.broadcast(group_base), group_col)
+        .withColumn("tokens_before", F.col("_cum") - F.col("_base"))
+        .filter(F.col("tokens_before") < budget)
+        .drop("_cum", "_base", "_prio")
+    )

@@ -508,3 +508,38 @@ def test_transition_edges_window_is_per_user(spark):
     plan = plan_of(out)
     assert "SinglePartition" not in plan
     assert "partial_count" in plan
+
+
+def test_mix_epochs_is_pure_scan_stage(spark):
+    # weight lookup, seeded coin, and the epoch explode are all column
+    # expressions over the scan — upsampling must add ZERO shuffles
+    from dmid_spark.text import mix_epochs
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(200)], "doc_id long, lang string"
+    )
+    out = mix_epochs(docs, {"en": 2.5, "de": 0.5})
+    out.collect()
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_token_budget_sample_no_global_window(spark):
+    # the running token total rides distributed_cumsum: range exchange +
+    # per-range-partition windows, never one global task; the group-minimum
+    # recovery join must broadcast its O(groups) side
+    from dmid_spark.text import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], "w " * (3 + i % 5)) for i in range(300)],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_sample(docs, {"en": 200, "de": 100})
+    out.collect()
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, f"unpartitioned window: {line}"

@@ -164,3 +164,90 @@ def test_group_sample_seeded_k_per_group(spark):
 
     with _pt.raises(ValueError):
         group_sample(d, k=0)
+
+
+def test_mix_epochs_matches_transliterated_oracle(spark):
+    import hashlib
+
+    from dmid_spark.text import mix_epochs
+
+    rows = [(i, ["en", "de", "fr", "zh"][i % 4]) for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"en": 2.5, "de": 0.4, "zh": 0.0}  # fr falls to default 1.0
+    got = {(r.doc_id, r.epoch) for r in mix_epochs(d, weights, seed=7, hash_mode="md5").collect()}
+
+    def n_copies(doc_id: int, lang: str) -> int:
+        w = weights.get(lang, 1.0)
+        wq = round(w * 1_000_000)
+        coin = int(hashlib.md5(f"{doc_id}:mix:7".encode()).hexdigest()[:15], 16) % 1_000_000
+        return wq // 1_000_000 + (1 if coin < wq % 1_000_000 else 0)
+
+    want = {(i, e) for i, lang in rows for e in range(1, n_copies(i, lang) + 1)}
+    assert got == want
+    assert not any(lang == "zh" for (i, _e) in got for lang in [rows[i][1]])
+    # deterministic at any parallelism (fast JVM hash mode)
+    a = sorted(mix_epochs(d, weights, seed=7).collect(), key=lambda r: (r.doc_id, r.epoch))
+    b = sorted(
+        mix_epochs(d.repartition(13), weights, seed=7).collect(),
+        key=lambda r: (r.doc_id, r.epoch),
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        mix_epochs(d, {"en": 1001.0})
+
+
+def test_token_budget_sample_greedy_fill_matches_oracle(spark):
+    import hashlib
+
+    from dmid_spark.text import token_budget_sample
+
+    rows = [
+        (i, ["en", "de", "xx"][i % 3], " ".join(["w"] * (5 + i % 17)))
+        for i in range(300)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    budgets = {"en": 300, "de": 120}  # xx → default_budget 0 → dropped
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.tokens_before)
+        for r in token_budget_sample(d, budgets, seed=3, hash_mode="md5").collect()
+    }
+
+    def prio(doc_id: int) -> int:
+        return int(hashlib.md5(f"{doc_id}:budget:3".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    want = {}
+    for lang, budget in budgets.items():
+        docs = sorted(
+            ((prio(i), i, 5 + i % 17) for i, l, _t in rows if l == lang),
+            key=lambda t: (t[0], t[1]),
+        )
+        acc = 0
+        for _p, i, n in docs:
+            if acc < budget:  # greedy fill: a doc that starts in-budget is kept
+                want[i] = (lang, n, acc)
+            acc += n if acc < budget else 0
+    assert got == want
+    # the last kept doc may CROSS the budget line — greedy-fill convention
+    for lang, budget in budgets.items():
+        last = max((v for v in got.values() if v[0] == lang), key=lambda v: v[2])
+        assert last[2] < budget <= last[2] + last[1]
+
+
+def test_token_budget_sample_quality_order_and_tokens_col(spark):
+    from dmid_spark.text import token_budget_sample
+
+    rows = [(i, "en", float(i % 10), 10) for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, q double, nt long")
+    got = token_budget_sample(
+        d, {"en": 100}, by="q", tokens_col="nt", seed=1
+    ).collect()
+    # budget 100 / 10 tokens each = exactly the 10 best-quality docs:
+    # the five q=9 docs, then the five q=8 docs
+    assert len(got) == 10
+    assert sorted(r.q for r in got) == [8.0] * 5 + [9.0] * 5
+    # NULL-token docs count 0 via tokens_col coalesce
+    d2 = spark.createDataFrame(
+        [(1, "en", 5.0, None), (2, "en", 4.0, 7)], "doc_id long, lang string, q double, nt long"
+    )
+    r2 = token_budget_sample(d2, {"en": 5}, by="q", tokens_col="nt").collect()
+    assert {r.doc_id: r.n_tokens for r in r2} == {1: 0, 2: 7}
