@@ -1021,6 +1021,17 @@ def q_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens", "tokens_before")
 
 
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + balanced sharding: seeded shard
+    assignment plus a within-shard permutation rank, engine-portable."""
+    from dmid_spark.text import shard_assignments
+
+    out = shard_assignments(
+        _docs(spark, sf_dir).select("doc_id"), n_shards=16, seed=42, hash_mode="md5"
+    )
+    return out.select("doc_id", F.col("shard").cast("int").alias("shard"), "pos")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style word/n-gram repetition filters over documents."""
     from dmid_spark.text import repetition_scores
@@ -1148,7 +1159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_coreness": q_coreness,
         "x12_scc": q_scc,
         "x16_betweenness_sample": q_betweenness,
-        "x17_sssp_sample": q_sssp,
         "x19_hyperball": q_hyperball,
         "x20_ktruss": q_ktruss,
         "x21_contract_lpa": q_contract_lpa,
@@ -1174,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sample_mix_epochs": q_mix_epochs,
         "sample_token_budget": q_token_budget,
+        "sample_shard_shuffle": q_shard_shuffle,
         # ANN family
         "ann_rp_lsh": q_rp_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1185,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_clustering_coeff": q_clustering,
         "x7_degree_assortativity": q_assortativity,
         "x9_hits_5iter": q_hits5,
+        "x17_sssp_sample": q_sssp,
         "x10_ppr_5iter": q_ppr5,
         "x14_harmonic_centrality": q_harmonic,
         "x18_diameter_sweep": q_diameter,
@@ -2950,6 +2962,16 @@ SELECT doc_id, lang, n_tokens, tokens_before
 FROM c
 WHERE tokens_before < CASE lang WHEN 'en' THEN 20000 WHEN 'fr' THEN 5000
                                 WHEN 'de' THEN 8000 ELSE 0 END""",
+        "sample_shard_shuffle": f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST({_md5_long("CAST(doc_id AS VARCHAR) || ':shard:42'")} % 16 AS INT) AS shard,
+         {_md5_long("CAST(doc_id AS VARCHAR) || ':order:42'")} % 1000000000 AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+FROM h""",
         "text_tfidf_topk": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -37,4 +37,4 @@ from .quality import (  # noqa: F401
     repetition_scores,
     tfidf_top_terms,
 )
-from .packing import pack_sequences  # noqa: F401
+from .packing import pack_sequences, shard_assignments  # noqa: F401

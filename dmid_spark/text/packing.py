@@ -70,3 +70,51 @@ def pack_sequences(
         (F.col("start_token") / budget).cast("long").alias("pack_id"),
         F.pmod(F.col("start_token"), F.lit(budget)).cast("long").alias("pack_offset"),
     )
+
+
+def shard_assignments(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global shuffle + balanced output sharding.
+
+    Every pretraining pipeline's last step: assign each doc a shard in
+    ``0..n_shards-1`` and a position within the shard such that reading
+    shards in order yields a seeded pseudo-random permutation of the
+    corpus — independent of input partitioning, rerun-stable, and
+    engine-portable in ``hash_mode='md5'``.
+
+    ``shard = hash64(id:shard:seed) mod n_shards`` (scan stage, balanced in
+    expectation); ``pos`` ranks within the shard by a second independent
+    hash with ``id_col`` tiebreak. The rank window is partitioned by shard
+    — each shard sorts in one task, the same work the shard writer's
+    ``sortWithinPartitions`` would do; size ``n_shards`` so corpus/n fits
+    a task (at 100 TB with 4-GB shards that is ~25k tasks, not a funnel).
+
+    Returns ``(id_col, shard, pos)``; join back on ``id_col`` or pass a
+    wider frame and keep its columns.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    from .dedup import _hash64
+
+    shard = F.pmod(
+        _hash64(F.concat_ws(":", F.col(id_col), F.lit(f"shard:{seed}")), hash_mode),
+        F.lit(n_shards),
+    ).cast("int")
+    order = F.pmod(
+        _hash64(F.concat_ws(":", F.col(id_col), F.lit(f"order:{seed}")), hash_mode),
+        F.lit(1_000_000_000),
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        docs.withColumn("shard", shard)
+        .withColumn("_ord", order)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_ord")
+    )

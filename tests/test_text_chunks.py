@@ -251,3 +251,39 @@ def test_token_budget_sample_quality_order_and_tokens_col(spark):
     )
     r2 = token_budget_sample(d2, {"en": 5}, by="q", tokens_col="nt").collect()
     assert {r.doc_id: r.n_tokens for r in r2} == {1: 0, 2: 7}
+
+
+def test_shard_assignments_seeded_permutation(spark):
+    import hashlib
+
+    from dmid_spark.text import shard_assignments
+
+    d = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = shard_assignments(d, n_shards=8, seed=5, hash_mode="md5").collect()
+    # every doc exactly once; positions dense 0..k-1 within each shard
+    assert len(got) == 500 and len({r.doc_id for r in got}) == 500
+    by = {}
+    for r in got:
+        by.setdefault(r.shard, []).append(r.pos)
+    assert set(by) <= set(range(8))
+    for _s, ps in by.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+    def h(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    shards = {}
+    for i in range(500):
+        shards.setdefault(h(f"{i}:shard:5") % 8, []).append(
+            (h(f"{i}:order:5") % 1_000_000_000, i)
+        )
+    want = {}
+    for s, lst in shards.items():
+        for pos, (_o, i) in enumerate(sorted(lst)):
+            want[i] = (s, pos)
+    assert {r.doc_id: (r.shard, r.pos) for r in got} == want
+    # independent of input partitioning
+    again = shard_assignments(d.repartition(11), n_shards=8, seed=5, hash_mode="md5")
+    assert {r.doc_id: (r.shard, r.pos) for r in again.collect()} == want
+    with pytest.raises(ValueError):
+        shard_assignments(d, 0)
