@@ -398,6 +398,29 @@ def main():
 
     timed("pack_sequences", lambda: pack_sequences(docs, budget=2048).count())
 
+    from dmid_spark.text import mix_epochs, shard_assignments, token_budget_sample
+
+    n_mix = timed(
+        "mix_epochs", lambda: mix_epochs(docs, {"en": 2.5, "de": 0.4}, seed=42).count()
+    )
+    detail["mix_epochs"] = {"rows_out": int(n_mix)}
+    timed(
+        "token_budget",
+        lambda: token_budget_sample(docs, {"en": 100000, "de": 30000}, seed=42).count(),
+    )
+    timed("shard_shuffle", lambda: shard_assignments(docs, n_shards=64, seed=42).count())
+
+    from dmid_spark.multimodal import decode_image, synth_media_table
+
+    def run_media():
+        # real-codec decode throughput over the BMP/PNG/JPEG rotation —
+        # Arrow-batched mapInPandas, ~n/3 image rows of 16-32 px
+        media = synth_media_table(spark, n=384, payload="encoded")
+        return decode_image(media, impl="real").count()
+
+    n_media = timed("media_decode", run_media)
+    detail["media_decode"] = {"images": int(n_media)}
+
     def run_prepare():
         # the flagship composition: clean -> dedup -> decontaminate -> pack
         packed, _ = prepare_training_data(
