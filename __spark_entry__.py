@@ -1032,6 +1032,16 @@ def q_shard_shuffle(spark, sf_dir):
     return out.select("doc_id", F.col("shard").cast("int").alias("shard"), "pos")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE vocabulary training (8 merges) as relational iteration: pair
+    counts over the word-frequency table, argmax with lexicographic
+    tiebreak, two-pass plain-replace rewrite — engine-portable, no UDF."""
+    from dmid_spark.text import bpe_train
+
+    res = bpe_train(_docs(spark, sf_dir), num_merges=8)
+    return res.merges.select("rank", "left", "right", "merged", "pair_count")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style word/n-gram repetition filters over documents."""
     from dmid_spark.text import repetition_scores
@@ -1161,7 +1171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_betweenness_sample": q_betweenness,
         "x19_hyperball": q_hyperball,
         "x20_ktruss": q_ktruss,
-        "x21_contract_lpa": q_contract_lpa,
         "x24_node2vec_walks": q_node2vec,
         "x25_louvain_round": q_louvain_round,
         # cover metrics
@@ -1185,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_epochs": q_mix_epochs,
         "sample_token_budget": q_token_budget,
         "sample_shard_shuffle": q_shard_shuffle,
+        "text_bpe_merges": q_bpe_merges,
         # ANN family
         "ann_rp_lsh": q_rp_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1197,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_degree_assortativity": q_assortativity,
         "x9_hits_5iter": q_hits5,
         "x17_sssp_sample": q_sssp,
+        "x21_contract_lpa": q_contract_lpa,
         "x10_ppr_5iter": q_ppr5,
         "x14_harmonic_centrality": q_harmonic,
         "x18_diameter_sweep": q_diameter,
@@ -1522,6 +1533,49 @@ inf AS (
 ),
 cov AS (SELECT follower AS node, candidate AS community, ROUND(influence, 9) AS degree FROM inf)"""
 
+
+
+def _bpe_sql(rounds: int) -> str:
+    """Unrolled BPE training twin: per round, MATERIALIZED pair counts +
+    1-row argmax + the same two-pass plain-replace rewrite the engine
+    applies (DuckDB replace has the identical left-to-right non-overlap
+    rule). MATERIALIZED is load-bearing — each wN is referenced twice."""
+    parts = [
+        r"""w0 AS MATERIALIZED (
+  SELECT sym, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS sym FROM (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ) WHERE word <> ''
+  ) GROUP BY sym
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT pr[1] AS l, pr[2] AS r, freq FROM (
+      SELECT unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS pr, freq FROM (
+        SELECT string_split(sym, ' ') AS arr, freq FROM w{k - 1}
+      )
+    )
+  ) GROUP BY l, r
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS m, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT trim(replace(replace(' ' || sym || ' ', ' '||l||' '||r||' ', ' '||l||r||' '),
+              ' '||l||' '||r||' ', ' '||l||r||' ')) AS sym, freq
+  FROM w{k - 1}, b{k}
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f'SELECT CAST({k} AS INT) AS rank, l AS "left", r AS "right", m AS merged, '
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
 
 
 def _md5_long(expr: str) -> str:
@@ -2972,6 +3026,7 @@ WITH h AS (
 SELECT doc_id, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
 FROM h""",
+        "text_bpe_merges": _bpe_sql(8),
         "text_tfidf_topk": r"""
 WITH toks AS (
   SELECT doc_id,

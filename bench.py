@@ -410,6 +410,16 @@ def main():
     )
     timed("shard_shuffle", lambda: shard_assignments(docs, n_shards=64, seed=42).count())
 
+    from dmid_spark.text import bpe_train
+
+    bpe_res = timed("bpe_train_8", lambda: bpe_train(docs, num_merges=8))
+    detail["bpe"] = {
+        "merges": [
+            (r.left, r.right, int(r.pair_count))
+            for r in bpe_res.merges.orderBy("rank").collect()
+        ]
+    }
+
     from dmid_spark.multimodal import decode_image, synth_media_table
 
     def run_media():
