@@ -543,3 +543,48 @@ def test_token_budget_sample_no_global_window(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "_pid" in line, f"unpartitioned window: {line}"
+
+
+def test_shard_assignments_window_is_per_shard(spark):
+    # the permutation rank must partition by shard — never a global
+    # single-partition window — and the shard/order hashes are scan-stage
+    from dmid_spark.text import shard_assignments
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = shard_assignments(docs, n_shards=8)
+    out.collect()
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "row_number" in plan
+
+
+def test_bpe_pair_count_combines_map_side(spark):
+    # one training round = explode + groupBy over the word table: the pair
+    # aggregation must partial-combine before the shuffle, and the only
+    # single-partition fragment allowed is the 1-row argmax TakeOrdered
+    from dmid_spark.text.bpe import word_frequencies
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "ab ab cd") for i in range(50)], "doc_id long, text string"
+    )
+    words = word_frequencies(docs)
+    arr = F.split(F.col("sym"), " ")
+    n = F.size(arr)
+    pairs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, n - 1).alias("l"), F.slice(arr, 2, n - 1).alias("r")
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    pairs.collect()
+    plan = plan_of(pairs)
+    assert "partial_sum" in plan
+    assert "SinglePartition" not in plan
