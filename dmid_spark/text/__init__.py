@@ -37,5 +37,5 @@ from .quality import (  # noqa: F401
     repetition_scores,
     tfidf_top_terms,
 )
-from .bpe import bpe_segment, bpe_train, word_frequencies  # noqa: F401
+from .bpe import bpe_segment, bpe_segment_pandas, bpe_train, word_frequencies  # noqa: F401
 from .packing import pack_sequences, shard_assignments  # noqa: F401

@@ -145,10 +145,10 @@ def bpe_segment(
     two-pass plain replace as training, so segmenting the training words
     reproduces training's final spellings exactly.
 
-    Column-expression chain: fine for the few-hundred-merge vocabularies
-    the tests use; for production-size vocabularies (30k+) swap in an
-    Arrow-batched Pandas UDF applying the same greedy loop — the chained
-    codegen would blow the JVM's 64 KB method limit long before that.
+    Column-expression chain: fine for few-hundred-merge vocabularies; for
+    production-size vocabularies (30k+) use :func:`bpe_segment_pandas` —
+    the chained codegen would blow the JVM's 64 KB method limit long
+    before that, and the two paths are parity-tested bitwise equal.
     """
     spelled = F.concat(
         F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")), F.lit(" " + END_WORD)
@@ -157,3 +157,43 @@ def bpe_segment(
     for left, right in merges:
         sym = _merge_expr(sym, left, right)
     return df.withColumn(out_col, F.split(sym, " "))
+
+
+def bpe_segment_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Arrow-batched encode path for production-size vocabularies.
+
+    ``bpe_segment`` chains one column expression per merge, which hits the
+    JVM's 64 KB codegen limit somewhere in the hundreds of merges; this
+    variant applies the identical two-pass-replace semantics per word in a
+    Pandas UDF (Python ``str.replace`` has the same left-to-right
+    non-overlap rule), so the two paths are bitwise interchangeable — a
+    parity test pins that. The merge list is O(vocab) closure state
+    broadcast once per executor. Per-word cost is O(merges); a
+    priority-queue tokenizer is faster per word but this stays exact to
+    training's semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [(str(left), str(right)) for left, right in merges]
+
+    def one(w):
+        sym = " ".join(w) + " " + END_WORD
+        for left, right in merge_list:
+            pat, rep = f" {left} {right} ", f" {left}{right} "
+            sym = f" {sym} ".replace(pat, rep).replace(pat, rep).strip()
+        return sym.split(" ")
+
+    # annotations are postponed (PEP 563) module-wide, which pandas_udf's
+    # hint inspection can't resolve — annotate via __annotations__ directly
+    def seg(words):
+        return words.map(one)
+
+    seg.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    seg_udf = pandas_udf(seg, "array<string>")
+    return df.withColumn(out_col, seg_udf(F.col(word_col)))

@@ -113,3 +113,25 @@ def test_bpe_same_symbol_run_variant_is_pinned(spark):
     syms = {r.word: r.sym for r in res.words.collect()}
     assert syms["aaaaa"] == _apply(_spell("aaaaa"), "a", "a")
     assert syms["aa"] == "aa " + END_WORD
+
+
+def test_bpe_segment_pandas_parity_and_large_vocab(spark):
+    from dmid_spark.text.bpe import bpe_segment_pandas
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(_CORPUS)], "doc_id long, text string"
+    )
+    res = bpe_train(docs, num_merges=5)
+    merge_list = [(r.left, r.right) for r in res.merges.orderBy("rank").collect()]
+    words = res.words.select("word")
+    expr_path = {r.word: list(r.tokens) for r in bpe_segment(words, merge_list).collect()}
+    udf_path = {
+        r.word: list(r.tokens) for r in bpe_segment_pandas(words, merge_list).collect()
+    }
+    assert expr_path == udf_path  # bitwise-interchangeable paths
+    # a vocab far past the codegen-safe range still segments correctly
+    big = [(f"s{i}", f"s{i}x") for i in range(300)]  # no-op merges + real ones
+    toks = bpe_segment_pandas(
+        spark.createDataFrame([("lowest",)], "word string"), big + merge_list
+    ).collect()[0].tokens
+    assert "".join(toks) == "lowest" + END_WORD
