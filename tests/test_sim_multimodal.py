@@ -162,9 +162,12 @@ def test_codec_roundtrips_pure_numpy():
     padded = enc[:12] + b"LIST\x05\x00\x00\x00INFOx\x00" + enc[12:]
     s2, rate2 = codecs.decode_wav(padded)
     assert rate2 == 8000 and np.array_equal(s2, stereo)
-    # compressed magic routes to the plug point
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now routes to the real decoder (which rejects garbage)...
+    with pytest.raises(ValueError):
         codecs.decode_image_payload(b"\xff\xd8\xff\xe0fakejpeg")
+    # ...while genuinely unsupported containers still hit the plug point
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image_payload(b"GIF89a-not-supported")
 
 
 def test_png_roundtrip_all_filters_and_color_types():
