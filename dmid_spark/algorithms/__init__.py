@@ -1,7 +1,8 @@
 from .pagerank import pagerank  # noqa: F401
 from .components import connected_components  # noqa: F401
 from .lpa import label_propagation  # noqa: F401
-from .triangles import triangle_counts, total_triangles  # noqa: F401
+from .triangles import triangle_counts, total_triangles, square_counts  # noqa: F401
+from .mis import luby_mis, greedy_coloring  # noqa: F401
 from .dmid import dmid, rawlpa, DmidParams, DmidResult  # noqa: F401
 from .slpa import slpa, slpa_memories, slpa_post_process  # noqa: F401
 from .structure import (  # noqa: F401

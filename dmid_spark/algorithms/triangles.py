@@ -107,6 +107,85 @@ def total_triangles(edges: DataFrame, degree_ordered: bool = True) -> int:
 
 
 @dataclass
+class SquareStats:
+    total: int = 0
+    wedge_pairs: int = 0
+    capped_centers: int = 0
+    wall_sec: float = 0.0
+
+
+def square_counts(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> tuple[DataFrame, SquareStats]:
+    """Per-vertex 4-cycle (square) counts on the undirected simple graph.
+
+    Counting identity: a square a-b-c-d has two diagonals {a,c} and {b,d};
+    group the length-2 paths (wedges) by their ordered endpoint pair
+    ``(lo, hi)`` — a pair with ``cnt`` distinct centers closes
+    ``C(cnt, 2)`` squares, each square being counted once per diagonal.
+    Per vertex: through its diagonal pair each center closes ``cnt - 1``
+    squares, and every square containing v is seen exactly once that way,
+    so ``squares(v) = Σ_(pairs centered at v) (cnt - 1)``; the global total
+    is ``Σ_v squares(v) / 4``.  All integer arithmetic — the SQL twin is a
+    direct groupBy, no recursion.
+
+    Scale: wedge generation is O(Σ deg²), dominated by hot centers —
+    ``max_center_degree`` excludes ultra-hot centers from wedge generation
+    (their wedges AND the squares through them are dropped; the count of
+    excluded centers is reported in stats, house convention: capped ops
+    always say what they dropped). The endpoint-pair aggregation itself is
+    a plain map-side-combinable groupBy, skew-safe.
+    """
+    t0 = time.time()
+    und = (
+        G.drop_self_loops(edges)
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    verts = G.vertices(edges)
+    bidir = und.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
+        und.select(F.col("v").alias("c"), F.col("u").alias("n"))
+    )
+    capped = 0
+    if max_center_degree is not None:
+        deg = bidir.groupBy("c").agg(F.count("*").alias("deg"))
+        hot = deg.filter(F.col("deg") > max_center_degree).select("c")
+        capped = hot.count()
+        bidir = bidir.join(hot, "c", "left_anti")
+    bidir = K.materialize(bidir)
+    b1 = bidir.alias("b1")
+    b2 = bidir.alias("b2")
+    wedges = b1.join(
+        b2, (F.col("b1.c") == F.col("b2.c")) & (F.col("b1.n") < F.col("b2.n"))
+    ).select(F.col("b1.n").alias("lo"), F.col("b2.n").alias("hi"), F.col("b1.c").alias("ctr"))
+    paircnt = K.materialize(
+        wedges.groupBy("lo", "hi")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    # Σ cnt·(cnt-1) = 2·Σ C(cnt,2) = 4·squares — integer all the way
+    agg = paircnt.agg(
+        F.sum(F.col("cnt") * (F.col("cnt") - 1)).alias("s2"),
+        F.count("*").alias("p"),
+    ).first()
+    per_vertex = (
+        wedges.join(paircnt, ["lo", "hi"])
+        .groupBy("ctr")
+        .agg(F.sum(F.col("cnt") - 1).alias("squares"))
+    )
+    counts = verts.join(per_vertex, verts.id == per_vertex.ctr, "left").select(
+        "id", F.coalesce("squares", F.lit(0)).cast("long").alias("squares")
+    )
+    stats = SquareStats(
+        total=int(agg["s2"] or 0) // 4,
+        wedge_pairs=int(agg["p"] or 0),
+        capped_centers=capped,
+        wall_sec=time.time() - t0,
+    )
+    return counts, stats
+
+
+@dataclass
 class SampledTriangleStats:
     total_edges: int = 0
     sampled_edges: int = 0

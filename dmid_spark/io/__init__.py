@@ -2,6 +2,10 @@ from .bucketed import (  # noqa: F401
     read_bucketed,
     write_bucketed,
 )
+from .layout import (  # noqa: F401
+    write_zordered,
+    zorder_key,
+)
 from .formats import (  # noqa: F401
     cover_from_doca_lines,
     read_cover_and_graph,
