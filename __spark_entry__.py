@@ -306,6 +306,40 @@ def q_triangles(spark, sf_dir):
     return counts.select("id", F.col("triangles").cast("long").alias("triangles"))
 
 
+def q_luby_mis(spark, sf_dir):
+    """Luby maximal independent set to fixpoint (5 rounds at sf0.01; MIS
+    size 40 on the dense co-occurrence graph). The SQL twin unrolls 8
+    rounds — once the undecided set is empty every further round is a
+    no-op (empty stays empty), so a fixed unroll ≥ the convergence depth
+    equals the fixpoint. md5 hash-mode makes the per-round priority draws
+    bitwise engine-portable."""
+    from dmid_spark.algorithms import luby_mis
+
+    res, _ = luby_mis(_edges(spark, sf_dir), seed=42, hash_mode="md5")
+    return res.select("id", "in_mis", "round_decided")
+
+
+def q_square_counts(spark, sf_dir):
+    """Per-vertex 4-cycle counts via the diagonal-pair wedge identity —
+    all integer arithmetic, so the twin is a direct groupBy."""
+    from dmid_spark.algorithms import square_counts
+
+    counts, _ = square_counts(_edges(spark, sf_dir))
+    return counts.select("id", "squares")
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Morton layout keys over (o_custkey, o_totalprice) rank-space —
+    integer rank buckets + bit interleave, engine-portable bitwise."""
+    from dmid_spark.io import zorder_key
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = zorder_key(
+        orders, ["o_custkey", "o_totalprice"], id_col="o_orderkey", bits=8
+    )
+    return out.select("o_orderkey", "zkey")
+
+
 def q_modularity(spark, sf_dir):
     from dmid_spark.metrics import extended_modularity
 
@@ -1166,20 +1200,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_triangle_counts": q_triangles,
         "x5_kcore": q_kcore,
         "x8_link_prediction": q_link_prediction,
-        "x11_coreness": q_coreness,
         "x12_scc": q_scc,
         "x16_betweenness_sample": q_betweenness,
         "x19_hyperball": q_hyperball,
         "x20_ktruss": q_ktruss,
         "x24_node2vec_walks": q_node2vec,
         "x25_louvain_round": q_louvain_round,
+        "x26_luby_mis": q_luby_mis,
+        "x27_square_count": q_square_counts,
         # cover metrics
         "m1_extended_modularity": q_modularity,
         "m3_overlapping_nmi": q_m3,
         "m4_spearman_degree_corr": q_spearman,
-        "m5_community_sizes": q_community_sizes,
         "m6_normalize_cover": q_m6,
-        "m7_cover_threshold_filter": q_m7,
         # full covers
         "dmid_cover": q_dmid_cover,
         "slpa_cover": q_slpa,
@@ -1202,7 +1235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
+        # storage layout
+        "layout_zorder_keys": q_zorder_keys,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py) ---
+        "x11_coreness": q_coreness,
+        "m5_community_sizes": q_community_sizes,
+        "m7_cover_threshold_filter": q_m7,
         "x6_clustering_coeff": q_clustering,
         "x7_degree_assortativity": q_assortativity,
         "x9_hits_5iter": q_hits5,
@@ -1283,6 +1321,83 @@ e{i} AS MATERIALIZED (
     SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}
   ) GROUP BY id
 )"""
+
+
+def _luby_sql(seed: int, rounds: int) -> str:
+    """Unrolled Luby MIS rounds over ``verts``/``und``: per round, fresh
+    md5 priorities (exactly mis._priority's integer key), winners = strict
+    min among undecided neighbours (or isolated), then winners+neighbours
+    leave the undecided set. Once undecided is empty every CTE is empty,
+    so unroll ≥ the convergence depth equals the fixpoint. Same
+    AS MATERIALIZED note as _kcore_sql (every round's tables are
+    referenced 2-3×)."""
+    steps = [
+        "u0 AS MATERIALIZED (SELECT id FROM verts)",
+        "e0 AS MATERIALIZED (SELECT u, v FROM und)",
+    ]
+    decided = []
+    for i in range(1, rounds + 1):
+        pu, pe = f"u{i - 1}", f"e{i - 1}"
+        steps.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT id,
+         (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '_{seed}_{i}'), 1, 15)) AS BIGINT)
+          % {1 << 50}) * 1024 + (id % 1024) AS p
+  FROM {pu}
+)""")
+        steps.append(f"""
+b{i} AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM {pe} UNION ALL SELECT v, u FROM {pe}
+)""")
+        steps.append(f"""
+w{i} AS MATERIALIZED (
+  SELECT s.id FROM p{i} s
+  LEFT JOIN (
+    SELECT b.a AS id, MIN(p.p) AS mn FROM b{i} b JOIN p{i} p ON b.b = p.id GROUP BY b.a
+  ) nm ON s.id = nm.id
+  WHERE nm.mn IS NULL OR s.p < nm.mn
+)""")
+        steps.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT DISTINCT b.b AS id FROM b{i} b JOIN w{i} w ON b.a = w.id
+)""")
+        steps.append(f"""
+u{i} AS MATERIALIZED (
+  SELECT u.id FROM {pu} u
+  WHERE u.id NOT IN (SELECT id FROM w{i}) AND u.id NOT IN (SELECT id FROM r{i})
+)""")
+        steps.append(f"""
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {pe} e JOIN u{i} x ON e.u = x.id JOIN u{i} y ON e.v = y.id
+)""")
+        decided.append(
+            f"SELECT id, TRUE AS in_mis, {i} AS round_decided FROM w{i} "
+            f"UNION ALL SELECT id, FALSE, {i} FROM r{i}"
+        )
+    return ",\n".join(steps) + ",\nmis AS (" + " UNION ALL ".join(decided) + ")"
+
+
+def _zorder_sql(bits: int) -> str:
+    """Morton key over (o_custkey, o_totalprice) rank buckets — the twin
+    of io/layout.zorder_key: 0-based ROW_NUMBER ranks (unique via the
+    o_orderkey tie-break), exact integer bucket scaling, unrolled bit
+    interleave. `//` is DuckDB integer division (Spark side uses `div`)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((b0 >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((b1 >> {b}) & 1) << {2 * b + 1})")
+    expr = " + ".join(terms)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM orders),
+r0 AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1 AS r FROM orders),
+r1 AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS r FROM orders),
+bk AS (
+  SELECT r0.o_orderkey,
+         (r0.r * {1 << bits}) // nn.n AS b0,
+         (r1.r * {1 << bits}) // nn.n AS b1
+  FROM r0 JOIN r1 ON r0.o_orderkey = r1.o_orderkey CROSS JOIN nn
+)
+SELECT o_orderkey, CAST({expr} AS BIGINT) AS zkey FROM bk"""
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -2613,6 +2728,31 @@ best AS (
 )
 SELECT v.id, CAST(COALESCE(b.label, v.id) AS BIGINT) AS label
 FROM verts v LEFT JOIN best b ON v.id = b.v""",
+        "x26_luby_mis": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+""" + _luby_sql(seed=42, rounds=8) + """
+SELECT id, in_mis, round_decided FROM mis""",
+        "x27_square_count": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+b AS MATERIALIZED (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
+w AS MATERIALIZED (
+  SELECT b1.n AS lo, b2.n AS hi, b1.c AS ctr
+  FROM b b1 JOIN b b2 ON b1.c = b2.c AND b1.n < b2.n
+),
+pc AS MATERIALIZED (
+  SELECT lo, hi, COUNT(*) AS cnt FROM w GROUP BY lo, hi HAVING COUNT(*) >= 2
+),
+sv AS (
+  SELECT w.ctr AS id, SUM(pc.cnt - 1) AS s
+  FROM w JOIN pc ON w.lo = pc.lo AND w.hi = pc.hi GROUP BY w.ctr
+)
+SELECT v.id, CAST(COALESCE(sv.s, 0) AS BIGINT) AS squares
+FROM verts v LEFT JOIN sv ON v.id = sv.id""",
+        "layout_zorder_keys": _zorder_sql(bits=8),
         "x4_triangle_counts": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
