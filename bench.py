@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -321,6 +322,34 @@ def main():
         "survivors": int(n_truss),
     }
 
+    from dmid_spark.algorithms import luby_mis
+    from dmid_spark.algorithms.triangles import sampled_square_count
+
+    def run_mis():
+        _, mis_stats = luby_mis(edges, seed=42)
+        return mis_stats
+
+    mis_stats = timed("luby_mis", run_mis)
+    detail["luby_mis"] = {
+        "rounds": mis_stats.rounds,
+        "mis_size": mis_stats.mis_size,
+    }
+
+    def run_squares():
+        # sampled: exact counting is O(Σ deg²) wedges and this graph is
+        # dense (avg degree ~116) — DOULION-style p=0.2 edge sampling is
+        # the documented scale path, ~p² of the wedge cost, unbiased 1/p⁴
+        _, sq_stats = sampled_square_count(edges, keep_percent=20, seed=42)
+        return sq_stats
+
+    sq_stats = timed("squares_sampled", run_squares)
+    detail["squares"] = {
+        "keep_percent": 20,
+        "sampled_edges": sq_stats.sampled_edges,
+        "sampled_squares": sq_stats.sampled_squares,
+        "estimate": round(sq_stats.estimate, 1),
+    }
+
     # --- training-data pipeline workload on the SF tables -----------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
@@ -409,6 +438,22 @@ def main():
         lambda: token_budget_sample(docs, {"en": 100000, "de": 30000}, seed=42).count(),
     )
     timed("shard_shuffle", lambda: shard_assignments(docs, n_shards=64, seed=42).count())
+
+    from dmid_spark.io import write_zordered
+
+    def run_zorder():
+        # layout throughput: rank both columns, interleave, range-partition,
+        # sorted parquet write (the OPTIMIZE ZORDER BY shape)
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        with tempfile.TemporaryDirectory() as d:
+            write_zordered(
+                orders, f"{d}/z", ["o_custkey", "o_totalprice"],
+                id_col="o_orderkey", bits=16, num_files=CPUS,
+            )
+            return spark.read.parquet(f"{d}/z").count()
+
+    n_z = timed("zorder_write", run_zorder)
+    detail["zorder_write"] = {"rows": int(n_z)}
 
     from dmid_spark.text import bpe_train
 

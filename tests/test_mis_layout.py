@@ -188,6 +188,28 @@ def test_square_counts_center_cap_reports_drops(spark):
     assert capped.total <= full.total
 
 
+def test_sampled_square_count_full_sample_is_exact(spark):
+    from dmid_spark.algorithms.triangles import sampled_square_count
+
+    rows = random_graph(100, 6, seed=17)[0]
+    _, exact = square_counts(edges_df(spark, rows))
+    out, st = sampled_square_count(edges_df(spark, rows), keep_percent=100)
+    assert st.sampled_squares == exact.total
+    assert st.estimate == float(exact.total)
+    assert st.sampled_edges == st.total_edges
+
+
+def test_sampled_square_count_deterministic(spark):
+    from dmid_spark.algorithms.triangles import sampled_square_count
+
+    rows = random_graph(150, 8, seed=5)[0]
+    e = edges_df(spark, rows)
+    _, a = sampled_square_count(e.repartition(2), keep_percent=30, seed=9)
+    _, b = sampled_square_count(e.repartition(11), keep_percent=30, seed=9)
+    assert (a.sampled_edges, a.sampled_squares) == (b.sampled_edges, b.sampled_squares)
+    assert 0 < a.sampled_edges < a.total_edges
+
+
 # ---------------------------------------------------------------------------
 # z-order layout
 # ---------------------------------------------------------------------------
