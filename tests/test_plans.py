@@ -588,3 +588,68 @@ def test_bpe_pair_count_combines_map_side(spark):
     plan = plan_of(pairs)
     assert "partial_sum" in plan
     assert "SinglePartition" not in plan
+
+
+def test_luby_mis_round_plan_quality(spark):
+    # one MIS round = groupBy-min over the live bidirectional edges plus
+    # semi/anti restriction joins: the min must combine map-side and
+    # nothing may collapse to a single partition (no global windows, no
+    # driver-side sort)
+    from fixtures import random_graph
+    from dmid_spark.algorithms import luby_mis
+
+    rows, _ = random_graph(200, 6, seed=31)
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    res, _ = luby_mis(e, seed=3, max_rounds=1)
+    plan = plan_of(res)
+    assert "SinglePartition" not in plan
+    # the materialized per-round tables hide the agg plan; check the round
+    # body directly: neighbour-min aggregation combines map-side
+    from pyspark.sql import functions as FF
+    from dmid_spark.algorithms.mis import _priority
+    from dmid_spark.algorithms.structure import _undirected_simple
+
+    und = _undirected_simple(e)
+    bidir = und.select(FF.col("u").alias("a"), FF.col("v").alias("b")).unionByName(
+        und.select(FF.col("v").alias("a"), FF.col("u").alias("b"))
+    )
+    prio = und.select(FF.col("u").alias("b")).distinct().select(
+        "b", _priority(FF.col("b"), 1, 3, "xxhash64").alias("p")
+    )
+    nbr_min = bidir.join(prio, "b").groupBy("a").agg(FF.min("p").alias("mn"))
+    nbr_min.collect()
+    round_plan = plan_of(nbr_min)
+    assert "partial_min" in round_plan
+    assert "SinglePartition" not in round_plan
+
+
+def test_square_counts_pair_agg_combines_map_side(spark):
+    # the diagonal-pair count is the hot aggregation — it must partial-agg
+    # before the shuffle, and the whole op must never go single-partition
+    from fixtures import random_graph
+    from dmid_spark.algorithms import square_counts
+
+    rows, _ = random_graph(150, 6, seed=13)
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    counts, _ = square_counts(e)
+    counts.collect()
+    plan = plan_of(counts)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_zorder_key_no_global_window(spark):
+    # ranks come from distributed_rank (range partition + local sort +
+    # offset join) — a Window.orderBy global sort would show up as a
+    # SinglePartition exchange
+    from dmid_spark.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 97, (i * 29) % 89) for i in range(400)],
+        "id long, x long, y long",
+    )
+    out = zorder_key(df, ["x", "y"], id_col="id", bits=8)
+    out.collect()
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
