@@ -1076,6 +1076,41 @@ def q_bpe_merges(spark, sf_dir):
     return res.merges.select("rank", "left", "right", "merged", "pair_count")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality scoring: train a smoothed bigram LM on the
+    corpus (two map-side-combined groupBys), score every doc's perplexity
+    via candidate-driven count joins — no model binary, no UDF."""
+    from dmid_spark.text import lm_perplexity, lm_train
+
+    docs = _docs(spark, sf_dir)
+    uni, bi = lm_train(docs)
+    return lm_perplexity(docs, uni, bi, alpha=0.1)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights toward the English slice:
+    bucket distributions with add-1 smoothing, per-doc log ratio sum —
+    selecting top docs importance-resamples the corpus to the target."""
+    from dmid_spark.text import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024, hash_mode="md5"
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement: seeded
+    u^(1/w) keys (log form), top-k via TakeOrdered — never a global sort."""
+    from dmid_spark.text import weighted_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("w")
+    )
+    out = weighted_sample(docs, 50, "w", seed=42, hash_mode="md5")
+    return out.select("doc_id", "sample_key")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style word/n-gram repetition filters over documents."""
     from dmid_spark.text import repetition_scores
@@ -1199,10 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_lpa_1iter": q_lpa1,
         "x4_triangle_counts": q_triangles,
         "x5_kcore": q_kcore,
-        "x8_link_prediction": q_link_prediction,
         "x12_scc": q_scc,
-        "x16_betweenness_sample": q_betweenness,
-        "x19_hyperball": q_hyperball,
         "x20_ktruss": q_ktruss,
         "x24_node2vec_walks": q_node2vec,
         "x25_louvain_round": q_louvain_round,
@@ -1227,7 +1259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_epochs": q_mix_epochs,
         "sample_token_budget": q_token_budget,
         "sample_shard_shuffle": q_shard_shuffle,
+        "sample_weighted": q_weighted_sample,
         "text_bpe_merges": q_bpe_merges,
+        "text_lm_perplexity": q_lm_perplexity,
+        "text_dsir_weights": q_dsir_weights,
         # ANN family
         "ann_rp_lsh": q_rp_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1238,6 +1273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # storage layout
         "layout_zorder_keys": q_zorder_keys,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py) ---
+        "x8_link_prediction": q_link_prediction,
+        "x16_betweenness_sample": q_betweenness,
+        "x19_hyperball": q_hyperball,
         "x11_coreness": q_coreness,
         "m5_community_sizes": q_community_sizes,
         "m7_cover_threshold_filter": q_m7,
@@ -3167,6 +3205,79 @@ SELECT doc_id, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
 FROM h""",
         "text_bpe_merges": _bpe_sql(8),
+        "sample_weighted": f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ROUND(ln(({_md5_long("CAST(doc_id AS VARCHAR) || ':wsample:42'")} % 1000000 + 1)
+                  / 1000000.0) / CAST(n_chars + 1 AS DOUBLE), 6) AS sample_key
+  FROM documents WHERE CAST(n_chars + 1 AS DOUBLE) > 0
+)
+SELECT doc_id, sample_key FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50""",
+        "text_lm_perplexity": r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(lower(trim(text)), '\s+') END AS a
+  FROM documents
+),
+uni AS (
+  SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(a) AS tok FROM toks) GROUP BY tok
+),
+bg AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(a[1:-2], a[2:])) AS bg FROM toks WHERE len(a) >= 2
+  )
+),
+bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+sc AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS vocab FROM uni),
+first_lp AS (
+  SELECT t.doc_id,
+         ln((COALESCE(u.cnt, 0) + 0.1) / (sc.n_total + 0.1 * sc.vocab)) AS lp,
+         1::BIGINT AS m
+  FROM (SELECT doc_id, a[1] AS tok FROM toks WHERE len(a) >= 1) t
+  LEFT JOIN uni u ON t.tok = u.tok CROSS JOIN sc
+),
+dbg AS (SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS m FROM bg GROUP BY doc_id, w1, w2),
+bi_lp AS (
+  SELECT d.doc_id,
+         d.m * ln((COALESCE(b.cnt, 0) + 0.1) / (COALESCE(u.cnt, 0) + 0.1 * sc.vocab)) AS lp,
+         d.m
+  FROM dbg d LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN uni u ON d.w1 = u.tok CROSS JOIN sc
+),
+per AS (
+  SELECT doc_id, SUM(m) AS n_tokens, ROUND(exp(-SUM(lp) / SUM(m)), 6) AS ppl
+  FROM (SELECT * FROM first_lp UNION ALL SELECT * FROM bi_lp) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens, per.ppl
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+        "text_dsir_weights": f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS a
+  FROM documents
+),
+src_t AS (SELECT doc_id, unnest(a) AS tok FROM toks),
+tgt_t AS (SELECT doc_id, unnest(a) AS tok FROM toks WHERE lang = 'en'),
+src_b AS (SELECT {_md5_long("tok")} % 1024 AS b, COUNT(*) AS c_src FROM src_t GROUP BY 1),
+tgt_b AS (SELECT {_md5_long("tok")} % 1024 AS b, COUNT(*) AS c_tgt FROM tgt_t GROUP BY 1),
+sums AS (SELECT (SELECT SUM(c_src) FROM src_b) AS n_src,
+                (SELECT SUM(c_tgt) FROM tgt_b) AS n_tgt),
+ratios AS (
+  SELECT COALESCE(s.b, t.b) AS b,
+         ln((COALESCE(t.c_tgt, 0) + 1.0) / (sums.n_tgt + 1024.0))
+         - ln((COALESCE(s.c_src, 0) + 1.0) / (sums.n_src + 1024.0)) AS log_ratio
+  FROM src_b s FULL OUTER JOIN tgt_b t ON s.b = t.b CROSS JOIN sums
+),
+doc_b AS (SELECT doc_id, {_md5_long("tok")} % 1024 AS b, COUNT(*)::BIGINT AS m
+          FROM src_t GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, SUM(m) AS n_tokens, ROUND(SUM(m * log_ratio), 6) AS logweight
+  FROM doc_b JOIN ratios USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.logweight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
         "text_tfidf_topk": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -439,6 +439,25 @@ def main():
     )
     timed("shard_shuffle", lambda: shard_assignments(docs, n_shards=64, seed=42).count())
 
+    from dmid_spark.text import lm_perplexity, lm_train, weighted_sample
+
+    def run_lm():
+        # train the bigram LM on the corpus and score every doc — two
+        # groupBys + candidate-driven count joins, all one job here
+        uni, bi = lm_train(docs)
+        return lm_perplexity(docs, uni, bi, alpha=0.1).count()
+
+    n_lm = timed("lm_perplexity", run_lm)
+    detail["lm_perplexity"] = {"docs": int(n_lm)}
+
+    timed(
+        "weighted_sample",
+        lambda: weighted_sample(
+            docs.withColumn("w", (F.col("n_chars") + 1).cast("double")),
+            1000, "w", seed=42,
+        ).count(),
+    )
+
     from dmid_spark.io import write_zordered
 
     def run_zorder():

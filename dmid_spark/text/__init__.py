@@ -28,7 +28,9 @@ from .sampling import (  # noqa: F401
     mix_epochs,
     stratified_sample,
     token_budget_sample,
+    weighted_sample,
 )
+from .lm import dsir_weights, lm_perplexity, lm_train  # noqa: F401
 from .quality import (  # noqa: F401
     doc_fingerprint,
     language_id,

@@ -195,3 +195,45 @@ def token_budget_sample(
         .filter(F.col("tokens_before") < budget)
         .drop("_cum", "_base", "_prio")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Seeded weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws ``u in (0, 1]`` from a content-addressed hash and
+    gets key ``ln(u) / w``; the k LARGEST keys are the sample. Inclusion
+    probability is proportional to ``weight_col`` ("sample 100k docs
+    favoring high quality_score"), and the draw is deterministic across
+    reruns, partitionings, and engines (``hash_mode='md5'``).
+
+    The log formulation of the classic ``u^(1/w)`` key avoids pow
+    over/underflow for extreme weights. Rows with weight <= 0 or NULL are
+    excluded (their inclusion probability is 0). Ties (hash collisions)
+    break on ``id_col`` so the sample is total-ordered.
+
+    Scale path: ``ORDER BY key DESC LIMIT k`` is Spark's TakeOrdered — a
+    per-partition top-k then a driver merge of k·partitions candidates,
+    never a global sort of the corpus. Returns the sampled rows with
+    ``sample_key`` appended (6 dp, hash-stable).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    draw = F.pmod(
+        _hash64(F.concat_ws(":", F.col(id_col), F.lit(f"wsample:{seed}")), hash_mode),
+        F.lit(SAMPLE_RES),
+    )
+    u = (draw + F.lit(1)).cast("double") / F.lit(float(SAMPLE_RES))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 6)
+    return (
+        df.filter(w > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
