@@ -328,6 +328,32 @@ def q_square_counts(spark, sf_dir):
     return counts.select("id", "squares")
 
 
+def q_topo_levels(spark, sf_dir):
+    """Longest-path DAG layering by frontier-driven max-plus propagation;
+    the edge table is oriented low→high with a ≥50 id jump so the derived
+    DAG is shallow (depth ~18) — rounds = depth, work = frontier."""
+    from dmid_spark.algorithms import topological_levels
+
+    e = _edges(spark, sf_dir)
+    dag = (
+        e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .filter(F.col("dst") - F.col("src") >= 50)
+        .distinct()
+    )
+    lv, _ = topological_levels(dag)
+    return lv
+
+
+def q_clique_graph_edges(spark, sf_dir):
+    """k=3 clique-percolation adjacency: pairs of triangles sharing an
+    edge, capped at 5 triangles per shared edge in sorted-triple order
+    (the hot-edge bound); triangles come from the degree-ordered wedge
+    join. Full CPM communities use the uncapped chain form (pytest)."""
+    from dmid_spark.algorithms import clique_graph_edges
+
+    return clique_graph_edges(_edges(spark, sf_dir), max_per_edge=5)
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton layout keys over (o_custkey, o_totalprice) rank-space —
     integer rank buckets + bit interleave, engine-portable bitwise."""
@@ -1236,15 +1262,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_kcore": q_kcore,
         "x12_scc": q_scc,
         "x20_ktruss": q_ktruss,
-        "x24_node2vec_walks": q_node2vec,
         "x25_louvain_round": q_louvain_round,
         "x26_luby_mis": q_luby_mis,
         "x27_square_count": q_square_counts,
+        "x28_topo_levels": q_topo_levels,
+        "x29_clique_edges": q_clique_graph_edges,
         # cover metrics
         "m1_extended_modularity": q_modularity,
         "m3_overlapping_nmi": q_m3,
         "m4_spearman_degree_corr": q_spearman,
-        "m6_normalize_cover": q_m6,
         # full covers
         "dmid_cover": q_dmid_cover,
         "slpa_cover": q_slpa,
@@ -1276,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_link_prediction": q_link_prediction,
         "x16_betweenness_sample": q_betweenness,
         "x19_hyperball": q_hyperball,
+        "x24_node2vec_walks": q_node2vec,
+        "m6_normalize_cover": q_m6,
         "x11_coreness": q_coreness,
         "m5_community_sizes": q_community_sizes,
         "m7_cover_threshold_filter": q_m7,
@@ -2791,6 +2819,40 @@ sv AS (
 SELECT v.id, CAST(COALESCE(sv.s, 0) AS BIGINT) AS squares
 FROM verts v LEFT JOIN sv ON v.id = sv.id""",
         "layout_zorder_keys": _zorder_sql(bits=8),
+        "x28_topo_levels": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
+, de AS (
+  SELECT LEAST(src, dst) AS s, GREATEST(src, dst) AS d FROM edges
+  WHERE GREATEST(src, dst) - LEAST(src, dst) >= 50 GROUP BY 1, 2
+),
+dv AS (SELECT DISTINCT x AS id FROM (SELECT s AS x FROM de UNION ALL SELECT d FROM de)),
+lv(id, l) AS (
+  SELECT id, 0 FROM dv
+  UNION
+  SELECT de.d, lv.l + 1 FROM lv JOIN de ON de.s = lv.id
+)
+SELECT id, CAST(MAX(l) AS BIGINT) AS level FROM lv GROUP BY id""",
+        "x29_clique_edges": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS v1, e1.v AS v2, e2.v AS v3
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+te AS (
+  SELECT v1 AS eu, v2 AS ev, v1, v2, v3 FROM tri
+  UNION ALL SELECT v1, v3, v1, v2, v3 FROM tri
+  UNION ALL SELECT v2, v3, v1, v2, v3 FROM tri
+),
+rk AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY eu, ev ORDER BY v1, v2, v3) AS r
+  FROM te
+),
+capped AS (SELECT * FROM rk WHERE r <= 5)
+SELECT DISTINCT a.v1 AS a1, a.v2 AS a2, a.v3 AS a3,
+                b.v1 AS b1, b.v2 AS b2, b.v3 AS b3
+FROM capped a JOIN capped b ON a.eu = b.eu AND a.ev = b.ev AND a.r < b.r""",
         "x4_triangle_counts": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2

@@ -342,6 +342,44 @@ def main():
         _, sq_stats = sampled_square_count(edges, keep_percent=20, seed=42)
         return sq_stats
 
+    from dmid_spark.algorithms import kclique_communities, topological_levels
+
+    def run_topo():
+        # orient low→high with a big id jump: shallow DAG (rounds = depth),
+        # per-round work proportional to the frontier
+        dag = (
+            edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .filter(F.col("dst") - F.col("src") >= N_REPOS // 20)
+            .distinct()
+        )
+        _, topo_stats = topological_levels(dag)
+        return topo_stats
+
+    topo_stats = timed("topo_levels", run_topo)
+    detail["topo_levels"] = {
+        "rounds": topo_stats.rounds,
+        "frontier_sizes": topo_stats.frontier_sizes[:8],
+    }
+
+    def run_cpm():
+        # CPM k=3 on a seeded 20% edge sample (same DOULION discipline as
+        # squares — this graph is dense; exact triangle LISTS belong to
+        # sparser-than-avg-degree-116 regimes)
+        sampled = edges.filter(
+            F.pmod(F.xxhash64("src", "dst", F.lit(42)), F.lit(100)) < 20
+        )
+        _, cpm_stats = kclique_communities(sampled)
+        return cpm_stats
+
+    cpm_stats = timed("kclique_cpm", run_cpm)
+    detail["kclique_cpm"] = {
+        "triangles": cpm_stats.triangles,
+        "clique_edges": cpm_stats.clique_edges,
+        "communities": cpm_stats.communities,
+    }
+
     sq_stats = timed("squares_sampled", run_squares)
     detail["squares"] = {
         "keep_percent": 20,

@@ -36,3 +36,9 @@ from .paths import (  # noqa: F401
 from .paths import betweenness_sample  # noqa: F401
 from .paths import sssp  # noqa: F401
 from .paths import diameter_double_sweep  # noqa: F401
+from .dag import topological_levels  # noqa: F401
+from .percolation import (  # noqa: F401
+    clique_graph_edges,
+    kclique_communities,
+    triangle_list,
+)

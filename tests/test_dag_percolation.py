@@ -1,0 +1,178 @@
+"""Topological levels and k=3 clique percolation vs handwritten oracles."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmid_spark.algorithms import (
+    clique_graph_edges,
+    kclique_communities,
+    topological_levels,
+    triangle_list,
+)
+
+
+def _edges_df(spark, pairs, weighted=False):
+    if weighted:
+        return spark.createDataFrame(pairs, "src long, dst long, weight double")
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+# ---------------------------------------------------------------------------
+# topological levels
+# ---------------------------------------------------------------------------
+def _py_levels(pairs):
+    verts = sorted({v for e in pairs for v in e})
+    lvl = {v: 0 for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in pairs:
+            if lvl[s] + 1 > lvl[d]:
+                lvl[d] = lvl[s] + 1
+                changed = True
+    return lvl
+
+
+def test_topo_levels_diamond_and_chain(spark):
+    # 0→1→3, 0→2→3, 3→4: longest path to 3 is 2, to 4 is 3; plus a long
+    # side chain 5→6→7→3 making level(3)=3 via the deeper route
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7), (7, 3)]
+    lv, stats = topological_levels(_edges_df(spark, pairs))
+    got = {r.id: r.level for r in lv.collect()}
+    assert got == _py_levels(pairs)
+    assert stats.converged
+    # depth of this DAG is 4 → exactly 5 rounds (last confirms empty frontier)
+    assert stats.rounds <= 5
+
+
+def test_topo_levels_every_vertex_present_and_sources_zero(spark):
+    pairs = [(10, 20), (20, 30), (40, 30)]
+    lv, _ = topological_levels(_edges_df(spark, pairs))
+    got = {r.id: r.level for r in lv.collect()}
+    assert set(got) == {10, 20, 30, 40}
+    assert got[10] == 0 and got[40] == 0 and got[30] == 2
+
+
+def test_topo_levels_cycle_raises(spark):
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(_edges_df(spark, pairs), max_rounds=20)
+
+
+def test_topo_levels_frontier_shrinks(spark):
+    # chain 0→1→…→9 with a wide fan at the root: after round 1 the
+    # frontier must be the chain tip only, not the whole graph
+    pairs = [(0, i) for i in range(100, 140)] + [(i, i + 1) for i in range(9)]
+    lv, stats = topological_levels(_edges_df(spark, pairs))
+    got = {r.id: r.level for r in lv.collect()}
+    assert got == _py_levels(pairs)
+    assert stats.frontier_sizes[-1] == 0
+    # monotone non-increasing tail: the chain keeps exactly one vertex hot
+    assert stats.frontier_sizes[-2] == 1
+
+
+# ---------------------------------------------------------------------------
+# triangle list / clique percolation
+# ---------------------------------------------------------------------------
+def _py_triangles(pairs):
+    und = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tris = set()
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            tris.add(tuple(sorted((u, v, w))))
+    return tris
+
+
+def _py_cpm(pairs):
+    """Overlapping CPM k=3 communities, labeled by min triangle index in
+    sorted-triple order after densification — matches the engine's
+    distributed_rank labeling."""
+    tris = sorted(_py_triangles(pairs))
+    tid = {t: i for i, t in enumerate(tris)}
+    parent = list(range(len(tris)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in combinations(tris, 2):
+        if len(set(a) & set(b)) >= 2:
+            ra, rb = find(tid[a]), find(tid[b])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    label = {}
+    for t in tris:
+        root = find(tid[t])
+        label.setdefault(root, min(tid[x] for x in tris if find(tid[x]) == root))
+    cover = set()
+    for t in tris:
+        c = label[find(tid[t])]
+        for v in t:
+            cover.add((v, c))
+    return cover
+
+
+# two triangle-communities sharing vertex 2 (overlap!), plus an isolated
+# triangle and a triangle pair glued by an edge
+CPM_GRAPH = [
+    (0, 1), (1, 2), (0, 2),          # triangle A
+    (2, 3), (3, 4), (2, 4),          # triangle B — shares only vertex 2 with A
+    (10, 11), (11, 12), (10, 12),    # isolated triangle C
+    (20, 21), (21, 22), (20, 22), (21, 23), (22, 23),  # D+E share edge 21-22
+]
+
+
+def test_triangle_list_matches_py(spark):
+    got = {
+        (r.v1, r.v2, r.v3) for r in triangle_list(_edges_df(spark, CPM_GRAPH)).collect()
+    }
+    assert got == _py_triangles(CPM_GRAPH)
+
+
+def test_kclique_communities_overlap_exactly(spark):
+    cover, stats = kclique_communities(_edges_df(spark, CPM_GRAPH))
+    got = {(r.id, r.community) for r in cover.collect()}
+    assert got == _py_cpm(CPM_GRAPH)
+    # vertex 2 overlaps two communities; D+E form ONE community
+    assert len({c for v, c in got if v == 2}) == 2
+    assert len({c for v, c in got if v in (20, 21, 22, 23)}) == 1
+    assert stats.triangles == 5 and stats.communities == 4
+
+
+def test_kclique_chain_equals_allpairs_on_hot_edge(spark):
+    # wheel: edge (0,1) shared by many triangles through common neighbors —
+    # chaining must still glue them all into one community
+    pairs = [(0, 1)] + [(0, i) for i in range(2, 12)] + [(1, i) for i in range(2, 12)]
+    cover, stats = kclique_communities(_edges_df(spark, pairs))
+    got = {(r.id, r.community) for r in cover.collect()}
+    assert got == _py_cpm(pairs)
+    assert len({c for _, c in got}) == 1
+
+
+def test_clique_graph_edges_capped_and_deterministic(spark):
+    pairs = [(0, 1)] + [(0, i) for i in range(2, 12)] + [(1, i) for i in range(2, 12)]
+    out = clique_graph_edges(_edges_df(spark, pairs), max_per_edge=3)
+    rows = {tuple(r) for r in out.collect()}
+    # hot edge (0,1) has 10 triangles; cap 3 → C(3,2)=3 pairs from it, and
+    # the kept triangles must be the 3 lexicographically smallest triples
+    hot = {r for r in rows if (r[0], r[1]) == (0, 1) and (r[3], r[4]) == (0, 1)}
+    assert len(hot) == 3
+    kept = {r[:3] for r in hot} | {r[3:] for r in hot}
+    assert kept == {(0, 1, 2), (0, 1, 3), (0, 1, 4)}
+    with pytest.raises(ValueError):
+        clique_graph_edges(_edges_df(spark, pairs), max_per_edge=1)
+
+
+def test_kclique_k_not_3_raises(spark):
+    with pytest.raises(NotImplementedError):
+        kclique_communities(_edges_df(spark, CPM_GRAPH), k=4)
