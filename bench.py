@@ -533,6 +533,16 @@ def main():
     n_media = timed("media_decode", run_media)
     detail["media_decode"] = {"images": int(n_media)}
 
+    from dmid_spark.multimodal import audio_features, decode_audio
+
+    def run_audio():
+        # real WAV decode → FFT feature extraction, Arrow-batched end to end
+        media = synth_media_table(spark, n=384, payload="encoded")
+        return audio_features(decode_audio(media, impl="real"), n_fft=256).count()
+
+    n_audio = timed("audio_features", run_audio)
+    detail["audio_features"] = {"clips": int(n_audio)}
+
     def run_prepare():
         # the flagship composition: clean -> dedup -> decontaminate -> pack
         packed, _ = prepare_training_data(

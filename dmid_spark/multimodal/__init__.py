@@ -2,6 +2,7 @@ from . import codecs  # noqa: F401
 from . import jpeg  # noqa: F401
 from .binary_ops import (  # noqa: F401
     MEDIA_SCHEMA,
+    audio_features,
     decode_audio,
     decode_image,
     extract_features,

@@ -653,3 +653,58 @@ def test_zorder_key_no_global_window(spark):
     plan = plan_of(out)
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_lm_perplexity_vocab_joins_broadcast_and_partial_agg(spark):
+    from dmid_spark.text import lm_perplexity, lm_train
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * (1 + i % 3)) for i in range(50)], "doc_id long, text string"
+    )
+    uni, bi = lm_train(docs)
+    # training aggregations must combine map-side (hub tokens like 'the')
+    assert "partial_count" in plan_of(uni)
+    out = lm_perplexity(docs, uni, bi, alpha=0.1)
+    out.collect()
+    plan = plan_of(out)
+    # the unigram probability joins carry the broadcast hint
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topo_levels_msgs_agg_combines_map_side(spark):
+    # one propagation round's message aggregate must have a partial_max
+    # (hub destinations receive many candidate levels)
+    from dmid_spark import graph as G2
+
+    rows = [(i, i + 1, 1.0) for i in range(20)]
+    edges = G2.edges_from_rows(spark, rows)
+    e = edges.select("src", "dst").distinct()
+    lvl = K.materialize(
+        G2.vertices(edges).select("id", F.lit(0).cast("long").alias("level"))
+    )
+    msgs = (
+        e.join(lvl.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg((F.max("level") + 1).alias("cand"))
+    )
+    assert "partial_max" in plan_of(msgs)
+
+
+def test_percolation_chain_window_is_per_edge_never_global(spark):
+    from dmid_spark.algorithms.percolation import _tri_edges, triangle_list
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (2, 4, 1.0)]
+    edges = G.edges_from_rows(spark, rows)
+    tid = K.distributed_rank(triangle_list(edges), ["v1", "v2", "v3"], out_col="tid")
+    te = _tri_edges(tid.select("tid", "v1", "v2", "v3"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("eu", "ev").orderBy("tid")
+    chain = te.select("eu", "ev", "tid").withColumn("nxt", F.lead("tid").over(w))
+    chain.collect()
+    plan = plan_of(chain)
+    # the chaining window partitions by the shared edge — a global (empty
+    # partition spec) window would funnel every triangle through one task
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "eu" in line and "ev" in line, f"unpartitioned window: {line}"

@@ -371,3 +371,58 @@ def test_rp_lsh_signatures_and_candidates(spark):
         rp_signatures(emb, dim=dim, n_bits=0)
     with _pt.raises(ValueError):
         rp_lsh_candidates(sigs, bands=5, n_bits=16)
+
+
+def test_audio_features_match_numpy_transliteration(spark):
+    import numpy as np
+
+    from dmid_spark.multimodal import audio_features, decode_audio
+
+    media = synth_media_table(spark, n=12, payload="encoded")
+    decoded = decode_audio(media, impl="real")
+    feats = {r.media_id: r for r in audio_features(decoded, n_fft=128, n_bands=4).collect()}
+    raw = {r.media_id: r for r in decoded.collect()}
+    assert set(feats) == set(raw)
+    for mid, d in raw.items():
+        x = np.asarray(d.samples, dtype=np.float64).reshape(d.n_samples, d.channels).mean(axis=1)
+        r = feats[mid]
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(x**2))), rel=1e-9)
+        assert r.zcr == pytest.approx(
+            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))), rel=1e-9
+        )
+        hop = 64
+        n_frames = 1 + (x.size - 128) // hop
+        idx = np.arange(128)[None, :] + hop * np.arange(n_frames)[:, None]
+        mag = np.abs(np.fft.rfft(x[idx] * np.hanning(128)[None, :], axis=1)).mean(axis=0)
+        freqs = np.fft.rfftfreq(128, d=1.0 / d.sample_rate)
+        assert r.spectral_centroid == pytest.approx(
+            float((freqs * mag).sum() / mag.sum()), rel=1e-9
+        )
+        cum = np.cumsum(mag)
+        assert r.rolloff_hz == pytest.approx(
+            float(freqs[int(np.searchsorted(cum, 0.85 * mag.sum()))]), rel=1e-9
+        )
+        assert len(r.band_log_energy) == 4
+        # band energies are finite and ordered sane (log of positive sums)
+        assert all(np.isfinite(v) for v in r.band_log_energy)
+
+
+def test_audio_features_short_clip_and_silence(spark):
+    import numpy as np
+
+    from dmid_spark.multimodal import audio_features
+
+    import pandas as pd  # noqa: F401
+
+    rows = [
+        (0, 8000, 16, 1, [0.0] * 16),            # silence shorter than n_fft
+        (1, 8000, 4, 1, [0.5, -0.5, 0.5, -0.5]),  # tiny alternating clip
+    ]
+    decoded = spark.createDataFrame(
+        rows,
+        "media_id long, sample_rate int, n_samples int, channels int, samples array<float>",
+    )
+    got = {r.media_id: r for r in audio_features(decoded, n_fft=128, n_bands=4).collect()}
+    assert got[0].rms == 0.0 and got[0].spectral_centroid == 0.0 and got[0].rolloff_hz == 0.0
+    assert got[1].zcr == pytest.approx(1.0)
+    assert np.isfinite(got[1].spectral_centroid)
