@@ -328,6 +328,21 @@ def q_square_counts(spark, sf_dir):
     return counts.select("id", "squares")
 
 
+def q_cc_incremental(spark, sf_dir):
+    """Daily-ingest component update: CC solves the 80% 'old' edge slice,
+    the 20% delta connects only component REPRESENTATIVES, composed labels
+    must equal a full re-run bit-for-bit (min-id labeling composes) — so
+    the twin is the plain full-graph recursive CC."""
+    from dmid_spark.algorithms import connected_components, incremental_components
+
+    e = _edges(spark, sf_dir)
+    old = e.filter((F.col("src") + F.col("dst")) % 5 < 4)
+    new = e.filter((F.col("src") + F.col("dst")) % 5 >= 4)
+    old_labels, _ = connected_components(old)
+    labels, _ = incremental_components(new, old_labels)
+    return labels
+
+
 def q_topo_levels(spark, sf_dir):
     """Longest-path DAG layering by frontier-driven max-plus propagation;
     the edge table is oriented low→high with a ≥50 id jump so the derived
@@ -1259,7 +1274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_connected_components": q_cc,
         "x3_lpa_1iter": q_lpa1,
         "x4_triangle_counts": q_triangles,
-        "x5_kcore": q_kcore,
         "x12_scc": q_scc,
         "x20_ktruss": q_ktruss,
         "x25_louvain_round": q_louvain_round,
@@ -1267,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x27_square_count": q_square_counts,
         "x28_topo_levels": q_topo_levels,
         "x29_clique_edges": q_clique_graph_edges,
+        "x30_cc_incremental": q_cc_incremental,
         # cover metrics
         "m1_extended_modularity": q_modularity,
         "m3_overlapping_nmi": q_m3,
@@ -1302,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_link_prediction": q_link_prediction,
         "x16_betweenness_sample": q_betweenness,
         "x19_hyperball": q_hyperball,
+        "x5_kcore": q_kcore,
         "x24_node2vec_walks": q_node2vec,
         "m6_normalize_cover": q_m6,
         "x11_coreness": q_coreness,
@@ -2774,6 +2790,14 @@ SELECT CAST(0 AS BIGINT) AS start, far.u AS peripheral,
        CAST(GREATEST(far.ecc, (SELECT MAX(dist) FROM sp2)) AS BIGINT) AS diameter_lb
 FROM far""",
         "x2_connected_components": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
+, sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT id AS node, id AS lbl FROM verts
+  UNION
+  SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS id, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY node""",
+        "x30_cc_incremental": _G.replace("WITH edges", "WITH RECURSIVE edges") + """
 , sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
 reach AS (
   SELECT id AS node, id AS lbl FROM verts

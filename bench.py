@@ -187,6 +187,20 @@ def main():
     labels, cc_stats = timed("connected_components", lambda: connected_components(edges))
     detail["cc"] = {"rounds": cc_stats.rounds, "converged": cc_stats.converged}
 
+    from dmid_spark.algorithms import incremental_components
+
+    def run_cc_inc():
+        # daily-ingest shape: 1% seeded delta re-labeled against the full
+        # solve's labels — the delta graph connects representatives only
+        delta = edges.filter(
+            F.pmod(F.xxhash64("src", "dst", F.lit(7)), F.lit(100)) < 1
+        )
+        _, st = incremental_components(delta, labels)
+        return st
+
+    cci_stats = timed("cc_incremental_1pct", run_cc_inc)
+    detail["cc_incremental"] = {"delta_rounds": cci_stats.rounds}
+
     timed("lpa_5iter", lambda: label_propagation(edges, max_iter=5, until_fixpoint=False)[0].count())
 
     _, tri_stats = timed("triangles", lambda: triangle_counts(edges))

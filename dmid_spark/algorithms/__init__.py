@@ -1,5 +1,5 @@
 from .pagerank import pagerank  # noqa: F401
-from .components import connected_components  # noqa: F401
+from .components import connected_components, incremental_components  # noqa: F401
 from .lpa import label_propagation  # noqa: F401
 from .triangles import triangle_counts, total_triangles, square_counts  # noqa: F401
 from .mis import luby_mis, greedy_coloring  # noqa: F401

@@ -112,3 +112,68 @@ def connected_components(
     )
     stats.wall_sec = time.time() - t0
     return labels, stats
+
+
+def incremental_components(
+    new_edges: DataFrame,
+    old_labels: DataFrame,
+    max_rounds: int = 50,
+    broadcast_mins: bool = True,
+) -> tuple[DataFrame, CCStats]:
+    """Update a component labeling with a batch of NEW edges without
+    re-solving the old graph — the daily-ingest shape (companion to
+    text.dedup.dedup_against): yesterday's 100 TB graph is summarized by
+    its ``labels(id, component)`` table; today's delta only has to connect
+    component REPRESENTATIVES.
+
+    Each new endpoint maps through ``old_labels`` (unseen vertices label
+    themselves); the delta graph over those representatives — bounded by
+    the new batch size, not the corpus — goes through the same
+    small-star/large-star loop; the composed mapping relabels every old
+    vertex whose component merged. Old components untouched by the delta
+    keep their label bit-for-bit, so the result equals a full re-run on
+    ``old_edges ∪ new_edges`` whenever ``old_labels`` used min-id labeling
+    (both pick the component min; pytest-asserted).
+
+    Returns ``(labels(id, component), stats)`` covering old vertices ∪ new
+    endpoints; stats counts the delta-graph rounds only.
+    """
+    old_labels = K.materialize(old_labels.select("id", "component"))
+    ends = (
+        new_edges.select(F.col("src").alias("id"))
+        .unionByName(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # endpoint → representative (its old component, or itself if unseen)
+    rep = K.materialize(
+        ends.join(old_labels, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("rep")
+        )
+    )
+    delta = (
+        new_edges.join(rep.withColumnRenamed("id", "src"), "src")
+        .select(F.col("rep").alias("r_src"), "dst")
+        .join(rep.withColumnRenamed("id", "dst"), "dst")
+        .select(F.col("r_src").alias("src"), F.col("rep").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    merged, stats = connected_components(
+        delta, max_rounds=max_rounds, broadcast_mins=broadcast_mins
+    )
+    merged = merged.withColumnRenamed("id", "rep").withColumnRenamed(
+        "component", "new_comp"
+    )
+    # compose: old labels re-map through the merged representative labels;
+    # unseen new endpoints come in via their (identity) representative
+    all_ids = (
+        old_labels.select("id", F.col("component").alias("rep"))
+        .unionByName(rep.select("id", "rep"))
+        .groupBy("id")
+        .agg(F.min("rep").alias("rep"))
+    )
+    labels = (
+        all_ids.join(merged, "rep", "left")
+        .select("id", F.coalesce("new_comp", F.col("rep")).alias("component"))
+    )
+    return K.materialize(labels), stats

@@ -129,3 +129,48 @@ def test_sampled_triangle_count_doulion(spark):
 
     with _pt.raises(ValueError):
         sampled_triangle_count(e, keep_percent=0)
+
+
+def test_incremental_components_matches_full_rerun(spark):
+    from fixtures import random_graph
+    from pyspark.sql import functions as F
+
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import connected_components, incremental_components
+
+    rows, _ = random_graph(n=60, seed=11)
+    edges = G.edges_from_rows(spark, rows)
+    old = edges.filter((F.col("src") + F.col("dst")) % 5 < 4)
+    new = edges.filter((F.col("src") + F.col("dst")) % 5 >= 4)
+    old_labels, _ = connected_components(old)
+    inc, _ = incremental_components(new, old_labels)
+    full, _ = connected_components(edges)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_incremental_components_empty_delta_and_new_vertices(spark):
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import connected_components, incremental_components
+
+    edges = G.edges_from_rows(spark, [(0, 1, 1.0), (2, 3, 1.0)])
+    labels, _ = connected_components(edges)
+
+    # delta internal to an existing component: labels unchanged
+    inc, st = incremental_components(
+        G.edges_from_rows(spark, [(1, 0, 1.0)]), labels
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, labels.collect()))
+
+    # delta bridging the two components + a brand-new vertex 9
+    inc2, _ = incremental_components(
+        G.edges_from_rows(spark, [(1, 2, 1.0), (9, 3, 1.0)]), labels
+    )
+    got = dict(map(tuple, inc2.collect()))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 9: 0}
+
+    # disconnected brand-new pair forms its own component
+    inc3, _ = incremental_components(
+        G.edges_from_rows(spark, [(21, 20, 1.0)]), labels
+    )
+    got3 = dict(map(tuple, inc3.collect()))
+    assert got3[20] == 20 and got3[21] == 20 and got3[0] == 0 and got3[2] == 2

@@ -708,3 +708,22 @@ def test_percolation_chain_window_is_per_edge_never_global(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "eu" in line and "ev" in line, f"unpartitioned window: {line}"
+
+
+def test_incremental_components_delta_bounded_by_new_batch(spark):
+    # the delta graph the star loop runs on must contain only representative
+    # pairs from the NEW batch — its row count is bounded by the batch, not
+    # the old corpus
+    from dmid_spark import graph as G2
+    from dmid_spark.algorithms import connected_components, incremental_components
+
+    old_rows = [(i, i + 1, 1.0) for i in range(0, 200, 2)]  # 100 tiny comps
+    edges = G2.edges_from_rows(spark, old_rows)
+    labels, _ = connected_components(edges)
+    new = G2.edges_from_rows(spark, [(1, 2, 1.0), (5, 6, 1.0)])
+    inc, st = incremental_components(new, labels)
+    # 2 delta edges → the star loop converges in a handful of rounds on a
+    # 2-edge graph regardless of the 100-component history
+    assert st.edge_counts and max(st.edge_counts) <= 4
+    got = dict(map(tuple, inc.collect()))
+    assert got[0] == got[3] == 0 and got[4] == got[7] == 4 and got[8] == 8
