@@ -394,6 +394,19 @@ def main():
         "communities": cpm_stats.communities,
     }
 
+    from dmid_spark.algorithms import minimum_spanning_forest
+
+    def run_msf():
+        _, msf_stats = minimum_spanning_forest(edges)
+        return msf_stats
+
+    msf_stats = timed("boruvka_msf", run_msf)
+    detail["boruvka_msf"] = {
+        "rounds": msf_stats.rounds,
+        "chosen_per_round": msf_stats.chosen_per_round,
+        "total_weight": round(msf_stats.total_weight, 1),
+    }
+
     sq_stats = timed("squares_sampled", run_squares)
     detail["squares"] = {
         "keep_percent": 20,

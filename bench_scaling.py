@@ -119,15 +119,21 @@ out["dmid_rw"] = {
 # corpus-MB/s so the N->4N pairs get the same efficiency treatment
 tpath = os.environ.get("SCALE_TEXT")
 if tpath:
-    from dmid_spark.text import chunk_dedup_summary, decontaminate
+    from dmid_spark.text import chunk_dedup_summary, decontaminate, lm_perplexity, lm_train
 
     docs = spark.read.parquet(tpath).persist()
     n_docs = docs.count()
     mb = docs.selectExpr("sum(length(text)) AS s").first()["s"] / 1e6
     bench_docs = docs.filter("doc_id % 97 = 0")
+
+    def run_lm():
+        uni, bi = lm_train(docs)
+        return lm_perplexity(docs, uni, bi, alpha=0.1).count()
+
     for key, fn in (
         ("text_chunk_dedup", lambda: chunk_dedup_summary(docs, chunk_words=20).count()),
         ("text_decontaminate", lambda: decontaminate(docs, bench_docs, n=13).count()),
+        ("text_lm_perplexity", run_lm),
     ):
         walls = []
         for _ in range(3):
@@ -302,7 +308,7 @@ def _best_of(runs: list[dict]) -> dict:
         out[job]["wall"] = min(r[job]["wall"] for r in runs)
         out[job]["edges_per_sec"] = max(r[job]["edges_per_sec"] for r in runs)
         out[job]["supersteps_per_sec"] = max(r[job]["supersteps_per_sec"] for r in runs)
-    for job in ("text_chunk_dedup", "text_decontaminate"):
+    for job in ("text_chunk_dedup", "text_decontaminate", "text_lm_perplexity"):
         if job in best:
             out[job]["wall"] = min(r[job]["wall"] for r in runs)
             out[job]["mb_per_sec"] = max(r[job]["mb_per_sec"] for r in runs)
@@ -410,7 +416,7 @@ def main():
         tref = results[levels[0]]["text_chunk_dedup"]
         lines += [
             "",
-            "## Text scan-stage jobs (chunk dedup, 13-gram decontamination)",
+            "## Text scan-stage jobs (chunk dedup, 13-gram decontamination, bigram-LM perplexity)",
             "",
             f"Same corpus at every level: {tref['docs']:,} documents /"
             f" {tref['corpus_mb']:,} MB of text (sf0.1 deterministically"
@@ -422,7 +428,7 @@ def main():
             "| job | cores | wall | corpus MB/s |",
             "|---|---|---|---|",
         ]
-        for name in ("text_chunk_dedup", "text_decontaminate"):
+        for name in ("text_chunk_dedup", "text_decontaminate", "text_lm_perplexity"):
             for c in levels:
                 r = results[c][name]
                 lines.append(
@@ -436,7 +442,7 @@ def main():
         for lo, hi in pairs:
             factor = hi / lo
             cl = ceil[f"{lo}->{hi}"]
-            for name in ("text_chunk_dedup", "text_decontaminate"):
+            for name in ("text_chunk_dedup", "text_decontaminate", "text_lm_perplexity"):
                 a, b = results[lo][name], results[hi][name]
                 eff = round(b["mb_per_sec"] / (factor * a["mb_per_sec"]), 3)
                 lines.append(

@@ -42,3 +42,4 @@ from .percolation import (  # noqa: F401
     kclique_communities,
     triangle_list,
 )
+from .mst import minimum_spanning_forest  # noqa: F401

@@ -36,7 +36,11 @@ class TopoStats:
 
 
 def topological_levels(
-    edges: DataFrame, max_rounds: int = 1000
+    edges: DataFrame,
+    max_rounds: int = 1000,
+    ckpt=None,
+    ckpt_every: int = 5,
+    resume: bool = False,
 ) -> tuple[DataFrame, TopoStats]:
     """Longest-path level per vertex on the directed graph ``edges(src,
     dst)``. Returns ``(levels(id, level), stats)``; every vertex of the
@@ -47,16 +51,32 @@ def topological_levels(
     plausible depth means the input has a cycle (levels would grow
     unboundedly; Kahn's algorithm would report the same cycle by
     non-exhaustion).
+
+    With a :class:`..checkpoint.CheckpointManager` the level table lands
+    on disk (lineage + frontier-size metrics) every ``ckpt_every`` rounds;
+    ``resume=True`` restarts from the latest checkpoint. Max-plus is
+    monotone and idempotent, so the resumed run re-seeds the frontier with
+    EVERY vertex of the checkpointed state — one full-width round, then
+    the frontier collapses back to the true wavefront, and the final
+    levels are bit-identical to an uninterrupted run (pytest-asserted).
     """
     e = K.materialize(
         G.drop_self_loops(edges.select("src", "dst")).distinct()
     )
     verts = G.vertices(e)
-    lvl = K.materialize(verts.select("id", F.lit(0).cast("long").alias("level")))
-    frontier = lvl
     stats = TopoStats()
+    start_round = 0
+    lvl = None
+    if resume and ckpt is not None:
+        got = ckpt.latest("topo_levels")
+        if got is not None:
+            start_round, lvl, m = got
+            stats.frontier_sizes = list(m.get("frontier_sizes", []))
+    if lvl is None:
+        lvl = K.materialize(verts.select("id", F.lit(0).cast("long").alias("level")))
+    frontier = lvl
     t0 = time.time()
-    for r in range(1, max_rounds + 1):
+    for r in range(start_round + 1, max_rounds + 1):
         msgs = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -78,6 +98,11 @@ def topological_levels(
         stats.rounds = r
         stats.frontier_sizes.append(n_front)
         lvl = merged.select("id", F.col("new_level").alias("level"))
+        if ckpt is not None and (r % ckpt_every == 0 or n_front == 0):
+            lvl = ckpt.save(
+                lvl, "topo_levels", r,
+                metrics={"frontier": n_front, "frontier_sizes": stats.frontier_sizes},
+            )
         if n_front == 0:
             stats.converged = True
             break

@@ -176,3 +176,120 @@ def test_clique_graph_edges_capped_and_deterministic(spark):
 def test_kclique_k_not_3_raises(spark):
     with pytest.raises(NotImplementedError):
         kclique_communities(_edges_df(spark, CPM_GRAPH), k=4)
+
+
+# ---------------------------------------------------------------------------
+# Borůvka minimum spanning forest
+# ---------------------------------------------------------------------------
+def _py_kruskal(pairs):
+    """(u,v,w) canonical edges → MSF edge set via Kruskal with the same
+    (weight, u, v) total order the engine uses."""
+    canon = {}
+    for s, d, w in pairs:
+        if s == d:
+            continue
+        u, v = min(s, d), max(s, d)
+        canon[(u, v)] = min(canon.get((u, v), float("inf")), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for (u, v), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            out.add((u, v, w))
+    return out
+
+
+def test_msf_unique_weights_matches_kruskal_exactly(spark):
+    import random
+
+    from dmid_spark.algorithms import minimum_spanning_forest
+
+    rng = random.Random(5)
+    pairs = []
+    seen = set()
+    for _ in range(120):
+        u, v = rng.randrange(40), rng.randrange(40)
+        if u != v and (min(u, v), max(u, v)) not in seen:
+            seen.add((min(u, v), max(u, v)))
+            pairs.append((u, v, round(rng.random() * 100, 6)))
+    edges = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    mst, stats = minimum_spanning_forest(edges)
+    got = {(r.u, r.v, r.weight) for r in mst.collect()}
+    assert got == _py_kruskal(pairs)
+    assert stats.converged
+    assert stats.total_weight == pytest.approx(sum(w for _, _, w in got))
+
+
+def test_msf_forest_property_with_ties_and_two_components(spark):
+    from dmid_spark.algorithms import minimum_spanning_forest
+
+    # all weights equal (worst tie case) over two disjoint cliques
+    pairs = [(a, b, 1.0) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(a, b, 1.0) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    mst, stats = minimum_spanning_forest(edges)
+    got = [(r.u, r.v) for r in mst.collect()]
+    # forest: V - #components edges, no cycles, same total weight as Kruskal
+    assert len(got) == (5 - 1) + (4 - 1)
+    oracle = _py_kruskal(pairs)
+    assert stats.total_weight == pytest.approx(sum(w for _, _, w in oracle))
+    # spanning: union-find over chosen edges connects each clique
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in got:
+        ru, rv = find(u), find(v)
+        assert ru != rv, "cycle in spanning forest"
+        parent[max(ru, rv)] = min(ru, rv)
+    assert len({find(x) for x in range(5)}) == 1
+    assert len({find(x) for x in range(10, 14)}) == 1
+
+
+def test_msf_empty_and_self_loop_only(spark):
+    from dmid_spark.algorithms import minimum_spanning_forest
+
+    edges = spark.createDataFrame([(3, 3, 1.0)], "src long, dst long, weight double")
+    mst, stats = minimum_spanning_forest(edges)
+    assert mst.count() == 0 and stats.total_weight == 0.0
+
+
+def test_topo_levels_checkpoint_resume_bit_identical(spark, tmp_path):
+    from dmid_spark.checkpoint import CheckpointManager
+    from dmid_spark.algorithms import topological_levels
+
+    # depth-6 chain plus a fan; full run as the reference
+    pairs = [(i, i + 1) for i in range(6)] + [(0, 10), (10, 11)]
+    df = _edges_df(spark, pairs)
+    ref, _ = topological_levels(df)
+    ref_rows = sorted(map(tuple, ref.collect()))
+
+    # interrupted run: cap at 2 rounds (cycle guard raises AFTER the loop,
+    # but rounds 1-2 are already checkpointed)
+    ckpt = CheckpointManager(spark, str(tmp_path / "topo"), run_id="t")
+    with pytest.raises(ValueError):
+        topological_levels(df, max_rounds=2, ckpt=ckpt, ckpt_every=1)
+
+    # resume from the round-2 state: full-width re-seed, then converge
+    got, stats = topological_levels(
+        df, ckpt=ckpt, ckpt_every=1, resume=True
+    )
+    assert sorted(map(tuple, got.collect())) == ref_rows
+    assert stats.converged
+    # lineage records the resumed rounds too
+    names = [r["iteration"] for r in ckpt.lineage("topo_levels")]
+    assert 1 in names and 2 in names and max(names) > 2
