@@ -328,6 +328,20 @@ def q_square_counts(spark, sf_dir):
     return counts.select("id", "squares")
 
 
+def q_feature_smooth(spark, sf_dir):
+    """SGC preprocessing: 2 hops of D^-1/2 (A+I) D^-1/2 over the embedding
+    table joined onto the (id<500) subgraph — per-dim SpMV sharing one
+    shuffle, long-form output quantized at 6dp."""
+    from dmid_spark.algorithms import smooth_features
+
+    e = _edges(spark, sf_dir).filter((F.col("src") < 500) & (F.col("dst") < 500))
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("features")
+    )
+    out = smooth_features(e, emb, iterations=2, round_dp=6)
+    return out.select("id", F.col("dim").cast("long").alias("dim"), "value")
+
+
 def q_cc_incremental(spark, sf_dir):
     """Daily-ingest component update: CC solves the 80% 'old' edge slice,
     the 20% delta connects only component REPRESENTATIVES, composed labels
@@ -1274,7 +1288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_connected_components": q_cc,
         "x3_lpa_1iter": q_lpa1,
         "x4_triangle_counts": q_triangles,
-        "x12_scc": q_scc,
         "x20_ktruss": q_ktruss,
         "x25_louvain_round": q_louvain_round,
         "x26_luby_mis": q_luby_mis,
@@ -1282,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x28_topo_levels": q_topo_levels,
         "x29_clique_edges": q_clique_graph_edges,
         "x30_cc_incremental": q_cc_incremental,
+        "x32_feature_smooth": q_feature_smooth,
         # cover metrics
         "m1_extended_modularity": q_modularity,
         "m3_overlapping_nmi": q_m3,
@@ -1318,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_betweenness_sample": q_betweenness,
         "x19_hyperball": q_hyperball,
         "x5_kcore": q_kcore,
+        "x12_scc": q_scc,
         "x24_node2vec_walks": q_node2vec,
         "m6_normalize_cover": q_m6,
         "x11_coreness": q_coreness,
@@ -2805,6 +2820,34 @@ reach AS (
   SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node
 )
 SELECT node AS id, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY node""",
+        "x32_feature_smooth": _G + """
+, e2 AS (SELECT src, dst, weight FROM edges WHERE src < 500 AND dst < 500),
+sym AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(weight) AS w
+        FROM e2 GROUP BY 1, 2),
+b2 AS (SELECT u, v, w FROM sym UNION ALL SELECT v, u, w FROM sym),
+v2 AS (SELECT DISTINCT id FROM (SELECT u AS id FROM b2 UNION ALL SELECT vec_id FROM embeddings)),
+deg AS (
+  SELECT v2.id, COALESCE(s.d, 0) + 1.0 AS d
+  FROM v2 LEFT JOIN (SELECT u AS id, SUM(w) AS d FROM b2 GROUP BY u) s USING (id)
+),
+arcs AS (
+  SELECT b2.u, b2.v, b2.w / sqrt(du.d * dv.d) AS nw
+  FROM b2 JOIN deg du ON b2.u = du.id JOIN deg dv ON b2.v = dv.id
+  UNION ALL SELECT id, id, 1.0 / d FROM deg
+),
+x0 AS (
+  SELECT v2.id, COALESCE(f.dim, 0) AS dim, COALESCE(f.value, 0.0) AS value
+  FROM v2 LEFT JOIN (
+    SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS value
+    FROM embeddings
+  ) f USING (id)
+),
+x1 AS (SELECT a.v AS id, x.dim, SUM(a.nw * x.value) AS value
+       FROM arcs a JOIN x0 x ON a.u = x.id GROUP BY 1, 2),
+x2 AS (SELECT a.v AS id, x.dim, SUM(a.nw * x.value) AS value
+       FROM arcs a JOIN x1 x ON a.u = x.id GROUP BY 1, 2)
+SELECT id, CAST(dim AS BIGINT) AS dim, ROUND(value, 6) AS value FROM x2""",
         "x3_lpa_1iter": _G + """
 , counts AS (
   SELECT e.dst AS v, e.src AS label_src, COUNT(*) AS c

@@ -394,6 +394,26 @@ def main():
         "communities": cpm_stats.communities,
     }
 
+    from dmid_spark.algorithms import smooth_features
+
+    def run_smooth():
+        # SGC 2-hop smoothing of 8-dim deterministic features over the full
+        # graph: per-dim SpMV sharing one shuffle, E·D-row hash aggregation
+        verts = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct()
+        feats = verts.select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda d: (F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+            ).alias("features"),
+        )
+        return smooth_features(edges, feats, iterations=2).count()
+
+    n_smooth = timed("feature_smooth_8d", run_smooth)
+    detail["feature_smooth"] = {"rows_out": int(n_smooth), "dims": 8, "hops": 2}
+
     from dmid_spark.algorithms import minimum_spanning_forest
 
     def run_msf():

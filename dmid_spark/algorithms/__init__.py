@@ -43,3 +43,4 @@ from .percolation import (  # noqa: F401
     triangle_list,
 )
 from .mst import minimum_spanning_forest  # noqa: F401
+from .propagation import features_long, features_wide, smooth_features  # noqa: F401

@@ -1,0 +1,119 @@
+"""Feature smoothing over the graph (SURVEY.md §2.6 ext X32): the SGC /
+APPNP preprocessing step ``X ← (D^-1/2 (A + I) D^-1/2)^K · X`` (Wu et al.,
+"Simplifying Graph Convolutional Networks", ICML 2019).
+
+The bridge between the embeddings table and the link-graph engine: K hops
+of symmetric-normalized neighborhood averaging turn per-node embeddings
+into structure-aware ones (the no-training-GNN baseline, and the feature
+prep step ahead of node classification / ANN retrieval over graph data).
+
+Relational shape: features go long-form ``(id, dim, value)`` once
+(posexplode), each hop is one edges⋈features join + a map-side-combined
+``(dst, dim)`` sum — an SpMV per feature dimension sharing one shuffle.
+Intermediate size is E×D rows; that IS the computation's data volume, and
+it streams through hash aggregation without ever materializing a dense
+matrix. For D ≫ 10³ swap the long-form joins for the CSR Arrow kernel
+(kernel.py) with a matrix-valued state — same plan shape, batched columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import graph as G
+from .. import kernel as K
+
+
+def features_long(features: DataFrame, id_col: str = "id", vec_col: str = "features") -> DataFrame:
+    """(id, features array) → long form (id, dim, value)."""
+    return features.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "value")
+    ).select("id", "dim", F.col("value").cast("double").alias("value"))
+
+
+def features_wide(long_df: DataFrame) -> DataFrame:
+    """(id, dim, value) → (id, features array) with dims in order."""
+    return long_df.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "value"))),
+            lambda s: s["value"],
+        ).alias("features")
+    )
+
+
+def smooth_features(
+    edges: DataFrame,
+    features: DataFrame,
+    iterations: int = 2,
+    id_col: str = "id",
+    vec_col: str = "features",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """K hops of ``D^-1/2 (A + I) D^-1/2`` over the undirected view of
+    ``edges`` (weights respected; the +I self loop keeps every node's own
+    signal and makes isolated nodes fixed points). Returns the long form
+    ``(id, dim, value)`` — every vertex of the graph ∪ feature table, with
+    missing features treated as zero vectors. ``round_dp`` quantizes the
+    final values (engine-twin hash stability).
+
+    Each hop: one join of the O(E) symmetric edge list (self loops
+    included, weights pre-normalized once) against the O(V·D) long
+    features, then a map-side-combined (dst, dim) sum — shuffle volume
+    E·D, state V·D, nothing dense, nothing driver-side.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    sym = (
+        G.drop_self_loops(edges)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    both = sym.select("u", "v", "w").unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    verts = G.vertices(edges).unionByName(
+        features.select(F.col(id_col).alias("id"))
+    ).distinct()
+    deg = (
+        verts.join(
+            both.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("d")),
+            "id",
+            "left",
+        )
+        # +1 for the self loop of A_hat = A + I
+        .select("id", (F.coalesce("d", F.lit(0.0)) + 1.0).alias("d"))
+    )
+    # normalized arc list including self loops: w / sqrt(d_u d_v)
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    arcs = K.materialize(
+        both.join(du, "u").join(dv, "v")
+        .select("u", "v", (F.col("w") / F.sqrt(F.col("du") * F.col("dv"))).alias("nw"))
+        .unionByName(
+            deg.select(
+                F.col("id").alias("u"), F.col("id").alias("v"),
+                (F.lit(1.0) / F.col("d")).alias("nw"),
+            )
+        )
+    )
+    x = K.materialize(
+        verts.join(features_long(features, id_col, vec_col), "id", "left").select(
+            "id", F.coalesce("dim", F.lit(0)).alias("dim"),
+            F.coalesce("value", F.lit(0.0)).alias("value"),
+        )
+    )
+    for _ in range(iterations):
+        x = K.materialize(
+            arcs.join(x.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"), "dim")
+            .agg(F.sum(F.col("nw") * F.col("value")).alias("value"))
+        )
+    if round_dp is not None:
+        x = x.select("id", "dim", F.round("value", round_dp).alias("value"))
+    return x

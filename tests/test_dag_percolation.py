@@ -293,3 +293,56 @@ def test_topo_levels_checkpoint_resume_bit_identical(spark, tmp_path):
     # lineage records the resumed rounds too
     names = [r["iteration"] for r in ckpt.lineage("topo_levels")]
     assert 1 in names and 2 in names and max(names) > 2
+
+
+# ---------------------------------------------------------------------------
+# SGC feature smoothing
+# ---------------------------------------------------------------------------
+def test_smooth_features_matches_numpy_sgc(spark):
+    import numpy as np
+
+    from dmid_spark.algorithms import smooth_features
+
+    pairs = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 1.0), (3, 4, 1.0)]  # 5 nodes, node 5 isolated w/ features
+    feats = [(i, [float(i + 1), float(10 - i)]) for i in range(6)]
+    edges = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    fdf = spark.createDataFrame(feats, "id long, features array<float>")
+
+    n, d = 6, 2
+    A = np.zeros((n, n))
+    for u, v, w in pairs:
+        A[u, v] += w
+        A[v, u] += w
+    A += np.eye(n)
+    Dm = np.diag(1.0 / np.sqrt(A.sum(axis=1)))
+    # note: D = deg + 1 with the +I self loop → rowsum of A+I
+    Ah = Dm @ A @ Dm
+    X = np.array([f for _, f in feats], dtype=np.float64)
+    for K in (0, 1, 3):
+        out = smooth_features(edges, fdf, iterations=K)
+        got = {(r.id, r.dim): r.value for r in out.collect()}
+        ref = np.linalg.matrix_power(Ah, K) @ X
+        for i in range(n):
+            for j in range(d):
+                assert got[(i, j)] == pytest.approx(ref[i, j], rel=1e-9), (K, i, j)
+
+
+def test_smooth_features_isolated_node_is_fixed_point(spark):
+    from dmid_spark.algorithms import smooth_features
+
+    edges = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    fdf = spark.createDataFrame(
+        [(5, [2.5, -1.0])], "id long, features array<float>"
+    )
+    out = {(r.id, r.dim): r.value for r in smooth_features(edges, fdf, iterations=4).collect()}
+    assert out[(5, 0)] == pytest.approx(2.5) and out[(5, 1)] == pytest.approx(-1.0)
+
+
+def test_features_long_wide_roundtrip(spark):
+    from dmid_spark.algorithms import features_long, features_wide
+
+    fdf = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0, 6.0])], "id long, features array<float>"
+    )
+    back = {r.id: r.features for r in features_wide(features_long(fdf)).collect()}
+    assert back == {1: [1.0, 2.0, 3.0], 2: [4.0, 5.0, 6.0]}
