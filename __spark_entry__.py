@@ -328,6 +328,33 @@ def q_square_counts(spark, sf_dir):
     return counts.select("id", "squares")
 
 
+def q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised LPA: every 100th vertex seeds class id/100, frozen
+    (Zhu–Ghahramani clamp); one synchronous round, smallest-label ties."""
+    from dmid_spark.algorithms import label_propagation
+
+    e = _edges(spark, sf_dir)
+    verts = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    seeds = verts.filter(F.col("id") % 100 == 0).select(
+        "id", (F.col("id") / 100).cast("long").alias("label")
+    )
+    labels, _ = label_propagation(
+        e, max_iter=1, until_fixpoint=False, seeds=seeds, frozen_seeds=True
+    )
+    return labels.select("id", F.col("label").cast("long").alias("label"))
+
+
+def q_backbone(spark, sf_dir):
+    """Serrano multiscale backbone: keep edges significant (α<0.15) at a
+    testable endpoint under the uniform-strength null; pendant-only edges
+    pass with NULL α. Scan-stage arithmetic + one strength join."""
+    from dmid_spark.graph import disparity_backbone
+
+    return disparity_backbone(_edges(spark, sf_dir), alpha=0.15)
+
+
 def q_feature_smooth(spark, sf_dir):
     """SGC preprocessing: 2 hops of D^-1/2 (A+I) D^-1/2 over the embedding
     table joined onto the (id<500) subgraph — per-dim SpMV sharing one
@@ -1285,8 +1312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standard + extended graph algorithms
         "x1_pagerank_5iter": q_pagerank5,
         "x1_pagerank_converged": q_pagerank_conv,
-        "x2_connected_components": q_cc,
-        "x3_lpa_1iter": q_lpa1,
         "x4_triangle_counts": q_triangles,
         "x20_ktruss": q_ktruss,
         "x25_louvain_round": q_louvain_round,
@@ -1296,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x29_clique_edges": q_clique_graph_edges,
         "x30_cc_incremental": q_cc_incremental,
         "x32_feature_smooth": q_feature_smooth,
+        "x33_seeded_lpa": q_seeded_lpa,
+        "x34_backbone": q_backbone,
         # cover metrics
         "m1_extended_modularity": q_modularity,
         "m3_overlapping_nmi": q_m3,
@@ -1331,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_link_prediction": q_link_prediction,
         "x16_betweenness_sample": q_betweenness,
         "x19_hyperball": q_hyperball,
+        "x2_connected_components": q_cc,
+        "x3_lpa_1iter": q_lpa1,
         "x5_kcore": q_kcore,
         "x12_scc": q_scc,
         "x24_node2vec_walks": q_node2vec,
@@ -2861,6 +2890,44 @@ best AS (
 )
 SELECT v.id, CAST(COALESCE(b.label, v.id) AS BIGINT) AS label
 FROM verts v LEFT JOIN best b ON v.id = b.v""",
+        "x33_seeded_lpa": _G + """
+, seeds AS (SELECT id, CAST(id // 100 AS BIGINT) AS slabel FROM verts WHERE id % 100 = 0),
+init AS (
+  SELECT v.id, COALESCE(s.slabel, v.id) AS label
+  FROM verts v LEFT JOIN seeds s ON v.id = s.id
+),
+counts AS (
+  SELECT e.dst AS v, l.label, COUNT(*) AS c
+  FROM edges e JOIN init l ON e.src = l.id GROUP BY 1, 2
+),
+best AS (
+  SELECT v, label FROM (
+    SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn FROM counts
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT i.id, COALESCE(b.label, i.label) AS label
+  FROM init i LEFT JOIN best b ON i.id = b.v
+)
+SELECT m.id, CAST(COALESCE(s.slabel, m.label) AS BIGINT) AS label
+FROM merged m LEFT JOIN seeds s ON m.id = s.id""",
+        "x34_backbone": _G + """
+, und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(weight) AS weight
+  FROM edges GROUP BY 1, 2
+),
+b2 AS (SELECT u, v, weight FROM und UNION ALL SELECT v, u, weight FROM und),
+st AS (SELECT u AS id, SUM(weight) AS s, COUNT(*) AS k FROM b2 GROUP BY u),
+scored AS (
+  SELECT und.u, und.v, und.weight,
+         ROUND(LEAST(
+           CASE WHEN su.k >= 2 THEN POW(1.0 - und.weight / su.s, su.k - 1) END,
+           CASE WHEN sv.k >= 2 THEN POW(1.0 - und.weight / sv.s, sv.k - 1) END
+         ), 6) AS alpha_min
+  FROM und JOIN st su ON und.u = su.id JOIN st sv ON und.v = sv.id
+)
+SELECT u, v, CAST(weight AS DOUBLE) AS weight, alpha_min
+FROM scored WHERE alpha_min IS NULL OR alpha_min < 0.15""",
         "x26_luby_mis": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2

@@ -36,6 +36,8 @@ def label_propagation(
     max_iter: int = 20,
     until_fixpoint: bool = True,
     broadcast_state: bool = True,
+    seeds: DataFrame | None = None,
+    frozen_seeds: bool = False,
 ) -> tuple[DataFrame, LpaStats]:
     """Returns (labels(id, label), stats).
 
@@ -43,11 +45,28 @@ def label_propagation(
     the per-round join — localCheckpointed state has no size stats, so
     Catalyst would otherwise re-sort the edge table every round (the same
     trap as kernel.spmv_join_step). Disable at ≳10^9 vertices, where the
-    shuffle join is the only option."""
+    shuffle join is the only option.
+
+    ``seeds(id, label)`` overrides initial labels (semi-supervised LPA: a
+    few vertices carry known classes, the rest start with their own id);
+    ``frozen_seeds=True`` additionally pins seed labels every round so
+    propagation flows OUT of the seed set but never overwrites it — the
+    Zhu–Ghahramani clamped variant."""
     t0 = time.time()
     stats = LpaStats()
     verts = K.materialize(G.vertices(edges))
-    labels = K.materialize(verts.select("id", F.col("id").alias("label")))
+    if seeds is not None:
+        seed_tbl = K.materialize(
+            seeds.select("id", F.col("label").alias("seed_label"))
+        )
+        labels = K.materialize(
+            verts.join(seed_tbl, "id", "left").select(
+                "id", F.coalesce("seed_label", F.col("id")).alias("label")
+            )
+        )
+    else:
+        seed_tbl = None
+        labels = K.materialize(verts.select("id", F.col("id").alias("label")))
     e = edges.select("src", "dst")
     for r in range(1, max_iter + 1):
         lbl_side = F.broadcast(labels) if broadcast_state else labels
@@ -61,11 +80,14 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b"))
             .select("v", (-F.col("b.nl")).alias("new_label"))
         )
-        new_labels = K.materialize(
-            labels.join(best, labels.id == best.v, "left").select(
-                "id", F.coalesce("new_label", "label").alias("label")
-            )
+        merged = labels.join(best, labels.id == best.v, "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
         )
+        if frozen_seeds and seed_tbl is not None:
+            merged = merged.join(seed_tbl, "id", "left").select(
+                "id", F.coalesce("seed_label", F.col("label")).alias("label")
+            )
+        new_labels = K.materialize(merged)
         stats.rounds = r
         if until_fixpoint:
             changed = (

@@ -222,3 +222,62 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         "n_vertices long, n_edges long, n_self_loops long, n_reciprocal long, "
         "max_in_deg long, max_out_deg long",
     )
+
+
+def disparity_backbone(
+    edges: DataFrame, alpha: float = 0.05, min_degree: int = 2
+) -> DataFrame:
+    """Multiscale backbone extraction (Serrano, Boguñá & Vespignani,
+    "Extracting the multiscale backbone of complex weighted networks",
+    PNAS 2009): keep an edge when its weight is statistically significant
+    against the null model of uniformly split strength at EITHER endpoint
+    — ``α_ij = (1 − w_ij / s_i)^(k_i − 1) < alpha``.
+
+    The standard de-noising step before community detection on
+    co-occurrence graphs (hairball → backbone): global thresholds kill all
+    weak-strength vertices' edges, the disparity filter keeps locally
+    dominant ones at every scale. An endpoint with degree < ``min_degree``
+    is untestable (k=1 makes α ≡ 1) and is SKIPPED: the edge is judged at
+    its testable endpoint(s); an edge with no testable endpoint passes
+    (``alpha_min`` NULL) — pruning it would disconnect every pendant.
+
+    Pure column arithmetic over the undirected view plus one
+    degree/strength join — scan-stage cost. Returns canonical
+    ``(u, v, weight, alpha_min)`` (6dp, engine-portable) for surviving
+    edges."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    und = (
+        drop_self_loops(edges)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    both = und.select("u", "v", "weight").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "weight")
+    )
+    stren = both.groupBy(F.col("u").alias("id")).agg(
+        F.sum("weight").alias("s"), F.count("*").alias("k")
+    )
+    su = stren.select(F.col("id").alias("u"), F.col("s").alias("su"), F.col("k").alias("ku"))
+    sv = stren.select(F.col("id").alias("v"), F.col("s").alias("sv"), F.col("k").alias("kv"))
+    # untestable side → NULL; least() skips NULLs, both-NULL → NULL (pass)
+    a_u = F.when(
+        F.col("ku") >= min_degree,
+        F.pow(1.0 - F.col("weight") / F.col("su"), F.col("ku") - 1),
+    )
+    a_v = F.when(
+        F.col("kv") >= min_degree,
+        F.pow(1.0 - F.col("weight") / F.col("sv"), F.col("kv") - 1),
+    )
+    return (
+        und.join(su, "u")
+        .join(sv, "v")
+        .withColumn("alpha_min", F.round(F.least(a_u, a_v), 6))
+        .filter(F.col("alpha_min").isNull() | (F.col("alpha_min") < alpha))
+        .select("u", "v", "weight", "alpha_min")
+    )

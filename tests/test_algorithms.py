@@ -174,3 +174,46 @@ def test_incremental_components_empty_delta_and_new_vertices(spark):
     )
     got3 = dict(map(tuple, inc3.collect()))
     assert got3[20] == 20 and got3[21] == 20 and got3[0] == 0 and got3[2] == 2
+
+
+def test_seeded_lpa_frozen_and_unfrozen(spark):
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_propagation
+
+    # path 10-11-12-13-14 symmetrized; seed classes 1 and 2 at the ends —
+    # ties break toward the SMALLEST label, so the small seed classes win
+    # over the unseeded vertices' own ids and split the path
+    pairs = [(i, i + 1, 1.0) for i in range(10, 14)]
+    edges = G.symmetrize(G.edges_from_rows(spark, pairs))
+    seeds = spark.createDataFrame([(10, 1), (14, 2)], "id long, label long")
+    labels, _ = label_propagation(
+        edges, max_iter=10, seeds=seeds, frozen_seeds=True
+    )
+    got = dict(map(tuple, labels.collect()))
+    assert got[10] == 1 and got[14] == 2
+    # synchronous ties break toward the smallest label, so class 1 wins the
+    # interior (v13 sees {12:1, 14:2} at fixpoint → tie → 1); the frozen
+    # seed is the only vertex holding class 2
+    assert got[11] == 1 and got[12] == 1 and got[13] == 1
+    assert set(got.values()) == {1, 2}
+
+    # unfrozen: seeds initialize but are overwritten by neighbors (vertex
+    # 10's only neighbor starts as 11 → 10 adopts 11 in round 1)
+    labels2, _ = label_propagation(
+        edges, max_iter=1, until_fixpoint=False, seeds=seeds, frozen_seeds=False
+    )
+    got2 = dict(map(tuple, labels2.collect()))
+    assert got2[10] == 11
+
+
+def test_seeded_lpa_no_seeds_matches_plain(spark):
+    from fixtures import random_graph
+
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_propagation
+
+    rows, _ = random_graph(n=40, seed=3)
+    edges = G.edges_from_rows(spark, rows)
+    a, _ = label_propagation(edges, max_iter=3, until_fixpoint=False)
+    b, _ = label_propagation(edges, max_iter=3, until_fixpoint=False, seeds=None)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

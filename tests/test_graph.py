@@ -107,3 +107,48 @@ def test_transition_edges_matches_sequential(spark):
     }
     # u10: a->b (ts100->200), b->c (same ts, event_id order), c->a; u20: b->b
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1, ("b", "b"): 1}
+
+
+def test_disparity_backbone_matches_transliteration(spark):
+    from dmid_spark.graph import disparity_backbone
+
+    # hub 0 with one dominant edge + uniform noise; a pendant pair aside
+    pairs = [(0, i, 1.0) for i in range(1, 9)] + [(0, 9, 50.0), (20, 21, 5.0)]
+    edges = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    got = {
+        (r.u, r.v): (r.weight, r.alpha_min)
+        for r in disparity_backbone(edges, alpha=0.05).collect()
+    }
+
+    # transliteration: untestable (k<2) sides skipped, both-untestable pass
+    und = {}
+    for s, d, w in pairs:
+        und[(min(s, d), max(s, d))] = und.get((min(s, d), max(s, d)), 0.0) + w
+    stren, deg = {}, {}
+    for (u, v), w in und.items():
+        for x in (u, v):
+            stren[x] = stren.get(x, 0.0) + w
+            deg[x] = deg.get(x, 0) + 1
+    expect = {}
+    for (u, v), w in und.items():
+        sides = [
+            (1.0 - w / stren[x]) ** (deg[x] - 1) for x in (u, v) if deg[x] >= 2
+        ]
+        am = round(min(sides), 6) if sides else None
+        if am is None or am < 0.05:
+            expect[(u, v)] = (w, am)
+    assert got == expect
+    # the dominant hub edge survives, the uniform noise edges do not
+    assert (0, 9) in got and (0, 1) not in got
+    # both-endpoints-untestable edges pass with NULL alpha
+    assert got[(20, 21)] == (5.0, None)
+
+
+def test_disparity_backbone_validates_alpha(spark):
+    import pytest as _pytest
+
+    from dmid_spark.graph import disparity_backbone
+
+    edges = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    with _pytest.raises(ValueError):
+        disparity_backbone(edges, alpha=1.5)
