@@ -42,6 +42,17 @@ def features_wide(long_df: DataFrame) -> DataFrame:
     )
 
 
+def _hop(arcs: DataFrame, x: DataFrame) -> DataFrame:
+    """One propagation hop: normalized arcs ⋈ long features → map-side
+    combined (dst, dim) sum. Split out so plan tests can inspect it before
+    the materialization cut."""
+    return (
+        arcs.join(x.withColumnRenamed("id", "u"), "u")
+        .groupBy(F.col("v").alias("id"), "dim")
+        .agg(F.sum(F.col("nw") * F.col("value")).alias("value"))
+    )
+
+
 def smooth_features(
     edges: DataFrame,
     features: DataFrame,
@@ -109,11 +120,7 @@ def smooth_features(
         )
     )
     for _ in range(iterations):
-        x = K.materialize(
-            arcs.join(x.withColumnRenamed("id", "u"), "u")
-            .groupBy(F.col("v").alias("id"), "dim")
-            .agg(F.sum(F.col("nw") * F.col("value")).alias("value"))
-        )
+        x = K.materialize(_hop(arcs, x))
     if round_dp is not None:
         x = x.select("id", "dim", F.round("value", round_dp).alias("value"))
     return x

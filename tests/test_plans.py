@@ -727,3 +727,35 @@ def test_incremental_components_delta_bounded_by_new_batch(spark):
     assert st.edge_counts and max(st.edge_counts) <= 4
     got = dict(map(tuple, inc.collect()))
     assert got[0] == got[3] == 0 and got[4] == got[7] == 4 and got[8] == 8
+
+
+def test_disparity_backbone_partial_agg_no_window(spark):
+    from dmid_spark.graph import disparity_backbone
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11 + 7, float(1 + i % 4)) for i in range(60)],
+        "src long, dst long, weight double",
+    )
+    out = disparity_backbone(edges, alpha=0.3)
+    out.collect()
+    plan = plan_of(out)
+    # strength aggregation combines map-side; no window anywhere (the
+    # filter is pure column arithmetic over two degree joins)
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_smooth_features_hop_agg_combines_map_side(spark):
+    from dmid_spark.algorithms.propagation import _hop, features_long
+
+    arcs = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 2, 0.5), (2, 0, 0.5)], "u long, v long, nw double"
+    )
+    feats = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(3)], "id long, features array<float>"
+    )
+    out = _hop(arcs, features_long(feats))
+    out.collect()
+    # the (dst, dim) sum is a hash aggregate with a partial phase — hub
+    # destinations pre-combine instead of shuffling raw E*D rows
+    assert "partial_sum" in plan_of(out)
