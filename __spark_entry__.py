@@ -328,6 +328,27 @@ def q_square_counts(spark, sf_dir):
     return counts.select("id", "squares")
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel signup→view→purchase: per-user earliest qualifying
+    step times via k candidate-driven joins — no per-user event arrays."""
+    from dmid_spark.events import funnel_steps
+
+    out = funnel_steps(_events(spark, sf_dir), ["signup", "view", "purchase"])
+    return out.select(
+        "user", F.col("steps_completed").cast("long").alias("steps_completed"),
+        "t_1", "t_2", "t_3",
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly retention triangle: first-seen cohort bucket + distinct
+    users per (cohort, offset) — two hash aggregates."""
+    from dmid_spark.events import retention_cohorts
+
+    out = retention_cohorts(_events(spark, sf_dir), bucket="week")
+    return out.select("cohort", "offset", F.col("users").cast("long").alias("users"))
+
+
 def q_seeded_lpa(spark, sf_dir):
     """Semi-supervised LPA: every 100th vertex seeds class id/100, frozen
     (Zhu–Ghahramani clamp); one synchronous round, smallest-label ties."""
@@ -1311,7 +1332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sha_invariant": q_corpus_sha,
         # standard + extended graph algorithms
         "x1_pagerank_5iter": q_pagerank5,
-        "x1_pagerank_converged": q_pagerank_conv,
         "x4_triangle_counts": q_triangles,
         "x20_ktruss": q_ktruss,
         "x25_louvain_round": q_louvain_round,
@@ -1326,7 +1346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cover metrics
         "m1_extended_modularity": q_modularity,
         "m3_overlapping_nmi": q_m3,
-        "m4_spearman_degree_corr": q_spearman,
         # full covers
         "dmid_cover": q_dmid_cover,
         "slpa_cover": q_slpa,
@@ -1352,9 +1371,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         # storage layout
         "layout_zorder_keys": q_zorder_keys,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py) ---
+        "x1_pagerank_converged": q_pagerank_conv,
+        "m4_spearman_degree_corr": q_spearman,
         "x8_link_prediction": q_link_prediction,
         "x16_betweenness_sample": q_betweenness,
         "x19_hyperball": q_hyperball,
@@ -2890,6 +2913,38 @@ best AS (
 )
 SELECT v.id, CAST(COALESCE(b.label, v.id) AS BIGINT) AS label
 FROM verts v LEFT JOIN best b ON v.id = b.v""",
+        "events_funnel": """
+WITH s1 AS (
+  SELECT user_id AS u, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT s1.u, s1.t1, MIN(e.ts) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.u AND e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY 1, 2
+),
+s3 AS (
+  SELECT s2.u, s2.t1, s2.t2, MIN(e.ts) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1, 2, 3
+)
+SELECT u AS user,
+       CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS BIGINT)
+         AS steps_completed,
+       t1 AS t_1, t2 AS t_2, t3 AS t_3
+FROM s3""",
+        "events_retention": """
+WITH ev AS (
+  -- integer // (double // is an unfloored double and a later BIGINT cast
+  -- would ROUND); epoch seconds are integral here so the cast is exact
+  SELECT user_id AS u, CAST(epoch(ts) AS BIGINT) // 604800 AS b FROM events
+),
+first AS (SELECT u, MIN(b) AS cohort FROM ev GROUP BY u)
+SELECT f.cohort, ev.b - f.cohort AS offset,
+       CAST(COUNT(DISTINCT ev.u) AS BIGINT) AS users
+FROM ev JOIN first f ON ev.u = f.u
+GROUP BY 1, 2""",
         "x33_seeded_lpa": _G + """
 , seeds AS (SELECT id, CAST(id // 100 AS BIGINT) AS slabel FROM verts WHERE id % 100 = 0),
 init AS (

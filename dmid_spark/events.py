@@ -1,0 +1,107 @@
+"""Batch event analytics over the events table: funnels and retention.
+
+The two standard product-analytics queries a user of an events pipeline
+runs daily, expressed as candidate-driven joins and map-side-combined
+aggregates (no per-user collect, no window over the global table):
+
+- :func:`funnel_steps` — ordered step completion ("of users who did A,
+  how many later did B, then C?") with an optional horizon. Step k's
+  earliest-qualifying timestamp comes from one filtered join against step
+  k−1's table — k joins total, each bounded by the funnel's survivors,
+  never a per-user event array.
+- :func:`retention_cohorts` — first-seen cohort bucketing + per-offset
+  distinct-user counts (the classic triangle matrix), two hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon_sec: float | None = None,
+) -> DataFrame:
+    """Per-user earliest completion time of each ordered funnel step.
+
+    Step 1 = the user's earliest ``steps[0]`` event; step k = the earliest
+    ``steps[k-1]`` event STRICTLY AFTER the user's step k−1 time (and
+    within ``horizon_sec`` of step 1 when set). Returns one row per user
+    who completed step 1: ``(user, steps_completed, t_1 .. t_k)`` with
+    NULL times for uncompleted steps — ``groupBy(steps_completed).count``
+    is the funnel chart.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+    )
+    cur = (
+        ev.filter(F.col("etype") == steps[0])
+        .groupBy("user")
+        .agg(F.min("ts").alias("t_1"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = ev.filter(F.col("etype") == step).select(
+            "user", F.col("ts").alias("_ts")
+        )
+        cond = F.col("_ts") > F.col(f"t_{k - 1}")
+        if horizon_sec is not None:
+            # interval arithmetic works on TIMESTAMP and TIMESTAMP_NTZ alike
+            # (a double cast would reject NTZ parquet columns)
+            cond = cond & (
+                F.col("_ts")
+                <= F.col("t_1") + F.make_dt_interval(secs=F.lit(float(horizon_sec)))
+            )
+        cur = (
+            cur.join(nxt, "user", "left")
+            .select("*", F.when(cond, F.col("_ts")).alias("_q"))
+            .groupBy("user", *[f"t_{i}" for i in range(1, k)])
+            .agg(F.min("_q").alias(f"t_{k}"))
+        )
+    done = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        done = done + F.col(f"t_{i}").isNotNull().cast("int")
+    # steps_completed counts the PREFIX of non-null times (t_k is only
+    # searched after t_{k-1}, so nulls are suffix-closed by construction)
+    return cur.select(
+        "user", done.alias("steps_completed"),
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    bucket: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic retention triangle: cohort = the user's first-activity
+    bucket; one row per (cohort, offset) with the distinct users from that
+    cohort active ``offset`` buckets later. ``bucket`` ∈ {'day', 'week'}.
+
+    Two aggregates: first-seen per user (map-side combined min), then
+    distinct users per (cohort, offset) — both shuffle on small keys.
+    """
+    if bucket not in ("day", "week"):
+        raise ValueError(f"bucket must be 'day' or 'week', got {bucket}")
+    # date-floor arithmetic is timezone-free and identical on TIMESTAMP and
+    # TIMESTAMP_NTZ; floor(epoch_days/7) == floor(epoch_secs/604800) for
+    # non-negative timestamps, so an epoch(ts)-based twin agrees exactly
+    days = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+    b = days.cast("long") if bucket == "day" else (days / 7).cast("long")
+    ev = events.select(F.col(user_col).alias("user"), b.alias("b"))
+    first = ev.groupBy("user").agg(F.min("b").alias("cohort"))
+    return (
+        ev.join(first, "user")
+        .select("user", "cohort", (F.col("b") - F.col("cohort")).alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("user").alias("users"))
+    )

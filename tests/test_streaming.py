@@ -375,3 +375,85 @@ def test_windowed_heavy_hitters_cross_trigger_accumulation(spark, tmp_path):
     assert per_trigger[0] == []  # 3 < 5
     second = {(r["win"], r["key"]): r["estimate"] for r in per_trigger[1]}
     assert second == {(0, "7"): 6}
+
+
+# ---------------------------------------------------------------------------
+# batch event analytics: funnels + retention
+# ---------------------------------------------------------------------------
+def test_funnel_steps_matches_py_oracle(spark):
+    import datetime as dt
+
+    from dmid_spark.events import funnel_steps
+
+    T = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return T + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 completes view→click→buy in order
+        (1, "view", ts(0)), (1, "click", ts(5)), (1, "buy", ts(9)),
+        # u2 clicks BEFORE viewing: click must not count, then re-clicks
+        (2, "click", ts(0)), (2, "view", ts(1)), (2, "click", ts(4)),
+        # u3 views only
+        (3, "view", ts(2)),
+        # u4 never views (excluded entirely)
+        (4, "click", ts(0)), (4, "buy", ts(1)),
+        # u5: buy between view and click — buy must anchor AFTER click
+        (5, "view", ts(0)), (5, "buy", ts(1)), (5, "click", ts(2)), (5, "buy", ts(7)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r.user: (r.steps_completed, r.t_1, r.t_2, r.t_3)
+        for r in funnel_steps(ev, ["view", "click", "buy"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1] == (3, ts(0), ts(5), ts(9))
+    assert out[2] == (2, ts(1), ts(4), None)
+    assert out[3] == (1, ts(2), None, None)
+    assert out[5] == (3, ts(0), ts(2), ts(7))
+
+    # horizon: u1's buy at +9min is outside a 8-minute horizon from t_1
+    out_h = {
+        r.user: r.steps_completed
+        for r in funnel_steps(ev, ["view", "click", "buy"], horizon_sec=8 * 60).collect()
+    }
+    assert out_h[1] == 2 and out_h[5] == 3
+
+
+def test_retention_cohorts_matches_py_oracle(spark):
+    import datetime as dt
+
+    from dmid_spark.events import retention_cohorts
+
+    base = dt.datetime(2024, 1, 4)  # aligned so day buckets are clean
+    rows = []
+    # u1 active day 0, 1, 3; u2 active day 1 only; u3 active day 0 and 3
+    for u, days in ((1, [0, 1, 3]), (2, [1]), (3, [0, 3])):
+        for d in days:
+            rows.append((u, "view", base + dt.timedelta(days=d, hours=2)))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r.cohort, r.offset): r.users
+        for r in retention_cohorts(ev, bucket="day").collect()
+    }
+    c0 = min(c for c, _ in got)  # day-bucket index of base
+    assert got[(c0, 0)] == 2          # u1, u3
+    assert got[(c0, 1)] == 1          # u1
+    assert got[(c0, 3)] == 2          # u1, u3
+    assert got[(c0 + 1, 0)] == 1      # u2's own cohort
+    assert set(got.values()) and all(v >= 1 for v in got.values())
+
+
+def test_funnel_validates_steps(spark):
+    from dmid_spark.events import funnel_steps
+
+    ev = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(ev, [])
+    from dmid_spark.events import retention_cohorts
+
+    with _pytest.raises(ValueError):
+        retention_cohorts(ev, bucket="month")
