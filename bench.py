@@ -394,6 +394,15 @@ def main():
         "communities": cpm_stats.communities,
     }
 
+    from dmid_spark.graph import disparity_backbone
+
+    def run_backbone():
+        out = disparity_backbone(edges, alpha=0.05)
+        return out.count()
+
+    n_bb = timed("disparity_backbone", run_backbone)
+    detail["disparity_backbone"] = {"kept_edges": int(n_bb)}
+
     from dmid_spark.algorithms import smooth_features
 
     def run_smooth():
@@ -655,6 +664,14 @@ def main():
             F.floor(F.col("ts").cast("timestamp").cast("long") / 300), "event_type"
         ).agg(F.count("*"), F.sum("value")).count(),
     )
+
+    from dmid_spark.events import funnel_steps, retention_cohorts
+
+    timed(
+        "events_funnel",
+        lambda: funnel_steps(ev, ["signup", "view", "purchase"]).count(),
+    )
+    timed("events_retention", lambda: retention_cohorts(ev, bucket="day").count())
 
     total = round(time.time() - t_all, 3)
     result = {
