@@ -537,9 +537,12 @@ def main():
 
     def run_lm():
         # train the bigram LM on the corpus and score every doc — two
-        # groupBys + candidate-driven count joins, all one job here
+        # groupBys + candidate-driven count joins. Aggregate the computed
+        # columns: a bare count() lets Catalyst eliminate the unique-key
+        # left join and skip the whole pipeline
         uni, bi = lm_train(docs)
-        return lm_perplexity(docs, uni, bi, alpha=0.1).count()
+        out = lm_perplexity(docs, uni, bi, alpha=0.1)
+        return out.agg(F.count("*"), F.sum("n_tokens"), F.sum("ppl")).first()[0]
 
     n_lm = timed("lm_perplexity", run_lm)
     detail["lm_perplexity"] = {"docs": int(n_lm)}

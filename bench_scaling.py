@@ -127,8 +127,18 @@ if tpath:
     bench_docs = docs.filter("doc_id % 97 = 0")
 
     def run_lm():
+        # aggregate over the computed columns: a bare count() would let
+        # Catalyst eliminate the unique-key left join and skip the whole
+        # train+score pipeline (observed: "1M docs in 0.5s")
+        from pyspark.sql import functions as SF
+
         uni, bi = lm_train(docs)
-        return lm_perplexity(docs, uni, bi, alpha=0.1).count()
+        row = (
+            lm_perplexity(docs, uni, bi, alpha=0.1)
+            .agg(SF.sum("n_tokens"), SF.sum("ppl"))
+            .first()
+        )
+        return row[0]
 
     for key, fn in (
         ("text_chunk_dedup", lambda: chunk_dedup_summary(docs, chunk_words=20).count()),
