@@ -83,9 +83,13 @@ def minimum_spanning_forest(
         if n_chosen == 0:
             stats.converged = True
             break
+        # rounds produce DISJOINT edge sets (a chosen edge merges its two
+        # endpoints' components, so both ends share a component forever
+        # after and the edge can never be outgoing again) — plain union,
+        # no re-distinct over the accumulated forest
         chosen_all = (
             chosen if chosen_all is None
-            else K.materialize(chosen_all.unionByName(chosen).distinct())
+            else K.materialize(chosen_all.unionByName(chosen))
         )
         # merge: CC over the chosen edges' component graph (≤ 1 edge/comp)
         comp_edges = (

@@ -125,7 +125,9 @@ def clique_graph_edges(
             F.col("a.v3").alias("a3"), F.col("b.v1").alias("b1"),
             F.col("b.v2").alias("b2"), F.col("b.v3").alias("b3"),
         )
-        .distinct()
+        # no distinct: two distinct triangles share at most ONE edge, so a
+        # pair arises in exactly one (eu, ev) group — a distinct here is a
+        # pure extra shuffle over the largest intermediate
     )
 
 
@@ -165,7 +167,9 @@ def kclique_communities(
         .withColumn("nxt", F.lead("tid").over(w))
         .filter(F.col("nxt").isNotNull())
         .select(F.col("tid").alias("src"), F.col("nxt").alias("dst"))
-        .distinct()
+        # no distinct: a (t1, t2) chain link can only arise in one group
+        # (two triangles share at most one edge); CC tolerates multi-edges
+        # anyway — the distinct would be a pure extra shuffle
     )
     stats.clique_edges = chain.count()
     labels, _ = connected_components(chain, broadcast_mins=broadcast_mins)
