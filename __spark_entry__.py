@@ -2899,7 +2899,7 @@ x1 AS (SELECT a.v AS id, x.dim, SUM(a.nw * x.value) AS value
        FROM arcs a JOIN x0 x ON a.u = x.id GROUP BY 1, 2),
 x2 AS (SELECT a.v AS id, x.dim, SUM(a.nw * x.value) AS value
        FROM arcs a JOIN x1 x ON a.u = x.id GROUP BY 1, 2)
-SELECT id, CAST(dim AS BIGINT) AS dim, ROUND(value, 6) AS value FROM x2""",
+SELECT id, CAST(dim AS BIGINT) AS dim, ROUND(value, 6) + 0.0 AS value FROM x2""",
         "x3_lpa_1iter": _G + """
 , counts AS (
   SELECT e.dst AS v, e.src AS label_src, COUNT(*) AS c

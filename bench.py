@@ -184,18 +184,22 @@ def main():
         "edges_per_sec": round(n_dmid_edges * dm_supersteps / dm_wall, 1),
     }
 
-    labels, cc_stats = timed("connected_components", lambda: connected_components(edges))
+    # daily-ingest shape, HELD OUT: the 1% delta slice is excluded from the
+    # initial solve (solving on the full graph first would make every delta
+    # edge map both endpoints to one representative — an empty delta graph
+    # that measures only the relabel joins, never a real merge). The
+    # connected_components row therefore solves the 99% base; the ~1%
+    # smaller input is within run-to-run noise for cross-round comparison.
+    hold = F.pmod(F.xxhash64("src", "dst", F.lit(7)), F.lit(100)) < 1
+    labels, cc_stats = timed(
+        "connected_components", lambda: connected_components(edges.filter(~hold))
+    )
     detail["cc"] = {"rounds": cc_stats.rounds, "converged": cc_stats.converged}
 
     from dmid_spark.algorithms import incremental_components
 
     def run_cc_inc():
-        # daily-ingest shape: 1% seeded delta re-labeled against the full
-        # solve's labels — the delta graph connects representatives only
-        delta = edges.filter(
-            F.pmod(F.xxhash64("src", "dst", F.lit(7)), F.lit(100)) < 1
-        )
-        _, st = incremental_components(delta, labels)
+        _, st = incremental_components(edges.filter(hold), labels)
         return st
 
     cci_stats = timed("cc_incremental_1pct", run_cc_inc)

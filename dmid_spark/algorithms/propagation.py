@@ -32,13 +32,31 @@ def features_long(features: DataFrame, id_col: str = "id", vec_col: str = "featu
     ).select("id", "dim", F.col("value").cast("double").alias("value"))
 
 
-def features_wide(long_df: DataFrame) -> DataFrame:
-    """(id, dim, value) → (id, features array) with dims in order."""
-    return long_df.groupBy("id").agg(
+def features_wide(long_df: DataFrame, n_dims: int | None = None) -> DataFrame:
+    """(id, dim, value) → (id, features array) densified over the full
+    dim range 0..D-1: any (id, dim) row absent from ``long_df`` becomes
+    0.0 at its correct position (so a featureless vertex gets a true
+    length-D zero vector, and a sparse row never shifts later values).
+    D is ``n_dims`` when given, else max(dim)+1 observed over the whole
+    table — one scalar aggregate broadcast-joined into the plan, no
+    driver action."""
+    agg = long_df.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim").cast("long"), "value"))
+        ).alias("m")
+    )
+    if n_dims is None:
+        agg = agg.join(
+            F.broadcast(long_df.agg((F.max("dim") + 1).cast("long").alias("_nd")))
+        )
+    else:
+        agg = agg.withColumn("_nd", F.lit(int(n_dims)).cast("long"))
+    return agg.select(
+        "id",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "value"))),
-            lambda s: s["value"],
-        ).alias("features")
+            F.sequence(F.lit(0).cast("long"), F.col("_nd") - 1),
+            lambda d: F.coalesce(F.try_element_at("m", d), F.lit(0.0)),
+        ).alias("features"),
     )
 
 
@@ -122,5 +140,9 @@ def smooth_features(
     for _ in range(iterations):
         x = K.materialize(_hop(arcs, x))
     if round_dp is not None:
-        x = x.select("id", "dim", F.round("value", round_dp).alias("value"))
+        # +0.0 collapses IEEE -0.0 to +0.0 so quantized output hashes
+        # identically across engines (DuckDB ROUND preserves the sign bit)
+        x = x.select(
+            "id", "dim", (F.round("value", round_dp) + F.lit(0.0)).alias("value")
+        )
     return x

@@ -346,3 +346,23 @@ def test_features_long_wide_roundtrip(spark):
     )
     back = {r.id: r.features for r in features_wide(features_long(fdf)).collect()}
     assert back == {1: [1.0, 2.0, 3.0], 2: [4.0, 5.0, 6.0]}
+
+
+def test_features_wide_densifies_missing_dims(spark):
+    from dmid_spark.algorithms import features_wide
+
+    # id 1 misses dim 1; id 2 has only the padded dim-0 row (featureless
+    # vertex out of smooth_features); id 3 has only a high dim
+    long_df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 2, 3.0), (2, 0, 0.0), (3, 3, 7.0)],
+        "id long, dim int, value double",
+    )
+    back = {r.id: r.features for r in features_wide(long_df).collect()}
+    assert back == {
+        1: [1.0, 0.0, 3.0, 0.0],
+        2: [0.0, 0.0, 0.0, 0.0],
+        3: [0.0, 0.0, 0.0, 7.0],
+    }
+    # explicit width overrides the observed max
+    back5 = {r.id: r.features for r in features_wide(long_df, n_dims=5).collect()}
+    assert back5[2] == [0.0] * 5 and back5[1] == [1.0, 0.0, 3.0, 0.0, 0.0]
