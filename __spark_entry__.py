@@ -1001,6 +1001,21 @@ def q_ppr5(spark, sf_dir):
     return ranks.select("id", F.round("value", 9).alias("ppr"))
 
 
+def q_katz5(spark, sf_dir):
+    """Weighted Katz centrality, 5 fixed iterations (the SQL-expressible
+    twin of the to-convergence variant; no out-degree normalization, so
+    the twin is a bare unrolled SpMV + beta). alpha = 1/16 keeps every
+    intermediate a dyadic rational (integer weights x 16^-k, well inside
+    the 53-bit mantissa), so both engines produce bit-identical doubles
+    regardless of accumulation order — no rounding device needed."""
+    from dmid_spark.algorithms import katz_centrality
+
+    scores, _ = katz_centrality(
+        _edges(spark, sf_dir), alpha=0.0625, weighted=True, tol=-1.0, max_iter=5
+    )
+    return scores.select("id", F.col("value").alias("katz"))
+
+
 def q_bfs(spark, sf_dir):
     """Multi-source directed BFS from the deterministic sample id % 50 == 0,
     depth-capped at 12 (the sf0.01 graph's eccentricity from the sample is
@@ -1228,6 +1243,24 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
+BM25_QUERIES = [
+    (0, "spark join agg"),
+    (1, "window sort merge"),
+    (2, "customer query stream"),
+    (3, "vector batch row"),
+]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-10 docs for 4 fixed queries over the documents table —
+    candidate-driven postings join + bounded O(k) top-k aggregate, score
+    ranked and emitted at the 9dp quantization (same device as tfidf)."""
+    from dmid_spark.text import bm25_topk
+
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string")
+    return bm25_topk(_docs(spark, sf_dir), qs, k=10)
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog registers (p=8) for distinct user_id per event_type —
     the mergeable sketch itself is the verified output (pure integer rows);
@@ -1396,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x17_sssp_sample": q_sssp,
         "x21_contract_lpa": q_contract_lpa,
         "x10_ppr_5iter": q_ppr5,
+        "x35_katz_5iter": q_katz5,
         "x14_harmonic_centrality": q_harmonic,
         "x18_diameter_sweep": q_diameter,
         "x22_graph_summary": q_graph_summary,
@@ -1407,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_winnow": q_fingerprint,
         "text_repetition": q_repetition,
         "text_tfidf_topk": q_tfidf,
+        "text_bm25_topk": q_bm25,
         "text_chunk_dedup": q_chunk_dedup,
         "text_decontaminate": q_decontaminate,
         "text_pii_redact": q_pii_redact,
@@ -1649,6 +1684,25 @@ h{i} AS MATERIALIZED (
     return ",\n".join(steps) + f"""
 SELECT h.id, ROUND(h.s, 9) AS hub, ROUND(a.s, 9) AS authority
 FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+
+
+def _katz5_sql(iters: int = 5, alpha: float = 0.0625) -> str:
+    """Unrolled weighted Katz: x ← 1 + alpha · Aᵀx from x₀ = 1. No
+    normalization pass — the raw weighted in-edge SpMV per step.
+    alpha = 1/16 makes every value an exactly-representable dyadic, so
+    the twin matches Spark bit-for-bit without rounding."""
+    steps = ["k0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM verts)"]
+    for i in range(1, iters + 1):
+        steps.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT v.id, 1.0 + {alpha} * COALESCE(c.s, 0) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.weight * p.s) AS s FROM edges e
+    JOIN k{i - 1} p ON e.src = p.id GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return ",\n".join(steps) + f"""
+SELECT id, s AS katz FROM k{iters}"""
 
 
 def _ppr5_sql(iters: int = 5, d: float = 0.85) -> str:
@@ -2673,6 +2727,7 @@ GROUP BY 1, 2""",
         "x1_pagerank_5iter": _G + ", " + _pagerank5_sql(),
         "x9_hits_5iter": _G + ", " + _hits5_sql(),
         "x10_ppr_5iter": _G + ", " + _ppr5_sql(),
+        "x35_katz_5iter": _G + ", " + _katz5_sql(),
         "x11_coreness": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2
@@ -3552,6 +3607,42 @@ r AS (
 )
 SELECT doc_id, term, tf, tfidf, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= 5""",
+        "text_bm25_topk": r"""
+WITH q(query_id, query_text) AS (VALUES """ + ", ".join(
+            f"(CAST({i} AS BIGINT), '{t}')" for i, t in BM25_QUERIES
+        ) + r"""),
+toks AS (
+  SELECT doc_id, t AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+ad AS (SELECT SUM(dl.dl) / nd.n AS a FROM dl CROSS JOIN nd GROUP BY nd.n),
+dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qt AS (
+  SELECT DISTINCT query_id, t AS term
+  FROM q, unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (nd.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.a))) AS score
+  FROM qt JOIN tf USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN nd CROSS JOIN ad
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, ROUND(score, 9) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 9) DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 10""",
         "sketch_hll_registers": """
 WITH h AS (
   SELECT event_type,

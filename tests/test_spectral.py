@@ -187,3 +187,68 @@ def test_ppr_empty_seeds_raises(spark):
     empty = spark.createDataFrame([], "id long")
     with pytest.raises(ValueError, match="empty seed"):
         personalized_pagerank(edges, empty)
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality
+# ---------------------------------------------------------------------------
+def katz_oracle(rows, n, alpha, beta=1.0, iters=500, tol=1e-9, weighted=False):
+    A = np.zeros((n, n))
+    for s, d, w in rows:
+        A[s, d] = w if weighted else 1.0
+    x = np.full(n, beta)
+    for _ in range(iters):
+        y = beta + alpha * (A.T @ x)
+        if np.abs(y - x).sum() < tol:
+            return y
+        x = y
+    return x
+
+
+@pytest.mark.parametrize("name,alpha", [
+    ("two_cliques", 0.05),
+    ("star", 0.2),
+    ("random", 0.02),
+])
+def test_katz_matches_oracle(spark, name, alpha):
+    from dmid_spark.algorithms import katz_centrality
+
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    scores, stats = katz_centrality(edges, alpha=alpha, tol=1e-9)
+    exp = katz_oracle(rows, n, alpha)
+    assert stats.converged
+    assert np.allclose(vec(scores, n), exp, atol=1e-6)
+
+
+def test_katz_closed_form(spark):
+    # fixed point is beta * (I - alpha A^T)^-1 1 when alpha < 1/lambda_max
+    from dmid_spark.algorithms import katz_centrality
+
+    rows, n = random_graph(n=50, seed=3)
+    A = np.zeros((n, n))
+    for s, d, _ in rows:
+        A[s, d] = 1.0
+    alpha = 0.9 / max(1e-9, np.abs(np.linalg.eigvals(A)).max())
+    scores, stats = katz_centrality(
+        G.edges_from_rows(spark, rows), alpha=float(alpha), tol=1e-10, max_iter=2000
+    )
+    exp = np.linalg.solve(np.eye(n) - alpha * A.T, np.ones(n))
+    assert stats.converged
+    assert np.allclose(vec(scores, n), exp, atol=1e-5)
+
+
+def test_katz_weighted_and_sources_get_beta(spark):
+    from dmid_spark.algorithms import katz_centrality
+
+    rows, n = random_graph(n=60, seed=5, weighted=True)
+    edges = G.edges_from_rows(spark, rows)
+    scores, _ = katz_centrality(edges, alpha=0.01, weighted=True, tol=1e-9)
+    exp = katz_oracle(rows, n, 0.01, weighted=True)
+    assert np.allclose(vec(scores, n), exp, atol=1e-6)
+    # a vertex with no in-edges sits exactly at the beta baseline
+    indeg = {d for _, d, _ in rows}
+    src_only = [v for v in range(n) if v not in indeg]
+    got = vec(scores, n)
+    for v in src_only:
+        assert got[v] == pytest.approx(1.0)

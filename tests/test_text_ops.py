@@ -569,3 +569,95 @@ def test_prepare_training_data_end_to_end(spark):
         plan = frame._jdf.queryExecution().toString()
         assert "regexp_extract_all" not in plan
         assert "xxhash64" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+def py_bm25(docs, queries, k=10, k1=1.2, b=0.75):
+    import math
+    import re
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    n = len(docs)
+    tf = {d: {} for d, _ in docs}
+    dl = {}
+    for d, text in docs:
+        ts = toks(text)
+        dl[d] = len(ts)
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for d, _ in docs:
+        for t in tf[d]:
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for q, qtext in queries:
+        scores = {}
+        for t in set(toks(qtext)):
+            if t not in df:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            for d in tf:
+                if t in tf[d]:
+                    f = tf[d][t]
+                    s = idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+                    scores[d] = scores.get(d, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:k]
+        out[q] = ranked
+    return out
+
+
+BM25_DOCS = [
+    (0, "spark join agg window sort merge join join"),
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "spark catalyst optimizer pushes filters into the scan"),
+    (3, "window functions sort and rank rows per partition"),
+    (4, "join strategies: broadcast, shuffle-hash, sort-merge"),
+    (5, "dogs and foxes are mammals"),
+    (6, ""),
+]
+BM25_QUERIES = [(0, "spark join"), (1, "lazy dog"), (2, "zebra"), (3, "Sort-MERGE join!")]
+
+
+def test_bm25_matches_python_oracle(spark):
+    from dmid_spark.text import bm25_topk
+
+    docs = spark.createDataFrame(BM25_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string")
+    got = bm25_topk(docs, qs, k=3)
+    exp = py_bm25(BM25_DOCS, BM25_QUERIES, k=3)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for q, ranked in exp.items():
+        gq = sorted(by_q.get(q, []))
+        assert [d for _, d, _ in gq] == [d for d, _ in ranked], (q, gq, ranked)
+        for (_, _, s_got), (_, s_exp) in zip(gq, ranked):
+            assert s_got == pytest.approx(s_exp, rel=1e-9)
+    # no-hit query yields no rows; ranks are 1..k dense
+    assert 2 not in by_q
+    assert [r for r, _, _ in sorted(by_q[0])] == list(range(1, len(by_q[0]) + 1))
+
+
+def test_bm25_term_join_is_candidate_driven(spark):
+    # a doc sharing no term with any query must never be scored
+    from dmid_spark.text import bm25_topk
+
+    docs = spark.createDataFrame(BM25_DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "mammals")], "query_id long, query_text string")
+    got = bm25_topk(docs, qs, k=10).collect()
+    assert {r.doc_id for r in got} == {5}
+
+
+def test_bm25_empty_corpus_raises(spark):
+    from dmid_spark.text import bm25_topk
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "x")], "query_id long, query_text string")
+    with pytest.raises(ValueError):
+        bm25_topk(docs, qs)
