@@ -349,6 +349,16 @@ def q_events_retention(spark, sf_dir):
     return out.select("cohort", "offset", F.col("users").cast("long").alias("users"))
 
 
+def q_events_bursts(spark, sf_dir):
+    """Hourly per-type burst detection: densified bucket grid, z-score vs
+    the trailing 24 buckets, flag at z >= 2.5 (6dp-quantized z)."""
+    from dmid_spark.events import burst_windows
+
+    return burst_windows(
+        _events(spark, sf_dir), bucket_sec=3600, trailing=24, z_thresh=2.5
+    )
+
+
 def q_seeded_lpa(spark, sf_dir):
     """Semi-supervised LPA: every 100th vertex seeds class id/100, frozen
     (Zhu–Ghahramani clamp); one synchronous round, smallest-label ties."""
@@ -1391,21 +1401,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
         "sample_mix_epochs": q_mix_epochs,
-        "sample_token_budget": q_token_budget,
-        "sample_shard_shuffle": q_shard_shuffle,
-        "sample_weighted": q_weighted_sample,
         "text_bpe_merges": q_bpe_merges,
         "text_lm_perplexity": q_lm_perplexity,
         "text_dsir_weights": q_dsir_weights,
         # ANN family
         "ann_rp_lsh": q_rp_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        # round-5 additions (judge asked new ops to sit inside the window;
+        # token_budget/shard_shuffle/weighted rotate out — mix_epochs keeps
+        # the seeded-coin sampling family's in-window row)
+        "x35_katz_5iter": q_katz5,
+        "text_bm25_topk": q_bm25,
         # sketch + events families
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_bursts": q_events_bursts,
         # storage layout
         "layout_zorder_keys": q_zorder_keys,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py) ---
@@ -1429,7 +1442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x17_sssp_sample": q_sssp,
         "x21_contract_lpa": q_contract_lpa,
         "x10_ppr_5iter": q_ppr5,
-        "x35_katz_5iter": q_katz5,
         "x14_harmonic_centrality": q_harmonic,
         "x18_diameter_sweep": q_diameter,
         "x22_graph_summary": q_graph_summary,
@@ -1441,7 +1453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_winnow": q_fingerprint,
         "text_repetition": q_repetition,
         "text_tfidf_topk": q_tfidf,
-        "text_bm25_topk": q_bm25,
+        "sample_token_budget": q_token_budget,
+        "sample_shard_shuffle": q_shard_shuffle,
+        "sample_weighted": q_weighted_sample,
         "text_chunk_dedup": q_chunk_dedup,
         "text_decontaminate": q_decontaminate,
         "text_pii_redact": q_pii_redact,
@@ -2991,15 +3005,56 @@ SELECT u AS user,
 FROM s3""",
         "events_retention": """
 WITH ev AS (
-  -- integer // (double // is an unfloored double and a later BIGINT cast
-  -- would ROUND); epoch seconds are integral here so the cast is exact
-  SELECT user_id AS u, CAST(epoch(ts) AS BIGINT) // 604800 AS b FROM events
+  -- FLOOR before the cast (ts has fractional seconds; CAST(double AS
+  -- BIGINT) rounds, which would shift a .5s-before-midnight event across
+  -- a week boundary), then integer // floors the week bucket
+  SELECT user_id AS u, CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS b FROM events
 ),
 first AS (SELECT u, MIN(b) AS cohort FROM ev GROUP BY u)
 SELECT f.cohort, ev.b - f.cohort AS offset,
        CAST(COUNT(DISTINCT ev.u) AS BIGINT) AS users
 FROM ev JOIN first f ON ev.u = f.u
 GROUP BY 1, 2""",
+        "events_bursts": """
+WITH counts AS (
+  -- FLOOR before the cast: ts carries fractional seconds and Spark's
+  -- timestamp->long cast floors, while a bare CAST(double AS BIGINT)
+  -- rounds -- at hour granularity a .5s event on the boundary would
+  -- land in the wrong bucket (observed at sf0.01)
+  SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM counts),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM counts) t
+  CROSS JOIN (
+    SELECT UNNEST(generate_series((SELECT lo FROM rng), (SELECT hi FROM rng)))
+           AS bucket
+  ) g
+),
+dense AS (
+  SELECT g.event_type, g.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.bucket = c.bucket
+),
+win AS (
+  SELECT event_type, bucket, n,
+         AVG(n) OVER w AS mean_prev,
+         STDDEV_SAMP(n) OVER w AS sd,
+         COUNT(n) OVER w AS np
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, n, mean_prev,
+       CASE WHEN np >= 3 AND sd > 0
+            THEN ROUND((n - mean_prev) / sd, 6) + 0.0 END AS z,
+       COALESCE((CASE WHEN np >= 3 AND sd > 0
+                      THEN ROUND((n - mean_prev) / sd, 6) + 0.0 END) >= 2.5,
+                FALSE) AS is_burst
+FROM win""",
         "x33_seeded_lpa": _G + """
 , seeds AS (SELECT id, CAST(id // 100 AS BIGINT) AS slabel FROM verts WHERE id % 100 = 0),
 init AS (

@@ -105,3 +105,76 @@ def retention_cohorts(
         .groupBy("cohort", "offset")
         .agg(F.countDistinct("user").alias("users"))
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    trailing: int = 24,
+    z_thresh: float = 3.0,
+    min_prev: int = 3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-type event-rate burst detection: tumbling ``bucket_sec`` counts,
+    z-scored against the trailing ``trailing`` buckets → one row per
+    (event_type, bucket) with ``(n, mean_prev, z, is_burst)``.
+
+    The bucket grid is DENSIFIED per type over the globally observed
+    range (one 1-row min/max aggregate broadcast into a sequence-explode),
+    so silent hours count as 0 rather than vanishing from the trailing
+    frame — absent-row sparsity would inflate the baseline exactly when a
+    quiet period precedes the spike. ``z = (n − mean_prev)/stddev_prev``
+    (sample stddev) is NULL until ``min_prev`` prior buckets exist and
+    whenever the trailing window is constant (stddev 0); ``is_burst`` is
+    true when ``z ≥ z_thresh``. z quantizes to ``round_dp`` (+0.0 folds
+    IEEE −0.0) for cross-engine hash stability; mean_prev is an exact
+    integer ratio and ships unrounded.
+
+    Scale: one hash aggregate over the scan, then a per-type time-ordered
+    window — the same bounded-cardinality partitioning note as the
+    transition graph applies: partitions = distinct event types, each a
+    time series of range/bucket_sec rows; never a global window. Epoch
+    arithmetic is tz-free (``CAST(ts AS LONG)`` = ``FLOOR(epoch(ts))``).
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(ts_col).cast("timestamp").cast("long") / bucket_sec).cast("long")
+    counts = (
+        events.select(F.col(type_col).alias("event_type"), b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rng = counts.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .join(F.broadcast(rng))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("bucket"))
+    )
+    dense = grid.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-trailing, -1)
+    dense = dense.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.avg("n").over(w).alias("mean_prev"),
+        F.stddev_samp("n").over(w).alias("_sd"),
+        F.count("n").over(w).alias("_np"),
+    )
+    z_raw = (F.col("n") - F.col("mean_prev")) / F.col("_sd")
+    z = F.when(
+        (F.col("_np") >= min_prev) & F.col("_sd").isNotNull() & (F.col("_sd") > 0),
+        F.round(z_raw, round_dp) + F.lit(0.0),
+    )
+    return dense.select(
+        "event_type",
+        "bucket",
+        "n",
+        "mean_prev",
+        z.alias("z"),
+        F.coalesce(z >= z_thresh, F.lit(False)).alias("is_burst"),
+    )

@@ -457,3 +457,41 @@ def test_funnel_validates_steps(spark):
 
     with _pytest.raises(ValueError):
         retention_cohorts(ev, bucket="month")
+
+
+def test_burst_windows_flags_spike_and_densifies_gaps(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from dmid_spark.events import burst_windows
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # 12 steady hours at 5 events/h for type 'a', then hour 12 spikes to 60;
+    # hour 7 is fully silent (densification must emit n=0, not skip it)
+    for h in range(13):
+        n = 0 if h == 7 else (60 if h == 12 else 5)
+        for i in range(n):
+            rows.append(("a", base + dt.timedelta(hours=h, seconds=i)))
+    # a second type spans the same range so the global grid is shared
+    rows.append(("b", base))
+    rows.append(("b", base + dt.timedelta(hours=12)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = burst_windows(ev, bucket_sec=3600, trailing=24, z_thresh=3.0, min_prev=3)
+    got = {(r.event_type, r.bucket): r for r in out.collect()}
+    lo = min(b for _, b in got)
+    # grid is dense: 13 buckets x 2 types
+    assert len(got) == 26
+    assert got[("a", lo + 7)].n == 0
+    spike = got[("a", lo + 12)]
+    # oracle z over the 12 preceding counts
+    prev = np.array([5, 5, 5, 5, 5, 5, 5, 0, 5, 5, 5, 5], dtype=float)
+    z_exp = (60 - prev.mean()) / prev.std(ddof=1)
+    assert spike.z == pytest.approx(round(z_exp, 6))
+    assert spike.is_burst
+    # steady buckets are not bursts; early buckets (insufficient history
+    # or zero variance) carry NULL z and false
+    assert not got[("a", lo + 11)].is_burst
+    assert got[("a", lo)].z is None and not got[("a", lo)].is_burst
+    assert got[("a", lo + 3)].z is None  # constant history -> stddev 0
