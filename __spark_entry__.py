@@ -475,6 +475,25 @@ def q_community_sizes(spark, sf_dir):
     )
 
 
+def q_conductance(spark, sf_dir):
+    """Per-community conductance of the LPA-1 cover: two node-hash joins of
+    the edge table against the membership relation, never pair enumeration.
+    Weights are integral co-occurrence counts so internal/cut/volume sum
+    exactly; φ is one deterministic IEEE division, rounded 9dp for the
+    cross-engine hash."""
+    from dmid_spark.metrics import community_conductance
+
+    out = community_conductance(_edges(spark, sf_dir), _lpa_cover(spark, sf_dir))
+    return out.select(
+        "community",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "internal_w",
+        "cut_w",
+        "volume",
+        F.round("conductance", 9).alias("conductance"),
+    )
+
+
 def _lpa_cover(spark, sf_dir):
     return q_lpa1(spark, sf_dir).select(
         F.col("id").alias("node"), F.col("label").alias("community"), F.lit(1.0).alias("degree")
@@ -1474,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_pack_sequences,
         "pipeline_prepare_training": q_prepare_training,
         "events_transition_graph": q_transition_graph,
+        "m9_conductance": q_conductance,
     }
 
 
@@ -3896,6 +3916,32 @@ SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b
 FROM buckets a
 JOIN sized s ON a.band = s.band AND a.key = s.key
 JOIN buckets b2 ON b2.band = a.band AND b2.key = a.key AND a.vec_id < b2.vec_id""",
+        "m9_conductance": _G + "," + _LPA_COVER + """,
+mm AS (SELECT DISTINCT node, community FROM cover WHERE degree <> 0),
+pe AS (
+  SELECT community, src, dst, COUNT(*) AS k, ANY_VALUE(weight) AS w
+  FROM (
+    SELECT m.community, e.src, e.dst, e.weight FROM edges e JOIN mm m ON e.src = m.node
+    UNION ALL
+    SELECT m.community, e.src, e.dst, e.weight FROM edges e JOIN mm m ON e.dst = m.node
+  ) GROUP BY 1, 2, 3
+),
+ca AS (
+  SELECT community,
+         COALESCE(SUM(CASE WHEN k = 2 THEN w END), 0) AS internal_w,
+         COALESCE(SUM(CASE WHEN k = 1 THEN w END), 0) AS cut_w
+  FROM pe GROUP BY 1
+),
+sz AS (SELECT community, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes FROM mm GROUP BY 1),
+tot AS (SELECT SUM(weight) * 2 AS total_vol FROM edges)
+SELECT s.community, s.n_nodes, a.internal_w, a.cut_w,
+       a.internal_w * 2 + a.cut_w AS volume,
+       ROUND(CASE WHEN LEAST(a.internal_w * 2 + a.cut_w,
+                             t.total_vol - (a.internal_w * 2 + a.cut_w)) > 0
+                  THEN a.cut_w / LEAST(a.internal_w * 2 + a.cut_w,
+                                       t.total_vol - (a.internal_w * 2 + a.cut_w))
+             END, 9) AS conductance
+FROM sz s JOIN ca a USING (community) CROSS JOIN tot t""",
         # x1_pagerank_converged, dmid_cover: iterative-to-convergence
         # operators — intentionally no SQL twin (driver rows-only check);
         # exactness is covered by the NumPy-oracle pytest suite instead.

@@ -572,3 +572,27 @@ def triangle_counts(edges, n):
                         counts[u] += 1
                         counts[w] += 1
     return counts
+
+
+def conductance_bruteforce(edges, cover):
+    """Per-community (n_nodes, internal, cut, volume, phi) on the weighted
+    undirected multigraph where each (s, d, w) row is ONE edge. Self-loops
+    add 2w to volume and never to the cut. Communities whose members touch
+    zero edges are omitted (matches the metric's inner join). cover: dict
+    node -> {community: degree}; zero degrees are non-membership."""
+    comms = sorted({c for mem in cover.values() for c, d in mem.items() if d != 0})
+    total_vol = 2.0 * sum(w for _, _, w in edges)
+    out = {}
+    for c in comms:
+        members = {v for v, mem in cover.items() if mem.get(c, 0) != 0}
+        internal = sum(w for s, d, w in edges if s in members and d in members)
+        cut = sum(
+            w for s, d, w in edges if (s in members) != (d in members)
+        )
+        if internal == 0 and cut == 0:
+            continue
+        vol = 2.0 * internal + cut
+        denom = min(vol, total_vol - vol)
+        phi = cut / denom if denom > 0 else None
+        out[c] = (len(members), internal, cut, vol, phi)
+    return out

@@ -177,3 +177,62 @@ def test_spearman_on_correlated_graph(spark):
     assert -1.0 <= rho <= 1.0
     # deterministic across runs
     assert rho == spearman_degree_correlation(edges)
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "golden", "random"])
+def test_conductance_matches_bruteforce(spark, name):
+    from dmid_spark.metrics import community_conductance
+
+    rows, n = {
+        "two_cliques": two_cliques_bridge(),
+        "golden": (GOLDEN_EDGES, GOLDEN_N),
+        "random": random_graph(n=40, seed=43),
+    }[name]
+    edges = G.edges_from_rows(spark, rows)
+    cover = two_community_cover(n, overlap=(0, n - 1))
+    got = {
+        r["community"]: (
+            r["n_nodes"],
+            r["internal_w"],
+            r["cut_w"],
+            r["volume"],
+            r["conductance"],
+        )
+        for r in community_conductance(edges, cover_df(spark, cover)).collect()
+    }
+    exp = O.conductance_bruteforce(rows, cover)
+    assert set(got) == set(exp)
+    for c in exp:
+        en, ei, ec, ev, ephi = exp[c]
+        gn, gi, gc, gv, gphi = got[c]
+        assert gn == en
+        assert gi == pytest.approx(ei, abs=1e-9)
+        assert gc == pytest.approx(ec, abs=1e-9)
+        assert gv == pytest.approx(ev, abs=1e-9)
+        if ephi is None:
+            assert gphi is None
+        else:
+            assert gphi == pytest.approx(ephi, abs=1e-12)
+
+
+def test_conductance_self_loop_and_isolated_member(spark):
+    from dmid_spark.metrics import community_conductance
+
+    # community 0 = {0,1} with internal edge + self-loop on 0; community 1 =
+    # {2,3} where 3 is isolated (still counted in n_nodes); community 2 =
+    # {9} touches no edges and must be absent from the output.
+    rows = [(0, 1, 2.0), (0, 0, 3.0), (1, 2, 1.0), (2, 3, 0.0)]
+    edges = G.edges_from_rows(spark, rows)
+    cover = cover_df(
+        spark, {0: {0: 1.0}, 1: {0: 1.0}, 2: {1: 1.0}, 3: {1: 1.0}, 9: {2: 1.0}}
+    )
+    got = {
+        r["community"]: (r["n_nodes"], r["internal_w"], r["cut_w"], r["volume"], r["conductance"])
+        for r in community_conductance(edges, cover).collect()
+    }
+    exp = O.conductance_bruteforce(rows, {0: {0: 1.0}, 1: {0: 1.0}, 2: {1: 1.0}, 3: {1: 1.0}, 9: {2: 1.0}})
+    assert set(got) == set(exp)
+    for c in exp:
+        assert got[c][:4] == pytest.approx(exp[c][:4])
+    # self-loop sits inside community 0's volume, never its cut
+    assert got[0] == (2, 5.0, 1.0, 11.0, got[0][4])
