@@ -1030,6 +1030,31 @@ def q_ppr5(spark, sf_dir):
     return ranks.select("id", F.round("value", 9).alias("ppr"))
 
 
+def q_sweep_cut(spark, sf_dir):
+    """ACL sweep cut over the 5-iteration PPR (seeds id % 100 == 0).
+    Score quantized 9dp BEFORE ranking so the sweep order is
+    engine-portable (same device as tfidf); degrees are integral
+    co-occurrence counts, so volume/cut prefix sums are exact and φ is
+    one deterministic IEEE division. No global single-partition window —
+    ranks and both prefix sums run through the range-partition kernel."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import personalized_pagerank, sweep_cut
+
+    e = _edges(spark, sf_dir)
+    seeds = G.vertices(e).filter(F.col("id") % 100 == 0)
+    ranks, _ = personalized_pagerank(e, seeds, tol=-1.0, max_iter=5)
+    sdf = ranks.select("id", F.round("value", 9).alias("score"))
+    out = sweep_cut(e, sdf)
+    return out.select(
+        "rank",
+        "id",
+        "score",
+        "volume",
+        "cut_w",
+        F.round("conductance", 9).alias("conductance"),
+    )
+
+
 def q_katz5(spark, sf_dir):
     """Weighted Katz centrality, 5 fixed iterations (the SQL-expressible
     twin of the to-convergence variant; no out-degree normalization, so
@@ -1494,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prepare_training": q_prepare_training,
         "events_transition_graph": q_transition_graph,
         "m9_conductance": q_conductance,
+        "x36_sweep_cut": q_sweep_cut,
     }
 
 
@@ -1739,9 +1765,11 @@ k{i} AS MATERIALIZED (
 SELECT id, s AS katz FROM k{iters}"""
 
 
-def _ppr5_sql(iters: int = 5, d: float = 0.85) -> str:
+def _ppr5_sql(iters: int = 5, d: float = 0.85, as_cte: bool = False) -> str:
     """Unrolled personalized PageRank: teleport + dangling mass restricted
-    to the seed set id % 100 == 0; start vector uniform over seeds."""
+    to the seed set id % 100 == 0; start vector uniform over seeds.
+    ``as_cte=True`` ends with a ``ppr(id, ppr)`` CTE instead of the final
+    SELECT so composed oracles (the sweep cut) can build on it."""
     steps = [
         "seeds AS MATERIALIZED (SELECT id FROM verts WHERE id % 100 = 0)",
         "sk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds)",
@@ -1776,6 +1804,8 @@ pp{i} AS MATERIALIZED (
   ) c ON v.id = c.id
 )""")
         prev = f"pp{i}"
+    if as_cte:
+        return ",\n".join(steps) + f",\nppr AS (SELECT id, ROUND(pr, 9) AS ppr FROM {prev})"
     return ",\n".join(steps) + f"\nSELECT id, ROUND(pr, 9) AS ppr FROM {prev}"
 
 
@@ -3942,6 +3972,40 @@ SELECT s.community, s.n_nodes, a.internal_w, a.cut_w,
                                        t.total_vol - (a.internal_w * 2 + a.cut_w))
              END, 9) AS conductance
 FROM sz s JOIN ca a USING (community) CROSS JOIN tot t""",
+        "x36_sweep_cut": _G + ", " + _ppr5_sql(as_cte=True) + """,
+sdeg AS (
+  SELECT id, SUM(w) AS deg FROM (
+    SELECT src AS id, weight AS w FROM edges
+    UNION ALL SELECT dst AS id, weight AS w FROM edges
+  ) GROUP BY id
+),
+scand AS (
+  SELECT p.id, p.ppr, d.deg, p.ppr / d.deg AS keyv
+  FROM ppr p JOIN sdeg d ON p.id = d.id
+  WHERE p.ppr > 0 AND d.deg > 0
+),
+sranked AS (
+  SELECT id, ppr, deg, CAST(ROW_NUMBER() OVER (ORDER BY keyv DESC, id) AS BIGINT) AS rank
+  FROM scand
+),
+svol AS (SELECT *, SUM(deg) OVER (ORDER BY rank) AS vol FROM sranked),
+sinc AS (
+  SELECT GREATEST(rs.rank, rd.rank) AS rank, SUM(2 * e.weight) AS inc2
+  FROM edges e
+  JOIN sranked rs ON e.src = rs.id
+  JOIN sranked rd ON e.dst = rd.id
+  GROUP BY 1
+),
+stot AS (SELECT 2 * SUM(weight) AS tv FROM edges),
+ssw AS (
+  SELECT r.rank, r.id, r.ppr, r.vol,
+         r.vol - SUM(COALESCE(i.inc2, 0)) OVER (ORDER BY r.rank) AS cut_w
+  FROM svol r LEFT JOIN sinc i ON r.rank = i.rank
+)
+SELECT rank, id, ppr AS score, vol AS volume, cut_w,
+       ROUND(CASE WHEN LEAST(vol, t.tv - vol) > 0
+                  THEN cut_w / LEAST(vol, t.tv - vol) END, 9) AS conductance
+FROM ssw CROSS JOIN stot t""",
         # x1_pagerank_converged, dmid_cover: iterative-to-convergence
         # operators — intentionally no SQL twin (driver rows-only check);
         # exactness is covered by the NumPy-oracle pytest suite instead.

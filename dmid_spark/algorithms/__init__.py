@@ -23,7 +23,13 @@ from .hyperball import (  # noqa: F401
 # name in the package namespace — `from dmid_spark.algorithms import louvain`
 # must give the callable
 from .louvain import louvain, louvain_refine, partition_modularity  # noqa: F401
-from .spectral import hits, katz_centrality, personalized_pagerank  # noqa: F401
+from .spectral import (  # noqa: F401
+    best_sweep_cut,
+    hits,
+    katz_centrality,
+    personalized_pagerank,
+    sweep_cut,
+)
 from .scc import strongly_connected_components  # noqa: F401
 from .paths import (  # noqa: F401
     bfs_distances,

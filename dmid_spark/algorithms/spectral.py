@@ -276,3 +276,142 @@ def katz_centrality(
     stats.deltas = it_stats.deltas
     stats.wall_sec = time.time() - t0
     return scores, stats
+
+
+def _ranked_prefix_double(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    rank_col: str = "rank",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global rank + INCLUSIVE prefix sum of a double column over
+    rows ordered by ``order_cols`` (which must be a unique key) — one
+    range-partition pass, same machinery as ``kernel.distributed_rank`` /
+    ``distributed_cumsum`` (never a global single-partition window).
+
+    Unlike ``distributed_cumsum`` this keeps doubles. The fold order is
+    fixed by the range partitioning + within-partition sort, so results are
+    deterministic for a given input; when the values are integral-valued
+    doubles (< 2^53, e.g. co-occurrence counts) the sums are exact and
+    engine-portable regardless of order.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    ranged = K.materialize(K._ranged_with_mid(df, order_cols, num_partitions))
+    tagged = ranged.withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+    totals = tagged.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"), F.sum(value_col).alias("_t")
+    ).collect()
+    adj, acc_cnt, acc = [], 0, 0.0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        # rank = rows-before-partition + local index + 1, local = _mid - (pid<<33)
+        adj.append((int(r["_pid"]), acc_cnt - (int(r["_pid"]) << 33), acc))
+        acc_cnt += int(r["_cnt"])
+        acc += float(r["_t"] or 0.0)
+    adj_df = spark.createDataFrame(adj, "_pid int, _roff long, _voff double")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.join(F.broadcast(adj_df), "_pid")
+        .withColumn(rank_col, (F.col("_mid") + F.col("_roff") + 1).cast("long"))
+        .withColumn(cum_col, F.sum(value_col).over(w) + F.col("_voff"))
+        .drop("_pid", "_mid", "_roff", "_voff")
+    )
+
+
+def sweep_cut(
+    edges: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "id",
+    degree_normalize: bool = True,
+    max_prefix: int | None = None,
+) -> DataFrame:
+    """Andersen–Chung–Lang sweep over a diffusion score (typically
+    :func:`personalized_pagerank`): order vertices by ``score/degree``
+    (or raw score), and for every prefix S_k of that order report the
+    conductance φ(S_k) = cut(S_k) / min(vol(S_k), vol(G)−vol(S_k)).
+    The prefix minimizing φ is the local cluster around the seed(s) —
+    the sweep stage of local spectral clustering (Andersen, Chung, Lang,
+    FOCS'06 §3; the quantity DMID-style covers are judged by, see
+    metrics/conductance.py for the φ conventions).
+
+    Edge conventions match metrics.community_conductance: each (src, dst,
+    weight) row is ONE undirected edge; a self-loop adds 2w to its
+    endpoint's degree and never to any cut. Vertices with score <= 0 or
+    zero degree are outside the sweep (a zero-degree vertex cannot change
+    any cut or volume).
+
+    Returns ``(rank, id, score, volume, cut_w, conductance)`` — one row per
+    swept vertex, rank ascending; conductance NULL while min(vol, rest)=0.
+
+    Scale: no global single-partition window anywhere. Two range-partition
+    prefix passes over the O(|support|) candidate rows (ranks+volume, then
+    internal-edge mass by rank) plus two hash joins of the edge table
+    against the rank map — the same bound as one conductance evaluation.
+    ``max_prefix`` caps the sweep to the top-K scored vertices (the usual
+    practice when the diffusion support is the whole graph).
+    """
+    deg = (
+        edges.select(F.col("src").alias("id"), "weight")
+        .unionByName(edges.select(F.col("dst").alias("id"), "weight"))
+        .groupBy("id")
+        .agg(F.sum(F.col("weight").cast("double")).alias("_deg"))
+    )
+    cand = (
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score"))
+        .filter(F.col("_score") > 0)
+        .join(deg, "id")
+        .filter(F.col("_deg") > 0)
+    )
+    key = (F.col("_score") / F.col("_deg")) if degree_normalize else F.col("_score")
+    cand = cand.withColumn("_ord", -key)
+    if max_prefix is not None:
+        cand = cand.orderBy("_ord", "id").limit(int(max_prefix))
+    ranked = _ranked_prefix_double(
+        cand, ["_ord", "id"], "_deg", rank_col="rank", cum_col="_vol"
+    )
+    rank_map = ranked.select("id", "rank")
+    inc = (
+        edges.join(rank_map.withColumnRenamed("id", "src").withColumnRenamed("rank", "_rs"), "src")
+        .join(rank_map.withColumnRenamed("id", "dst").withColumnRenamed("rank", "_rd"), "dst")
+        .groupBy(F.greatest("_rs", "_rd").alias("rank"))
+        .agg(F.sum(F.col("weight").cast("double") * 2).alias("_inc2"))
+    )
+    # vol(G) is a driver scalar (like pagerank's dangling mass): one 2-phase
+    # aggregate whose tiny final exchange stays out of the returned lineage
+    tv_row = edges.agg((F.sum(F.col("weight").cast("double")) * 2).alias("_tv")).first()
+    total_vol = float(tv_row["_tv"] or 0.0)
+    joined = ranked.join(inc, "rank", "left").withColumn(
+        "_inc2", F.coalesce(F.col("_inc2"), F.lit(0.0))
+    )
+    swept = _ranked_prefix_double(
+        joined, ["rank"], "_inc2", rank_col="_rk2", cum_col="_int2"
+    ).drop("_rk2")
+    vol = F.col("_vol")
+    cut = vol - F.col("_int2")
+    denom = F.least(vol, F.lit(total_vol) - vol)
+    return swept.select(
+        "rank",
+        "id",
+        F.col("_score").alias("score"),
+        vol.alias("volume"),
+        cut.alias("cut_w"),
+        F.when(denom > 0, cut / denom).alias("conductance"),
+    )
+
+
+def best_sweep_cut(sweep: DataFrame) -> DataFrame:
+    """The argmin-conductance prefix of a :func:`sweep_cut` result (1 row;
+    smallest rank wins ties; empty when no prefix has defined φ)."""
+    return (
+        sweep.filter(F.col("conductance").isNotNull())
+        .orderBy(F.col("conductance").asc(), F.col("rank").asc())
+        .limit(1)
+    )

@@ -759,3 +759,25 @@ def test_smooth_features_hop_agg_combines_map_side(spark):
     # the (dst, dim) sum is a hash aggregate with a partial phase — hub
     # destinations pre-combine instead of shuffling raw E*D rows
     assert "partial_sum" in plan_of(out)
+
+
+def test_sweep_cut_no_global_window(spark):
+    # both sweep prefix sums (volume, internal mass) must run through the
+    # range-partition kernel: any visible Window node is partitioned by
+    # _pid, and nothing collapses to one task
+    from fixtures import random_graph
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import sweep_cut
+
+    rows, n = random_graph(n=80, seed=45)
+    edges = G.edges_from_rows(spark, rows)
+    sdf = spark.createDataFrame(
+        [(v, round(1.0 / (1 + v), 9)) for v in range(n)], "id long, score double"
+    )
+    out = sweep_cut(edges, sdf)
+    out.collect()
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, f"unpartitioned window: {line}"

@@ -252,3 +252,108 @@ def test_katz_weighted_and_sources_get_beta(spark):
     got = vec(scores, n)
     for v in src_only:
         assert got[v] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# sweep cut
+# ---------------------------------------------------------------------------
+def sweep_cut_oracle(rows, scores, degree_normalize=True):
+    """Brute-force ACL sweep: (rank, id, score, volume, cut, phi) per prefix.
+    Each (s, d, w) row is one undirected edge; self-loops add 2w to degree
+    and never to the cut."""
+    deg = {}
+    for s, d, w in rows:
+        deg[s] = deg.get(s, 0.0) + w
+        deg[d] = deg.get(d, 0.0) + w
+    cand = [(v, sc) for v, sc in scores.items() if sc > 0 and deg.get(v, 0) > 0]
+    cand.sort(key=lambda t: (-(t[1] / deg[t[0]]) if degree_normalize else -t[1], t[0]))
+    total = 2.0 * sum(w for _, _, w in rows)
+    out, S, vol = [], set(), 0.0
+    for k, (v, sc) in enumerate(cand, 1):
+        S.add(v)
+        vol += deg[v]
+        internal = sum(w for s, d, w in rows if s in S and d in S)
+        cut = vol - 2.0 * internal
+        den = min(vol, total - vol)
+        out.append((k, v, sc, vol, cut, cut / den if den > 0 else None))
+    return out
+
+
+@pytest.mark.parametrize("name,normalize", [
+    ("two_cliques", True), ("two_cliques", False), ("random", True), ("star", True),
+])
+def test_sweep_cut_matches_bruteforce(spark, name, normalize):
+    from dmid_spark.algorithms import sweep_cut
+
+    rows, n = {
+        "two_cliques": two_cliques_bridge(),
+        "random": random_graph(n=50, seed=44),
+        "star": star(8),
+    }[name]
+    # deterministic synthetic diffusion score peaked at vertex 0's clique
+    scores = {v: round(1.0 / (1 + v), 9) for v in range(n)}
+    scores[n - 1] = 0.0  # excluded: score <= 0
+    edges = G.edges_from_rows(spark, rows)
+    sdf = spark.createDataFrame(
+        [(int(v), float(s)) for v, s in scores.items()], "id long, score double"
+    )
+    got = [
+        (r["rank"], r["id"], r["score"], r["volume"], r["cut_w"], r["conductance"])
+        for r in sweep_cut(edges, sdf, degree_normalize=normalize)
+        .orderBy("rank")
+        .collect()
+    ]
+    exp = sweep_cut_oracle(rows, scores, degree_normalize=normalize)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g[:2] == e[:2]
+        assert g[2] == pytest.approx(e[2], abs=1e-12)
+        assert g[3] == pytest.approx(e[3], abs=1e-9)
+        assert g[4] == pytest.approx(e[4], abs=1e-9)
+        if e[5] is None:
+            assert g[5] is None
+        else:
+            assert g[5] == pytest.approx(e[5], abs=1e-12)
+
+
+def test_sweep_cut_finds_clique_on_bridge_graph(spark):
+    """On two cliques joined by one bridge, a PPR seeded inside clique A must
+    sweep to exactly clique A as the min-conductance prefix."""
+    from dmid_spark.algorithms import best_sweep_cut, personalized_pagerank, sweep_cut
+
+    rows, n = two_cliques_bridge(size=6)
+    edges = G.edges_from_rows(spark, rows)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    ranks, _ = personalized_pagerank(edges, seeds, d=0.85, tol=1e-10, max_iter=200)
+    sdf = ranks.select("id", F.round("value", 9).alias("score"))
+    sweep = sweep_cut(edges, sdf)
+    best = best_sweep_cut(sweep).collect()[0]
+    swept_ids = {
+        r["id"] for r in sweep.filter(F.col("rank") <= best["rank"]).collect()
+    }
+    assert swept_ids == set(range(6))  # clique A exactly
+    # max_prefix truncates the sweep but not the ordering
+    short = sweep_cut(edges, sdf, max_prefix=3).orderBy("rank").collect()
+    assert [r["rank"] for r in short] == [1, 2, 3]
+    full3 = [r["id"] for r in sweep.orderBy("rank").limit(3).collect()]
+    assert [r["id"] for r in short] == full3
+
+
+def test_sweep_cut_self_loop(spark):
+    from dmid_spark.algorithms import sweep_cut
+
+    rows = [(0, 1, 1.0), (0, 0, 2.0), (1, 2, 1.0)]
+    scores = {0: 0.6, 1: 0.3, 2: 0.1}
+    edges = G.edges_from_rows(spark, rows)
+    sdf = spark.createDataFrame(
+        [(v, s) for v, s in scores.items()], "id long, score double"
+    )
+    got = [
+        (r["rank"], r["id"], r["volume"], r["cut_w"], r["conductance"])
+        for r in sweep_cut(edges, sdf).orderBy("rank").collect()
+    ]
+    exp = sweep_cut_oracle(rows, scores)
+    for g, e in zip(got, exp):
+        assert g[0] == e[0] and g[1] == e[1]
+        assert g[2] == pytest.approx(e[3], abs=1e-12)
+        assert g[3] == pytest.approx(e[4], abs=1e-12)
