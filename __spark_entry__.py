@@ -475,6 +475,34 @@ def q_community_sizes(spark, sf_dir):
     )
 
 
+def q_cover_f1(spark, sf_dir):
+    """Best-match F1 per community, both directions, between the LPA-1
+    cover and the connected-components partition (the same cover pair as
+    m3's NMI). F1 = 2i/(|a|+|b|) is an exact integer ratio — one
+    deterministic division per intersecting pair, 9dp-rounded for the
+    hash gate."""
+    from dmid_spark.algorithms import connected_components
+    from dmid_spark.metrics import best_match_f1
+
+    e = _edges(spark, sf_dir)
+    c1 = _lpa_cover(spark, sf_dir)
+    labels, _ = connected_components(e)
+    c2 = labels.select(
+        F.col("id").alias("node"),
+        F.col("component").alias("community"),
+        F.lit(1.0).alias("degree"),
+    )
+    ab = best_match_f1(c1, c2).withColumn("direction", F.lit("ab"))
+    ba = best_match_f1(c2, c1).withColumn("direction", F.lit("ba"))
+    return ab.unionByName(ba).select(
+        "direction",
+        "community",
+        F.col("size").cast("long").alias("size"),
+        F.round("best_f1", 9).alias("best_f1"),
+        F.col("best_match").cast("long").alias("best_match"),
+    )
+
+
 def q_conductance(spark, sf_dir):
     """Per-community conductance of the LPA-1 cover: two node-hash joins of
     the edge table against the membership relation, never pair enumeration.
@@ -1520,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_graph": q_transition_graph,
         "m9_conductance": q_conductance,
         "x36_sweep_cut": q_sweep_cut,
+        "m10_cover_f1": q_cover_f1,
     }
 
 
@@ -3972,6 +4001,47 @@ SELECT s.community, s.n_nodes, a.internal_w, a.cut_w,
                                        t.total_vol - (a.internal_w * 2 + a.cut_w))
              END, 9) AS conductance
 FROM sz s JOIN ca a USING (community) CROSS JOIN tot t""",
+        "m10_cover_f1": _G.replace("WITH edges", "WITH RECURSIVE edges")
+        + ","
+        + _LPA_COVER
+        + """,
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT id AS node, id AS lbl FROM verts
+  UNION
+  SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+),
+fma AS (SELECT DISTINCT node, community FROM cover),
+fmb AS (SELECT node, MIN(lbl) AS community FROM reach GROUP BY node),
+fsa AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS s FROM fma GROUP BY 1),
+fsb AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS s FROM fmb GROUP BY 1),
+fint AS (
+  SELECT a.community AS ca, b.community AS cb, COUNT(*) AS i
+  FROM fma a JOIN fmb b ON a.node = b.node GROUP BY 1, 2
+),
+fpair AS (
+  SELECT ca, cb, 2.0 * i / (sa.s + sb.s) AS f1
+  FROM fint JOIN fsa sa ON ca = sa.community JOIN fsb sb ON cb = sb.community
+),
+fbab AS (
+  SELECT ca, cb, f1 FROM (
+    SELECT ca, cb, f1, ROW_NUMBER() OVER (PARTITION BY ca ORDER BY f1 DESC, cb) AS rn
+    FROM fpair
+  ) WHERE rn = 1
+),
+fbba AS (
+  SELECT cb, ca, f1 FROM (
+    SELECT cb, ca, f1, ROW_NUMBER() OVER (PARTITION BY cb ORDER BY f1 DESC, ca) AS rn
+    FROM fpair
+  ) WHERE rn = 1
+)
+SELECT 'ab' AS direction, s.community, s.s AS size,
+       ROUND(COALESCE(b.f1, 0), 9) AS best_f1, b.cb AS best_match
+FROM fsa s LEFT JOIN fbab b ON s.community = b.ca
+UNION ALL
+SELECT 'ba' AS direction, s.community, s.s AS size,
+       ROUND(COALESCE(b.f1, 0), 9) AS best_f1, b.ca AS best_match
+FROM fsb s LEFT JOIN fbba b ON s.community = b.cb""",
         "x36_sweep_cut": _G + ", " + _ppr5_sql(as_cte=True) + """,
 sdeg AS (
   SELECT id, SUM(w) AS deg FROM (

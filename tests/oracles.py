@@ -596,3 +596,27 @@ def conductance_bruteforce(edges, cover):
         phi = cut / denom if denom > 0 else None
         out[c] = (len(members), internal, cut, vol, phi)
     return out
+
+
+def best_match_f1_bruteforce(cover_a, cover_b):
+    """Per-community-of-A (size, best_f1, best_match) with F1(a,b) =
+    2|a∩b| / (|a|+|b|), ties to the smallest counterpart id. cover: dict
+    node -> {community: degree}; zero degrees are non-membership."""
+    mem_a, mem_b = {}, {}
+    for mem, out in ((cover_a, mem_a), (cover_b, mem_b)):
+        for v, ms in mem.items():
+            for c, d in ms.items():
+                if d != 0:
+                    out.setdefault(c, set()).add(v)
+    res = {}
+    for ca, sa in mem_a.items():
+        best, match = 0.0, None
+        for cb, sb in sorted(mem_b.items()):
+            i = len(sa & sb)
+            if i == 0:
+                continue
+            f1 = 2.0 * i / (len(sa) + len(sb))
+            if f1 > best:
+                best, match = f1, cb
+        res[ca] = (len(sa), best, match)
+    return res

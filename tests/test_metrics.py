@@ -236,3 +236,42 @@ def test_conductance_self_loop_and_isolated_member(spark):
         assert got[c][:4] == pytest.approx(exp[c][:4])
     # self-loop sits inside community 0's volume, never its cut
     assert got[0] == (2, 5.0, 1.0, 11.0, got[0][4])
+
+
+@pytest.mark.parametrize("overlap", [(), (0, 5, 11)])
+def test_best_match_f1_matches_bruteforce(spark, overlap):
+    from dmid_spark.metrics import avg_f1, best_match_f1
+
+    _, n = two_cliques_bridge()
+    cov_a = two_community_cover(n, overlap=overlap)
+    # B: three arbitrary communities by residue, plus an extra membership
+    cov_b = {v: {v % 3 + 10: 1.0} for v in range(n)}
+    cov_b[1][13] = 0.7
+    cov_b[2] = {14: 0.0}  # zero degree = non-member; community 14 empty
+    a_df, b_df = cover_df(spark, cov_a), cover_df(spark, cov_b)
+    got = {
+        r["community"]: (r["size"], r["best_f1"], r["best_match"])
+        for r in best_match_f1(a_df, b_df).collect()
+    }
+    exp = O.best_match_f1_bruteforce(cov_a, cov_b)
+    assert set(got) == set(exp)
+    for c in exp:
+        assert got[c][0] == exp[c][0]
+        assert got[c][1] == pytest.approx(exp[c][1], abs=1e-12)
+        assert got[c][2] == exp[c][2]
+    # symmetric average against the same brute force, both directions
+    exp_ab = exp
+    exp_ba = O.best_match_f1_bruteforce(cov_b, cov_a)
+    mean = lambda d: sum(v[1] for v in d.values()) / len(d)
+    assert avg_f1(a_df, b_df) == pytest.approx(
+        (mean(exp_ab) + mean(exp_ba)) / 2, abs=1e-12
+    )
+
+
+def test_avg_f1_identical_covers_is_one(spark):
+    from dmid_spark.metrics import avg_f1
+
+    _, n = two_cliques_bridge()
+    cov = two_community_cover(n)
+    df = cover_df(spark, cov)
+    assert avg_f1(df, df) == pytest.approx(1.0, abs=1e-12)
