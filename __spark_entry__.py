@@ -1226,6 +1226,15 @@ def q_group_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Per-language temperature-flattened mixture weights (alpha=0.3, the
+    mC4/XLM-R convention): token shares are exact integer ratios; the one
+    libm surface (pow) is rounded 9dp like tfidf's log."""
+    from dmid_spark.text import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), alpha=0.3, group_col="lang")
+
+
 def q_mix_epochs(spark, sf_dir):
     """Weighted dataset mixing with UP-sampling: repeat each doc
     floor(w) times plus a seeded-coin extra for the fractional part —
@@ -1549,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m9_conductance": q_conductance,
         "x36_sweep_cut": q_sweep_cut,
         "m10_cover_f1": q_cover_f1,
+        "sample_temperature": q_temperature_mixture,
     }
 
 
@@ -4001,6 +4011,23 @@ SELECT s.community, s.n_nodes, a.internal_w, a.cut_w,
                                        t.total_vol - (a.internal_w * 2 + a.cut_w))
              END, 9) AS conductance
 FROM sz s JOIN ca a USING (community) CROSS JOIN tot t""",
+        "sample_temperature": r"""
+WITH g AS (
+  SELECT lang AS "group", CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+gz AS (SELECT * FROM g WHERE n_tokens > 0),
+tt AS (SELECT SUM(n_tokens) AS tot FROM gz),
+pp AS (SELECT gz.*, gz.n_tokens / CAST(tt.tot AS DOUBLE) AS p FROM gz CROSS JOIN tt),
+qr AS (SELECT *, POWER(p, 0.3) AS qraw FROM pp),
+qs AS (SELECT SUM(qraw) AS s FROM qr),
+qq AS (SELECT qr.*, qraw / qs.s AS q, (qraw / qs.s) / p AS r FROM qr CROSS JOIN qs),
+rm AS (SELECT MIN(r) AS m FROM qq)
+SELECT "group", n_docs, n_tokens, ROUND(p, 9) AS p, ROUND(q, 9) AS q,
+       ROUND(r / rm.m, 9) AS repeat_factor
+FROM qq CROSS JOIN rm""",
         "m10_cover_f1": _G.replace("WITH edges", "WITH RECURSIVE edges")
         + ","
         + _LPA_COVER

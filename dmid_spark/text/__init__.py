@@ -27,6 +27,7 @@ from .sampling import (  # noqa: F401
     group_sample,
     mix_epochs,
     stratified_sample,
+    temperature_mixture,
     token_budget_sample,
     weighted_sample,
 )

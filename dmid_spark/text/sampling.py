@@ -237,3 +237,71 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Temperature-flattened mixture weights per group (the multilingual-LM
+    resampling rule, mC4/XLM-R style): with p_g the group's share of total
+    tokens, the target sampling distribution is q_g ∝ p_g^alpha — alpha=1
+    keeps the natural mixture, alpha→0 approaches uniform over groups —
+    and ``repeat_factor = (q_g / p_g) / min_h(q_h / p_h)`` is the pure
+    up-sampling multiplier (min 1.0) to feed straight into
+    :func:`mix_epochs` as ``weights``.
+
+    Token counts follow ``pack_sequences``: whitespace tokens of
+    ``text_col`` with NULL/empty → 0, or a precomputed ``tokens_col``
+    (real BPE counts). NULL groups are a group of their own only if
+    present; groups whose token total is 0 are excluded (p_g = 0 has no
+    finite flatten) and reported implicitly by their absence.
+
+    Returns one row per group: ``(group, n_docs, n_tokens, p, q,
+    repeat_factor)``, each float rounded 9dp. Scale: one map-side-combined
+    groupBy over the corpus; everything after operates on the O(groups)
+    aggregate (broadcast scalar joins).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if tokens_col is not None:
+        n_tokens = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0).cast("long"))
+    else:
+        t = F.col(text_col)
+        n_tokens = (
+            F.when(t.isNull() | (F.trim(t) == ""), F.lit(0))
+            .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+            .cast("long")
+        )
+    groups = (
+        df.select(F.col(group_col).alias("group"), n_tokens.alias("_t"))
+        .groupBy("group")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    total = groups.agg(F.sum("n_tokens").alias("_tot"))
+    withp = groups.join(F.broadcast(total)).withColumn(
+        "_p", F.col("n_tokens") / F.col("_tot")
+    )
+    withq_raw = withp.withColumn("_qr", F.pow(F.col("_p"), F.lit(float(alpha))))
+    qsum = withq_raw.agg(F.sum("_qr").alias("_qs"))
+    scored = (
+        withq_raw.join(F.broadcast(qsum))
+        .withColumn("_q", F.col("_qr") / F.col("_qs"))
+        .withColumn("_r", F.col("_q") / F.col("_p"))
+    )
+    rmin = scored.agg(F.min("_r").alias("_rm"))
+    return (
+        scored.join(F.broadcast(rmin))
+        .select(
+            "group",
+            "n_docs",
+            "n_tokens",
+            F.round("_p", 9).alias("p"),
+            F.round("_q", 9).alias("q"),
+            F.round(F.col("_r") / F.col("_rm"), 9).alias("repeat_factor"),
+        )
+    )

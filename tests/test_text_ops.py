@@ -661,3 +661,49 @@ def test_bm25_empty_corpus_raises(spark):
     qs = spark.createDataFrame([(0, "x")], "query_id long, query_text string")
     with pytest.raises(ValueError):
         bm25_topk(docs, qs)
+
+
+def test_temperature_mixture_matches_numpy(spark):
+    import math
+
+    from dmid_spark.text import temperature_mixture
+
+    docs = [
+        (1, "en", "a b c d"),
+        (2, "en", "x y"),
+        (3, "de", "ein zwei drei"),
+        (4, "fr", "un"),
+        (5, "fr", None),      # NULL text → 0 tokens
+        (6, "zh", "  "),      # blank → 0 tokens; zh total 0 → excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = {
+        r["group"]: (r["n_docs"], r["n_tokens"], r["p"], r["q"], r["repeat_factor"])
+        for r in temperature_mixture(df, alpha=0.5, group_col="lang").collect()
+    }
+    toks = {"en": 6, "de": 3, "fr": 1}
+    ndoc = {"en": 2, "de": 1, "fr": 2}
+    tot = sum(toks.values())
+    p = {g: t / tot for g, t in toks.items()}
+    qraw = {g: math.pow(v, 0.5) for g, v in p.items()}
+    qs = sum(qraw.values())
+    q = {g: v / qs for g, v in qraw.items()}
+    r = {g: q[g] / p[g] for g in p}
+    rmin = min(r.values())
+    assert set(out) == {"en", "de", "fr"}  # zh excluded (0 tokens)
+    for g in out:
+        assert out[g][0] == ndoc[g] and out[g][1] == toks[g]
+        assert out[g][2] == pytest.approx(round(p[g], 9), abs=1e-12)
+        assert out[g][3] == pytest.approx(round(q[g], 9), abs=1e-9)
+        assert out[g][4] == pytest.approx(round(r[g] / rmin, 9), abs=1e-9)
+    # alpha=1 keeps the natural mixture: every repeat_factor is exactly 1
+    nat = temperature_mixture(df, alpha=1.0, group_col="lang").collect()
+    assert all(row["repeat_factor"] == pytest.approx(1.0, abs=1e-9) for row in nat)
+    # flattening monotonicity: smaller alpha boosts the rarest group more
+    hot = {
+        r["group"]: r["repeat_factor"]
+        for r in temperature_mixture(df, alpha=0.2, group_col="lang").collect()
+    }
+    assert hot["fr"] > out["fr"][4] >= 1.0
+    with pytest.raises(ValueError):
+        temperature_mixture(df, alpha=0.0)
