@@ -503,6 +503,21 @@ def q_cover_f1(spark, sf_dir):
     )
 
 
+def q_pmi_weights(spark, sf_dir):
+    """(N)PMI re-weighting of the co-occurrence edge table — marginals are
+    exact integer-count sums; ln is the one libm surface, rounded 9dp."""
+    from dmid_spark.graph import pmi_weights
+
+    out = pmi_weights(_edges(spark, sf_dir))
+    return out.select(
+        "src",
+        "dst",
+        "weight",
+        F.round("pmi", 9).alias("pmi"),
+        F.round("npmi", 9).alias("npmi"),
+    )
+
+
 def q_conductance(spark, sf_dir):
     """Per-community conductance of the LPA-1 cover: two node-hash joins of
     the edge table against the membership relation, never pair enumeration.
@@ -1559,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_sweep_cut": q_sweep_cut,
         "m10_cover_f1": q_cover_f1,
         "sample_temperature": q_temperature_mixture,
+        "graph_pmi_weights": q_pmi_weights,
     }
 
 
@@ -4011,6 +4027,17 @@ SELECT s.community, s.n_nodes, a.internal_w, a.cut_w,
                                        t.total_vol - (a.internal_w * 2 + a.cut_w))
              END, 9) AS conductance
 FROM sz s JOIN ca a USING (community) CROSS JOIN tot t""",
+        "graph_pmi_weights": _G + """,
+tot AS (SELECT SUM(weight) AS w FROM edges),
+mu AS (SELECT src, SUM(weight) AS wu FROM edges GROUP BY src),
+mv AS (SELECT dst, SUM(weight) AS wv FROM edges GROUP BY dst)
+SELECT e.src, e.dst, e.weight,
+       ROUND(LN(e.weight * t.w / (mu.wu * mv.wv)), 9) AS pmi,
+       ROUND(CASE WHEN -LN(e.weight / t.w) > 0
+                  THEN LN(e.weight * t.w / (mu.wu * mv.wv)) / (-LN(e.weight / t.w))
+             END, 9) AS npmi
+FROM edges e JOIN mu ON e.src = mu.src JOIN mv ON e.dst = mv.dst CROSS JOIN tot t
+WHERE e.weight > 0""",
         "sample_temperature": r"""
 WITH g AS (
   SELECT lang AS "group", CAST(COUNT(*) AS BIGINT) AS n_docs,

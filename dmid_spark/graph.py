@@ -281,3 +281,51 @@ def disparity_backbone(
         .filter(F.col("alpha_min").isNull() | (F.col("alpha_min") < alpha))
         .select("u", "v", "weight", "alpha_min")
     )
+
+
+def pmi_weights(edges: DataFrame, positive_only: bool = False) -> DataFrame:
+    """(N)PMI re-weighting of a co-occurrence edge table — the standard
+    de-noising transform between raw co-occurrence counts (corpus.py's
+    ``cooccurrence_edges``) and link analysis: frequent hubs dominate raw
+    counts, while PMI scores how much MORE often (src, dst) co-occur than
+    their popularity predicts.
+
+    With W = Σ weight, w_u• = Σ_dst weight(u, ·), w_•v = Σ_src weight(·, v):
+
+        pmi(u, v)  = ln( weight(u,v) · W / (w_u• · w_•v) )
+        npmi(u, v) = pmi / −ln(weight(u,v) / W)      ∈ [−1, 1]
+
+    (npmi is NULL on the degenerate weight(u,v) = W single-edge case).
+    ``positive_only=True`` keeps pmi > 0 rows (the PPMI graph). Rows with
+    weight <= 0 are dropped (log undefined).
+
+    Scale: two map-side-combined marginal aggregates + two hash joins on
+    src/dst; W is a driver scalar like pagerank's dangling mass. The log is
+    the only libm surface — quantize downstream for cross-engine hashes.
+    """
+    e = edges.filter(F.col("weight") > 0).select(
+        "src", "dst", F.col("weight").cast("double").alias("weight")
+    )
+    total = float(e.agg(F.sum("weight")).first()[0] or 0.0)
+    if total <= 0:
+        return e.select(
+            "src", "dst", "weight",
+            F.lit(None).cast("double").alias("pmi"),
+            F.lit(None).cast("double").alias("npmi"),
+        )
+    mu = e.groupBy("src").agg(F.sum("weight").alias("_wu"))
+    mv = e.groupBy("dst").agg(F.sum("weight").alias("_wv"))
+    pmi = F.log(F.col("weight") * F.lit(total) / (F.col("_wu") * F.col("_wv")))
+    self_info = -F.log(F.col("weight") / F.lit(total))
+    out = (
+        e.join(mu, "src")
+        .join(mv, "dst")
+        .select(
+            "src",
+            "dst",
+            "weight",
+            pmi.alias("pmi"),
+            F.when(self_info > 0, pmi / self_info).alias("npmi"),
+        )
+    )
+    return out.filter(F.col("pmi") > 0) if positive_only else out

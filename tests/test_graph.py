@@ -152,3 +152,36 @@ def test_disparity_backbone_validates_alpha(spark):
     edges = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
     with _pytest.raises(ValueError):
         disparity_backbone(edges, alpha=1.5)
+
+
+def test_pmi_weights_matches_math(spark):
+    import math
+
+    import pytest
+
+    from dmid_spark.graph import pmi_weights
+
+    rows = [(0, 1, 4.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 3, 0.0)]
+    e = G.edges_from_rows(spark, rows)
+    got = {
+        (r["src"], r["dst"]): (r["weight"], r["pmi"], r["npmi"])
+        for r in pmi_weights(e).collect()
+    }
+    assert (3, 3) not in got  # weight <= 0 dropped
+    W = 8.0
+    wu = {0: 5.0, 1: 2.0, 2: 1.0}
+    wv = {1: 4.0, 2: 3.0, 0: 1.0}
+    for (s, d, w) in [(0, 1, 4.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0)]:
+        pmi = math.log(w * W / (wu[s] * wv[d]))
+        npmi = pmi / -math.log(w / W)
+        assert got[(s, d)][1] == pytest.approx(pmi, abs=1e-12)
+        assert got[(s, d)][2] == pytest.approx(npmi, abs=1e-12)
+    # PPMI keeps only pmi > 0
+    pos = pmi_weights(e, positive_only=True).collect()
+    assert {(r["src"], r["dst"]) for r in pos} == {
+        k for k, v in got.items() if v[1] > 0
+    }
+    # degenerate single-edge graph: weight == W → self-information 0 → npmi NULL
+    single = G.edges_from_rows(spark, [(0, 1, 3.0)])
+    r = pmi_weights(single).collect()[0]
+    assert r["pmi"] == pytest.approx(0.0, abs=1e-12) and r["npmi"] is None
