@@ -503,6 +503,22 @@ def q_cover_f1(spark, sf_dir):
     )
 
 
+def q_pca_project(spark, sf_dir):
+    """Distributed PCA (one moment pass -> driver D x D eigh -> vectorized
+    projection), k=8 over the embeddings table. Data-derived eigenvectors
+    are not SQL-expressible, so this is a rows-only driver check; exactness
+    vs the NumPy PCA oracle is pinned in tests/test_sim_multimodal.py."""
+    from dmid_spark.sim import pca_fit, pca_project
+
+    emb = _emb(spark, sf_dir)
+    model = pca_fit(emb, k=8)
+    out = pca_project(emb, model)
+    return out.select(
+        "vec_id",
+        F.transform("proj", lambda x: F.round(x, 6)).alias("proj"),
+    )
+
+
 def q_pmi_weights(spark, sf_dir):
     """(N)PMI re-weighting of the co-occurrence edge table — marginals are
     exact integer-count sums; ln is the one libm surface, rounded 9dp."""
@@ -1575,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_cover_f1": q_cover_f1,
         "sample_temperature": q_temperature_mixture,
         "graph_pmi_weights": q_pmi_weights,
+        "emb_pca_project": q_pca_project,
     }
 
 
@@ -4133,4 +4150,6 @@ FROM ssw CROSS JOIN stot t""",
         # x1_pagerank_converged, dmid_cover: iterative-to-convergence
         # operators — intentionally no SQL twin (driver rows-only check);
         # exactness is covered by the NumPy-oracle pytest suite instead.
+        # emb_pca_project: data-derived eigenvectors (driver eigh) are not
+        # SQL-expressible — rows-only check; NumPy-oracle pytest pins it.
     }

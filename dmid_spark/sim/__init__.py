@@ -6,6 +6,7 @@ from .ann import (  # noqa: F401
     ivf_recall_at_k,
     ivf_topk,
 )
+from .pca import PcaModel, covariance_stats, pca_fit, pca_project  # noqa: F401
 from .rplsh import (  # noqa: F401
     rp_lsh_candidates,
     rp_near_duplicates,

@@ -426,3 +426,65 @@ def test_audio_features_short_clip_and_silence(spark):
     assert got[0].rms == 0.0 and got[0].spectral_centroid == 0.0 and got[0].rolloff_hz == 0.0
     assert got[1].zcr == pytest.approx(1.0)
     assert np.isfinite(got[1].spectral_centroid)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+def _pca_numpy_oracle(x, k):
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / x.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    for i in range(comps.shape[0]):
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0), float(np.trace(cov))
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    from dmid_spark.sim import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic data: a few dominant directions so the top eigenvalues
+    # are well-separated (eigenvector comparison is then well-posed)
+    base = rng.normal(size=(400, 8)) * np.array([10, 6, 3, 1, 0.5, 0.3, 0.2, 0.1])
+    q, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+    x = base @ q + rng.normal(size=8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    x32 = x.astype(np.float32).astype(np.float64)  # what Spark stored
+    mean_e, comps_e, ev_e, tv_e = _pca_numpy_oracle(x32, 3)
+    model = pca_fit(df, k=3)
+    assert model.n == 400
+    np.testing.assert_allclose(model.mean, mean_e, atol=1e-9)
+    np.testing.assert_allclose(model.total_variance, tv_e, atol=1e-9)
+    np.testing.assert_allclose(model.explained_variance, ev_e, atol=1e-7)
+    np.testing.assert_allclose(model.components, comps_e, atol=1e-7)
+    proj = pca_project(df, model)
+    got = {r["vec_id"]: np.asarray(r["proj"]) for r in proj.collect()}
+    exp = (x32 - model.mean) @ model.components.T
+    assert len(got) == 400
+    for i in range(400):
+        np.testing.assert_allclose(got[i], exp[i], atol=1e-9)
+    # variance actually concentrates: top-3 explain > 95% on this data
+    assert model.explained_variance.sum() / model.total_variance > 0.95
+
+
+def test_pca_skips_null_vectors_and_validates_k(spark):
+    import pytest
+
+    from dmid_spark.sim import pca_fit, pca_project
+
+    rows = [(0, [1.0, 2.0]), (1, None), (2, [3.0, 5.0]), (3, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = pca_fit(df, k=2)
+    assert model.n == 2
+    got = pca_project(df, model).collect()
+    assert {r["vec_id"] for r in got} == {0, 2}
+    with pytest.raises(ValueError):
+        pca_fit(df, k=3)
