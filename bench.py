@@ -664,6 +664,36 @@ def main():
         ).items()
     }
 
+    from dmid_spark.sim import pca_fit, pca_project
+
+    def run_pca():
+        model = pca_fit(emb, k=8)
+        return pca_project(emb, model).count(), model
+
+    (n_proj, pca_model) = timed("pca_project_8d", run_pca)
+    detail["pca_project_8d"] = {
+        "rows": int(n_proj),
+        "explained_var_ratio": round(
+            float(pca_model.explained_variance.sum() / pca_model.total_variance), 4
+        ),
+    }
+
+    from dmid_spark.algorithms import best_sweep_cut, personalized_pagerank, sweep_cut
+    from dmid_spark.graph import pmi_weights, vertices as g_vertices
+
+    def run_sweep():
+        seeds = g_vertices(edges).filter(F.col("id") % 1000 == 0)
+        ranks_ppr, _ = personalized_pagerank(edges, seeds, tol=1e-6, max_iter=30)
+        sdf = ranks_ppr.select("id", F.col("value").alias("score"))
+        sweep = sweep_cut(edges, sdf, max_prefix=20_000)
+        best = best_sweep_cut(sweep).collect()
+        return best[0]["conductance"] if best else None
+
+    best_phi = timed("sweep_cut_ppr", run_sweep)
+    detail["sweep_cut_ppr"] = {"best_conductance": best_phi}
+
+    timed("pmi_weights", lambda: pmi_weights(edges).count())
+
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed(
         "events_window_agg",
