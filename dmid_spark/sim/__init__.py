@@ -6,7 +6,13 @@ from .ann import (  # noqa: F401
     ivf_recall_at_k,
     ivf_topk,
 )
-from .pca import PcaModel, covariance_stats, pca_fit, pca_project  # noqa: F401
+from .pca import (  # noqa: F401
+    PcaModel,
+    covariance_stats,
+    pca_fit,
+    pca_project,
+    semantic_dedup,
+)
 from .rplsh import (  # noqa: F401
     rp_lsh_candidates,
     rp_near_duplicates,

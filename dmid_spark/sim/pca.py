@@ -140,3 +140,51 @@ def pca_project(
         .withColumnRenamed("__id", id_col)
     )
     return out
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k_pca: int = 8,
+    threshold: float = 0.95,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 5000,
+    capped_out: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): PCA-reduce the
+    embeddings D→``k_pca``, block by IVF cell in the reduced space, compare
+    cosine only within cells, and resolve near-dup pairs (≥ ``threshold``)
+    into clusters with a min-id canonical representative.
+
+    Returns ``(pairs, clusters)``: ``pairs(doc_a, doc_b, cosine)`` in the
+    REDUCED space, and ``clusters(doc_id, canonical_id, cluster_size)`` —
+    keep rows where ``doc_id == canonical_id``, drop the rest (docs in no
+    pair are trivially canonical and absent, the near_duplicate_clusters
+    convention).
+
+    Every stage is a capped, already-verified component: the PCA moment
+    pass (this module), ivf_build's Lloyd blocking with the ``max_cell``
+    fat-cell cap + ``capped_out`` reporting, and the small/large CC cluster
+    resolution — composition adds no new uncapped join. Reduced vectors
+    are float32 (ivf_build's Arrow schema); at dedup thresholds the
+    ~1e-7 relative quantization is far below the decision margin.
+    """
+    from ..text.dedup import near_duplicate_clusters
+    from .ann import cosine_near_duplicates
+
+    model = pca_fit(emb, k=k_pca, vec_col=vec_col)
+    proj = pca_project(emb, model, id_col=id_col, vec_col=vec_col)
+    reduced = proj.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("proj").cast("array<float>").alias("embedding"),
+    )
+    pairs = cosine_near_duplicates(
+        reduced,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        max_cell=max_cell,
+        capped_out=capped_out,
+    )
+    clusters = near_duplicate_clusters(pairs)
+    return pairs, clusters

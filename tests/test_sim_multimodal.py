@@ -488,3 +488,26 @@ def test_pca_skips_null_vectors_and_validates_k(spark):
     assert {r["vec_id"] for r in got} == {0, 2}
     with pytest.raises(ValueError):
         pca_fit(df, k=3)
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark):
+    from dmid_spark.sim import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(60)]
+    # plant near-duplicates: 100/101 ≈ copies of 0/1 with tiny noise
+    rows.append((100, [float(v) for v in base[0] + rng.normal(scale=1e-4, size=16)]))
+    rows.append((101, [float(v) for v in base[1] + rng.normal(scale=1e-4, size=16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs, clusters = semantic_dedup(
+        df, k_pca=8, threshold=0.999, n_centroids=4
+    )
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 100) in got_pairs and (1, 101) in got_pairs
+    cl = {r["doc_id"]: (r["canonical_id"], r["cluster_size"]) for r in clusters.collect()}
+    # canonical = min id per cluster; duplicates point at their originals
+    assert cl[100][0] == 0 and cl[0][0] == 0
+    assert cl[101][0] == 1 and cl[1][0] == 1
+    keep = {d for d, (c, _) in cl.items() if d == c}
+    assert 100 not in keep and 101 not in keep and {0, 1} <= keep
