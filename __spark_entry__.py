@@ -503,6 +503,16 @@ def q_cover_f1(spark, sf_dir):
     )
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club curve phi(k) over the co-occurrence graph: two tiny
+    degree histograms + suffix sums over their unified k-grid; integer
+    counts, one exact division — rounded 9dp for the gate."""
+    from dmid_spark.graph import rich_club
+
+    out = rich_club(_edges(spark, sf_dir))
+    return out.select("k", "n_nodes", "n_edges", F.round("phi", 9).alias("phi"))
+
+
 def q_pca_project(spark, sf_dir):
     """Distributed PCA (one moment pass -> driver D x D eigh -> vectorized
     projection), k=8 over the embeddings table. Data-derived eigenvectors
@@ -1592,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_temperature_mixture,
         "graph_pmi_weights": q_pmi_weights,
         "emb_pca_project": q_pca_project,
+        "graph_rich_club": q_rich_club,
     }
 
 
@@ -4044,6 +4055,38 @@ SELECT s.community, s.n_nodes, a.internal_w, a.cut_w,
                                        t.total_vol - (a.internal_w * 2 + a.cut_w))
              END, 9) AS conductance
 FROM sz s JOIN ca a USING (community) CROSS JOIN tot t""",
+        "graph_rich_club": _G + """,
+rcp AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+rcdeg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT a AS id FROM rcp UNION ALL SELECT b AS id FROM rcp
+  ) GROUP BY id
+),
+rcdh AS (SELECT d, COUNT(*) AS c FROM rcdeg GROUP BY d),
+rcmd AS (
+  SELECT LEAST(da.d, db.d) AS m, COUNT(*) AS ec
+  FROM rcp p JOIN rcdeg da ON p.a = da.id JOIN rcdeg db ON p.b = db.id
+  GROUP BY 1
+),
+rcgrid AS (
+  SELECT k, c, ec FROM (
+    SELECT d AS k FROM rcdh UNION SELECT m AS k FROM rcmd
+  ) g LEFT JOIN rcdh ON g.k = rcdh.d LEFT JOIN rcmd ON g.k = rcmd.m
+),
+rcsuff AS (
+  SELECT k,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_nodes,
+         CAST(COALESCE(SUM(ec) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_edges,
+         c IS NOT NULL AS is_deg
+  FROM rcgrid
+)
+SELECT k, n_nodes, n_edges,
+       ROUND(CASE WHEN n_nodes >= 2
+                  THEN n_edges * 2.0 / (n_nodes * (n_nodes - 1)) END, 9) AS phi
+FROM rcsuff WHERE is_deg""",
         "graph_pmi_weights": _G + """,
 tot AS (SELECT SUM(weight) AS w FROM edges),
 mu AS (SELECT src, SUM(weight) AS wu FROM edges GROUP BY src),

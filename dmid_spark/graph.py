@@ -329,3 +329,73 @@ def pmi_weights(edges: DataFrame, positive_only: bool = False) -> DataFrame:
         )
     )
     return out.filter(F.col("pmi") > 0) if positive_only else out
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve φ(k) = 2·E_k / (N_k·(N_k−1)) for every
+    degree threshold k present in the graph: N_k = nodes with total degree
+    > k, E_k = undirected-pair links among them (Zhou & Mondragón 2004; the
+    hub-interconnection diagnostic for co-occurrence graphs).
+
+    Conventions: total degree = in + out edge COUNT (unweighted, parallel
+    directions counted once via pair collapse); self-loops are excluded
+    from both E_k and degrees' pair side. Returns ``(k, n_nodes, n_edges,
+    phi)`` for each distinct degree value k where N_k ≥ 2, with phi NULL
+    when N_k < 2.
+
+    Scale: degrees are one symmetrized aggregate; E_k and N_k are SUFFIX
+    COUNTS over the degree histogram and the per-edge min-endpoint-degree
+    histogram — both O(distinct degrees) relations (≤ max degree rows even
+    at 10^12 edges), so the suffix-sum windows run over tiny aggregates,
+    never the edge table.
+    """
+    pairs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    from pyspark.sql import Window
+
+    # two tiny histograms: node count per degree, edge count per
+    # min-endpoint degree; suffix sums over their UNIFIED k-grid give
+    # N_k (nodes with degree > k) and E_k (edges with min(da, db) > k)
+    # simultaneously — a k in one histogram but not the other must still
+    # see the other's full suffix
+    dh = deg.groupBy("d").agg(F.count("*").alias("c"))
+    md = (
+        pairs.join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+        .select(F.least("da", "db").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").alias("ec"))
+    )
+    grid = (
+        dh.select(F.col("d").alias("k"))
+        .unionByName(md.select(F.col("m").alias("k")))
+        .distinct()
+        .join(dh.withColumnRenamed("d", "k"), "k", "left")
+        .join(md.withColumnRenamed("m", "k"), "k", "left")
+    )
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    suff = grid.select(
+        "k",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum("ec").over(w), F.lit(0)).cast("long").alias("n_edges"),
+        F.col("c").isNotNull().alias("_is_deg"),
+    )
+    phi = F.when(
+        F.col("n_nodes") >= 2,
+        F.col("n_edges") * 2.0 / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+    )
+    return (
+        suff.filter(F.col("_is_deg"))  # report at the degree values present
+        .select("k", "n_nodes", "n_edges", phi.alias("phi"))
+    )

@@ -185,3 +185,38 @@ def test_pmi_weights_matches_math(spark):
     single = G.edges_from_rows(spark, [(0, 1, 3.0)])
     r = pmi_weights(single).collect()[0]
     assert r["pmi"] == pytest.approx(0.0, abs=1e-12) and r["npmi"] is None
+
+
+def test_rich_club_matches_bruteforce(spark):
+    import pytest
+
+    from dmid_spark.graph import rich_club
+
+    rows, n = random_graph(n=40, seed=46)
+    # add a self-loop and a reverse duplicate: both must not distort counts
+    rows = rows + [(5, 5, 1.0), (rows[0][1], rows[0][0], 2.0)]
+    e = G.edges_from_rows(spark, rows)
+    # brute force on the undirected simple graph
+    und = {(min(s, d), max(s, d)) for s, d, _ in rows if s != d}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in rich_club(e).collect()
+    }
+    assert set(got) == set(deg.values())
+    for k in got:
+        nodes = {v for v, d in deg.items() if d > k}
+        ek = sum(1 for a, b in und if a in nodes and b in nodes)
+        nk = len(nodes)
+        phi = 2.0 * ek / (nk * (nk - 1)) if nk >= 2 else None
+        assert got[k][0] == nk and got[k][1] == ek
+        if phi is None:
+            assert got[k][2] is None
+        else:
+            assert got[k][2] == pytest.approx(phi, abs=1e-12)
+    # the densest core must be at least as clubby as the whole graph
+    ks = sorted(got)
+    assert got[ks[-1]][0] < got[ks[0]][0]
