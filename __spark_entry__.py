@@ -4088,16 +4088,16 @@ SELECT k, n_nodes, n_edges,
                   THEN n_edges * 2.0 / (n_nodes * (n_nodes - 1)) END, 9) AS phi
 FROM rcsuff WHERE is_deg""",
         "graph_pmi_weights": _G + """,
-tot AS (SELECT SUM(weight) AS w FROM edges),
-mu AS (SELECT src, SUM(weight) AS wu FROM edges GROUP BY src),
-mv AS (SELECT dst, SUM(weight) AS wv FROM edges GROUP BY dst)
+pe AS (SELECT src, dst, weight FROM edges WHERE weight > 0),
+tot AS (SELECT SUM(weight) AS w FROM pe),
+mu AS (SELECT src, SUM(weight) AS wu FROM pe GROUP BY src),
+mv AS (SELECT dst, SUM(weight) AS wv FROM pe GROUP BY dst)
 SELECT e.src, e.dst, e.weight,
        ROUND(LN(e.weight * t.w / (mu.wu * mv.wv)), 9) AS pmi,
        ROUND(CASE WHEN -LN(e.weight / t.w) > 0
                   THEN LN(e.weight * t.w / (mu.wu * mv.wv)) / (-LN(e.weight / t.w))
              END, 9) AS npmi
-FROM edges e JOIN mu ON e.src = mu.src JOIN mv ON e.dst = mv.dst CROSS JOIN tot t
-WHERE e.weight > 0""",
+FROM pe e JOIN mu ON e.src = mu.src JOIN mv ON e.dst = mv.dst CROSS JOIN tot t""",
         "sample_temperature": r"""
 WITH g AS (
   SELECT lang AS "group", CAST(COUNT(*) AS BIGINT) AS n_docs,
