@@ -682,8 +682,12 @@ def main():
     from dmid_spark.graph import pmi_weights, vertices as g_vertices
 
     def run_sweep():
+        # fixed 12 supersteps: identical work every run (tol-driven iteration
+        # counts would drift the row run-to-run); the sweep machinery — two
+        # range-partition prefix passes + the rank-map edge joins — is the
+        # part this row actually measures
         seeds = g_vertices(edges).filter(F.col("id") % 1000 == 0)
-        ranks_ppr, _ = personalized_pagerank(edges, seeds, tol=1e-6, max_iter=30)
+        ranks_ppr, _ = personalized_pagerank(edges, seeds, tol=-1.0, max_iter=12)
         sdf = ranks_ppr.select("id", F.col("value").alias("score"))
         sweep = sweep_cut(edges, sdf, max_prefix=20_000)
         best = best_sweep_cut(sweep).collect()
