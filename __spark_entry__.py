@@ -1498,12 +1498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standard + extended graph algorithms
         "x1_pagerank_5iter": q_pagerank5,
         "x4_triangle_counts": q_triangles,
-        "x20_ktruss": q_ktruss,
-        "x25_louvain_round": q_louvain_round,
-        "x26_luby_mis": q_luby_mis,
-        "x27_square_count": q_square_counts,
-        "x28_topo_levels": q_topo_levels,
-        "x29_clique_edges": q_clique_graph_edges,
+        "m9_conductance": q_conductance,
+        "x36_sweep_cut": q_sweep_cut,
+        "m10_cover_f1": q_cover_f1,
+        "sample_temperature": q_temperature_mixture,
+        "graph_pmi_weights": q_pmi_weights,
+        "graph_rich_club": q_rich_club,
         "x30_cc_incremental": q_cc_incremental,
         "x32_feature_smooth": q_feature_smooth,
         "x33_seeded_lpa": q_seeded_lpa,
@@ -1596,13 +1596,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_pack_sequences,
         "pipeline_prepare_training": q_prepare_training,
         "events_transition_graph": q_transition_graph,
-        "m9_conductance": q_conductance,
-        "x36_sweep_cut": q_sweep_cut,
-        "m10_cover_f1": q_cover_f1,
-        "sample_temperature": q_temperature_mixture,
-        "graph_pmi_weights": q_pmi_weights,
         "emb_pca_project": q_pca_project,
-        "graph_rich_club": q_rich_club,
+        # rotated out of the 50-row driver window in round 5 (hash-green in
+        # CORRECTNESS_r03/r04; still oracle-checkable via tools/check_oracles)
+        "x20_ktruss": q_ktruss,
+        "x25_louvain_round": q_louvain_round,
+        "x26_luby_mis": q_luby_mis,
+        "x27_square_count": q_square_counts,
+        "x28_topo_levels": q_topo_levels,
+        "x29_clique_edges": q_clique_graph_edges,
     }
 
 
