@@ -482,7 +482,7 @@ def q_cover_f1(spark, sf_dir):
     deterministic division per intersecting pair, 9dp-rounded for the
     hash gate."""
     from dmid_spark.algorithms import connected_components
-    from dmid_spark.metrics import best_match_f1
+    from dmid_spark.metrics import cover_f1
 
     e = _edges(spark, sf_dir)
     c1 = _lpa_cover(spark, sf_dir)
@@ -492,9 +492,8 @@ def q_cover_f1(spark, sf_dir):
         F.col("component").alias("community"),
         F.lit(1.0).alias("degree"),
     )
-    ab = best_match_f1(c1, c2).withColumn("direction", F.lit("ab"))
-    ba = best_match_f1(c2, c1).withColumn("direction", F.lit("ba"))
-    return ab.unionByName(ba).select(
+    out = cover_f1(c1, c2)  # one intersection join for both directions
+    return out.select(
         "direction",
         "community",
         F.col("size").cast("long").alias("size"),
@@ -511,6 +510,37 @@ def q_rich_club(spark, sf_dir):
 
     out = rich_club(_edges(spark, sf_dir))
     return out.select("k", "n_nodes", "n_edges", F.round("phi", 9).alias("phi"))
+
+
+def q_power_law(spark, sf_dir):
+    """CSN discrete power-law alpha(k_min) curve over the co-occurrence
+    degree histogram (graph.power_law_alpha); the descending-k suffix sums
+    pin the float fold order, so 9dp rounding hash-matches the twin."""
+    from dmid_spark.graph import power_law_alpha
+
+    out = power_law_alpha(_edges(spark, sf_dir))
+    return out.select("k_min", "n_tail", F.round("alpha", 9).alias("alpha"))
+
+
+def q_reciprocity(spark, sf_dir):
+    """Edge/weight reciprocity of the DIRECTED event-type transition graph
+    (the events→graph bridge output — the engine's co-occurrence tables are
+    symmetric, where reciprocity is trivially 1). Integer sums, two exact
+    divisions, 9dp-rounded."""
+    from dmid_spark.graph import reciprocity, transition_edges
+
+    t = transition_edges(_events(spark, sf_dir)).select(
+        F.col("src_type").alias("src"),
+        F.col("dst_type").alias("dst"),
+        F.col("transitions").cast("double").alias("weight"),
+    )
+    out = reciprocity(t)
+    return out.select(
+        "n_edges",
+        "n_recip",
+        F.round("edge_reciprocity", 9).alias("edge_reciprocity"),
+        F.round("weight_reciprocity", 9).alias("weight_reciprocity"),
+    )
 
 
 def q_pca_project(spark, sf_dir):
@@ -1504,9 +1534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_temperature_mixture,
         "graph_pmi_weights": q_pmi_weights,
         "graph_rich_club": q_rich_club,
+        "graph_power_law": q_power_law,
+        "graph_reciprocity": q_reciprocity,
         "x30_cc_incremental": q_cc_incremental,
         "x32_feature_smooth": q_feature_smooth,
-        "x33_seeded_lpa": q_seeded_lpa,
         "x34_backbone": q_backbone,
         # cover metrics
         "m1_extended_modularity": q_modularity,
@@ -1541,9 +1572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_bursts": q_events_bursts,
-        # storage layout
+        # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py;
+        # x33/layout_zorder rotated out with green CORRECTNESS_r04 rows) ---
+        "x33_seeded_lpa": q_seeded_lpa,
         "layout_zorder_keys": q_zorder_keys,
-        # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py) ---
         "x1_pagerank_converged": q_pagerank_conv,
         "m4_spearman_degree_corr": q_spearman,
         "x8_link_prediction": q_link_prediction,
@@ -4089,6 +4121,50 @@ SELECT k, n_nodes, n_edges,
        ROUND(CASE WHEN n_nodes >= 2
                   THEN n_edges * 2.0 / (n_nodes * (n_nodes - 1)) END, 9) AS phi
 FROM rcsuff WHERE is_deg""",
+        "graph_power_law": _G + """,
+plp AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+pldeg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT a AS id FROM plp UNION ALL SELECT b AS id FROM plp
+  ) GROUP BY id
+),
+pldh AS (SELECT d, COUNT(*) AS c FROM pldeg GROUP BY d),
+plsuff AS (
+  SELECT d AS k_min,
+         CAST(SUM(c) OVER w AS BIGINT) AS n_tail,
+         SUM(c * LN(CAST(d AS DOUBLE))) OVER w AS s
+  FROM pldh
+  WINDOW w AS (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT k_min, n_tail,
+       ROUND(1.0 + n_tail / (s - n_tail * LN(k_min - 0.5)), 9) AS alpha
+FROM plsuff""",
+        "graph_reciprocity": """
+WITH o AS (
+  SELECT user_id, event_type AS dst_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+         ) AS src_type
+  FROM events
+),
+t AS (
+  SELECT src_type, dst_type, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM o WHERE src_type IS NOT NULL AND src_type <> dst_type
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT a.w, b.w AS rw
+  FROM t a LEFT JOIN t b ON a.src_type = b.dst_type AND a.dst_type = b.src_type
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(rw) AS BIGINT) AS n_recip,
+       ROUND(CAST(COUNT(rw) AS DOUBLE) / COUNT(*), 9) AS edge_reciprocity,
+       ROUND(SUM(LEAST(w, COALESCE(rw, 0))) / SUM(w), 9) AS weight_reciprocity
+FROM j""",
         "graph_pmi_weights": _G + """,
 pe AS (SELECT src, dst, weight FROM edges WHERE weight > 0),
 tot AS (SELECT SUM(weight) AS w FROM pe),

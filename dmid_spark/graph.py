@@ -399,3 +399,100 @@ def rich_club(edges: DataFrame) -> DataFrame:
         suff.filter(F.col("_is_deg"))  # report at the degree values present
         .select("k", "n_nodes", "n_edges", phi.alias("phi"))
     )
+
+
+def power_law_alpha(edges: DataFrame) -> DataFrame:
+    """Discrete power-law exponent MLE curve over the degree distribution:
+    for every candidate tail cutoff ``k_min`` present in the graph,
+
+        alpha(k_min) = 1 + n_tail / (Σ_{d ≥ k_min} c_d·ln d − n_tail·ln(k_min − ½))
+
+    (Clauset–Shalizi–Newman 2009, eq. 3.7's discrete approximation) — the
+    standard "is this co-occurrence graph scale-free, and from which k?"
+    diagnostic next to :func:`rich_club`. Returns ``(k_min, n_tail,
+    alpha)`` for each distinct degree value, ``n_tail`` = tail size. The
+    denominator is strictly positive whenever n_tail ≥ 1 (every tail term
+    has d ≥ k_min > k_min − ½), so alpha is always defined.
+
+    Degree convention matches :func:`rich_club`: symmetrized distinct-pair
+    degree, self-loops excluded.
+
+    Scale: one symmetrized degree aggregate, then suffix sums over the
+    degree HISTOGRAM — an O(distinct degrees) relation (≤ max degree rows
+    even at 10^12 edges), so the single-partition ordered window runs over
+    a tiny aggregate, never the edge table. The descending-k running sums
+    also pin the float fold order, making alpha deterministic across
+    partitionings (and bit-comparable to an engine twin at 9 dp).
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    dh = deg.groupBy("d").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suff = dh.select(
+        F.col("d").alias("k_min"),
+        F.sum("c").over(w).cast("long").alias("n_tail"),
+        F.sum(F.col("c") * F.log(F.col("d").cast("double"))).over(w).alias("_s"),
+    )
+    return suff.select(
+        "k_min",
+        "n_tail",
+        (
+            1.0
+            + F.col("n_tail")
+            / (F.col("_s") - F.col("n_tail") * F.log(F.col("k_min") - 0.5))
+        ).alias("alpha"),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity: how much of the edge mass flows both
+    ways. One summary row ``(n_edges, n_recip, edge_reciprocity,
+    weight_reciprocity)`` over the self-loop-free directed edge table
+    (parallel rows collapse by weight sum):
+
+        edge_reciprocity   = |{(i,j): w_ij>0 ∧ w_ji>0}| / |{(i,j): w_ij>0}|
+        weight_reciprocity = Σ min(w_ij, w_ji) / Σ w_ij      (Squartini 2013)
+
+    The natural consumer is the events→transition bridge
+    (:func:`transition_edges`): a high-reciprocity type graph means A→B
+    flows are echoed by B→A. On the engine's symmetrized co-occurrence
+    tables it is trivially 1 — the metric is for DIRECTED tables.
+
+    Scale: one self-equi-join of the collapsed edge table on the reversed
+    key (shuffle on (src, dst) both sides, no expansion), then a single
+    aggregate. Weights are summed exactly when integral (counts), so the
+    two ratios are single exact divisions — deterministic at 9 dp.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("_w"))
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("_w").alias("_rw")
+    )
+    j = e.join(rev, ["src", "dst"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.count("_rw").cast("long").alias("n_recip"),
+        (F.count("_rw") / F.count("*")).alias("edge_reciprocity"),
+        (
+            F.sum(F.least(F.col("_w"), F.coalesce(F.col("_rw"), F.lit(0.0))))
+            / F.sum("_w")
+        ).alias("weight_reciprocity"),
+    )

@@ -1,5 +1,5 @@
 from .conductance import community_conductance  # noqa: F401
-from .f1 import avg_f1, best_match_f1  # noqa: F401
+from .f1 import avg_f1, best_match_f1, cover_f1  # noqa: F401
 from .modularity import extended_modularity, extended_modularity_npnb08  # noqa: F401
 from .nmi import overlapping_nmi  # noqa: F401
 from .spearman import spearman_degree_correlation  # noqa: F401

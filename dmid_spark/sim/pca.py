@@ -38,10 +38,21 @@ class PcaModel:
 
 
 def covariance_stats(
-    emb: DataFrame, vec_col: str = "embedding"
+    emb: DataFrame, vec_col: str = "embedding", reduce_mode: str = "driver"
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """(mean (D,), population covariance (D, D), n) in one distributed
-    moment pass. NULL/empty vectors are skipped; ragged widths raise."""
+    moment pass. NULL/empty vectors are skipped; ragged widths raise.
+
+    ``reduce_mode``: the per-partition partials are ``partitions`` rows of
+    D + D² doubles. ``'driver'`` (default) collects and folds them on the
+    driver in partition order — bit-stable for a fixed layout, and fine
+    whenever partitions × D² is driver-sized (D ≤ 1024 at any realistic
+    partition count). ``'executor'`` streams the partial rows through ONE
+    executor fold pass first (coalesce(1) preserves partition order, so the
+    fold order — and the result — is identical), and the driver collects
+    exactly one row: use it for wide embeddings over very many partitions
+    (D = 4096 × 10⁴ partitions ≈ 1.3 TB of partials is an executor-stream,
+    not a driver resident set)."""
 
     def partials(it):
         n, s, xtx, d = 0, None, None, None
@@ -64,11 +75,31 @@ def covariance_stats(
                 {"n": [n], "s": [s], "xtx": [xtx.reshape(-1)]}
             )
 
-    part = (
-        emb.select(F.col(vec_col).cast("array<double>").alias("__vec"))
-        .mapInPandas(partials, "n long, s array<double>, xtx array<double>")
-        .collect()
-    )
+    if reduce_mode not in ("driver", "executor"):
+        raise ValueError(f"reduce_mode must be 'driver' or 'executor', got {reduce_mode!r}")
+    partial_df = emb.select(
+        F.col(vec_col).cast("array<double>").alias("__vec")
+    ).mapInPandas(partials, "n long, s array<double>, xtx array<double>")
+    if reduce_mode == "executor":
+
+        def fold(it):
+            n, s, xtx = 0, None, None
+            for pdf in it:
+                for _, row in pdf.iterrows():
+                    n += int(row["n"])
+                    rs, rx = np.asarray(row["s"]), np.asarray(row["xtx"])
+                    if s is None:
+                        s, xtx = rs.copy(), rx.copy()
+                    else:
+                        s += rs
+                        xtx += rx
+            if n:
+                yield pd.DataFrame({"n": [n], "s": [s], "xtx": [xtx]})
+
+        partial_df = partial_df.coalesce(1).mapInPandas(
+            fold, "n long, s array<double>, xtx array<double>"
+        )
+    part = partial_df.collect()
     if not part:
         raise ValueError("no non-empty vectors")
     d = len(part[0]["s"])
@@ -82,12 +113,15 @@ def covariance_stats(
     return mean, cov, n
 
 
-def pca_fit(emb: DataFrame, k: int, vec_col: str = "embedding") -> PcaModel:
+def pca_fit(
+    emb: DataFrame, k: int, vec_col: str = "embedding", reduce_mode: str = "driver"
+) -> PcaModel:
     """Fit top-``k`` principal components. Eigendecomposition of the D×D
     covariance on the driver (``np.linalg.eigh``, exact for symmetric
     matrices); eigenvalues descending; each component's largest-|entry|
-    coordinate is made positive (sign convention)."""
-    mean, cov, n = covariance_stats(emb, vec_col=vec_col)
+    coordinate is made positive (sign convention). ``reduce_mode`` as in
+    :func:`covariance_stats`."""
+    mean, cov, n = covariance_stats(emb, vec_col=vec_col, reduce_mode=reduce_mode)
     d = cov.shape[0]
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")

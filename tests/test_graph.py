@@ -220,3 +220,57 @@ def test_rich_club_matches_bruteforce(spark):
     # the densest core must be at least as clubby as the whole graph
     ks = sorted(got)
     assert got[ks[-1]][0] < got[ks[0]][0]
+
+
+def test_power_law_alpha_matches_bruteforce(spark):
+    import math
+
+    import pytest
+
+    from dmid_spark.graph import power_law_alpha
+
+    rows, n = random_graph(n=40, seed=47)
+    rows = rows + [(7, 7, 1.0), (rows[0][1], rows[0][0], 2.0)]  # loop + reverse dup
+    e = G.edges_from_rows(spark, rows)
+    und = {(min(s, d), max(s, d)) for s, d, _ in rows if s != d}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {
+        r["k_min"]: (r["n_tail"], r["alpha"])
+        for r in power_law_alpha(e).collect()
+    }
+    assert set(got) == set(deg.values())
+    for k in got:
+        tail = [d for d in deg.values() if d >= k]
+        alpha = 1.0 + len(tail) / sum(math.log(d / (k - 0.5)) for d in tail)
+        assert got[k][0] == len(tail)
+        assert got[k][1] == pytest.approx(alpha, rel=1e-12)
+
+
+def test_reciprocity_hand_computed(spark):
+    import pytest
+
+    from dmid_spark.graph import reciprocity
+
+    # 1<->2 mutual (3 vs 1), 1->3 one-way (2), 3->3 self loop (ignored),
+    # plus a parallel 1->2 row that must collapse by sum (3 = 2 + 1)
+    e = G.edges_from_rows(
+        spark, [(1, 2, 2.0), (1, 2, 1.0), (2, 1, 1.0), (1, 3, 2.0), (3, 3, 9.0)]
+    )
+    r = reciprocity(e).first()
+    assert r["n_edges"] == 3 and r["n_recip"] == 2
+    assert r["edge_reciprocity"] == pytest.approx(2 / 3, abs=1e-12)
+    # min-mass: min(3,1) + min(1,3) + min(2,0) = 2 over total 3+1+2 = 6
+    assert r["weight_reciprocity"] == pytest.approx(2 / 6, abs=1e-12)
+
+
+def test_reciprocity_symmetric_graph_is_one(spark):
+    rows, _ = random_graph(n=20, seed=48)
+    from dmid_spark.graph import reciprocity, symmetrize
+
+    e = symmetrize(G.edges_from_rows(spark, rows))
+    r = reciprocity(e).first()
+    assert r["n_edges"] == r["n_recip"]
+    assert r["edge_reciprocity"] == 1.0 and r["weight_reciprocity"] == 1.0

@@ -275,3 +275,26 @@ def test_avg_f1_identical_covers_is_one(spark):
     cov = two_community_cover(n)
     df = cover_df(spark, cov)
     assert avg_f1(df, df) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_cover_f1_both_directions_single_pass(spark):
+    from dmid_spark.metrics import best_match_f1, cover_f1
+
+    _, n = two_cliques_bridge()
+    cov_a = two_community_cover(n, overlap=(2,))
+    cov_b = {v: {v % 3 + 10: 1.0} for v in range(n)}
+    a_df, b_df = cover_df(spark, cov_a), cover_df(spark, cov_b)
+    both = {
+        (r["direction"], r["community"]): (r["size"], r["best_f1"], r["best_match"])
+        for r in cover_f1(a_df, b_df).collect()
+    }
+    ab = {
+        r["community"]: (r["size"], r["best_f1"], r["best_match"])
+        for r in best_match_f1(a_df, b_df).collect()
+    }
+    ba = {
+        r["community"]: (r["size"], r["best_f1"], r["best_match"])
+        for r in best_match_f1(b_df, a_df).collect()
+    }
+    assert {k[1]: v for k, v in both.items() if k[0] == "ab"} == ab
+    assert {k[1]: v for k, v in both.items() if k[0] == "ba"} == ba

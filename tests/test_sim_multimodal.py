@@ -511,3 +511,24 @@ def test_semantic_dedup_finds_planted_duplicates(spark):
     assert cl[101][0] == 1 and cl[1][0] == 1
     keep = {d for d, (c, _) in cl.items() if d == c}
     assert 100 not in keep and 101 not in keep and {0, 1} <= keep
+
+
+def test_pca_executor_reduce_matches_driver(spark):
+    import numpy as np
+    import pytest
+
+    from dmid_spark.sim.pca import covariance_stats, pca_fit
+
+    df, _ = emb_df(spark, n=60, dim=8, seed=9)
+    df = df.repartition(7)  # several partitions so the fold actually folds
+    m_d, c_d, n_d = covariance_stats(df, reduce_mode="driver")
+    m_e, c_e, n_e = covariance_stats(df, reduce_mode="executor")
+    assert n_d == n_e
+    # same fold order (coalesce(1) preserves partition order) → identical
+    np.testing.assert_allclose(m_e, m_d, rtol=0, atol=0)
+    np.testing.assert_allclose(c_e, c_d, rtol=0, atol=0)
+    mod_e = pca_fit(df, k=3, reduce_mode="executor")
+    mod_d = pca_fit(df, k=3)
+    np.testing.assert_allclose(mod_e.components, mod_d.components, atol=1e-12)
+    with pytest.raises(ValueError, match="reduce_mode"):
+        covariance_stats(df, reduce_mode="bogus")
