@@ -559,6 +559,70 @@ def q_pca_project(spark, sf_dir):
     )
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """General Euclidean k-means (sim/kmeans.py): 2 full Lloyd iterations
+    with exact integer-quantized centroid updates, so — unlike ivf_build,
+    whose float partial sums pin its oracle to lloyd_iters=0 — the DuckDB
+    twin replays the ENTIRE training chain (init -> 2 updates -> assign)
+    and the hash gate covers the refined model, not just the seed."""
+    from dmid_spark.sim import kmeans
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    assigned, _, _ = kmeans(emb, k=8, lloyd_iters=2, hash_mode="md5")
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        (F.round("dist2", 6) + F.lit(0.0)).alias("dist2"),
+    )
+
+
+def q_emb_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling: k-means partition + seeded content-hash
+    uniform draw of per_cluster=10 docs per cluster (SemDeDup-style
+    semantic-diversity sampling). One window over k groups, never global."""
+    from dmid_spark.sim import cluster_balanced_sample
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    out = cluster_balanced_sample(
+        emb, k=8, per_cluster=10, lloyd_iters=2, hash_mode="md5"
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_emb_quantize(spark, sf_dir):
+    """Per-dimension affine int8 quantization (sim/quant.py): one-scan
+    min/max stats (D paired aggregates, no explode), then codes as pure
+    zip_with column expressions against the broadcast literal codebook.
+    min/max are order-independent and the affine map is one
+    multiply+round, so the DuckDB twin replays it exactly."""
+    from dmid_spark.sim import quant_encode, quant_fit
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    model = quant_fit(emb, levels=255)
+    enc = quant_encode(emb, model)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("dim", "code")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def q_negative_samples(spark, sf_dir):
+    """Seeded negative-edge sampling (graph.py::negative_samples): 2 draws
+    per positive edge via content-addressed hash mod |V| over the dense
+    vertex rank; degenerate draws (self/endpoint/real-edge) dropped, not
+    redrawn. Ranks via kernel.distributed_rank — no global window."""
+    from dmid_spark.graph import negative_samples
+
+    return negative_samples(_edges(spark, sf_dir), n_neg=2, seed=42, hash_mode="md5")
+
+
 def q_pmi_weights(spark, sf_dir):
     """(N)PMI re-weighting of the co-occurrence edge table — marginals are
     exact integer-count sums; ln is the one libm surface, rounded 9dp."""
@@ -1629,6 +1693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prepare_training": q_prepare_training,
         "events_transition_graph": q_transition_graph,
         "emb_pca_project": q_pca_project,
+        "emb_kmeans_assign": q_emb_kmeans,
+        "emb_cluster_sample": q_emb_cluster_sample,
+        "emb_quantize_int8": q_emb_quantize,
+        "graph_negative_samples": q_negative_samples,
         # rotated out of the 50-row driver window in round 5 (hash-green in
         # CORRECTNESS_r03/r04; still oracle-checkable via tools/check_oracles)
         "x20_ktruss": q_ktruss,
@@ -2081,6 +2149,85 @@ def _md5_long(expr: str) -> str:
     """60-bit non-negative integer from the first 15 md5 hex chars — the
     engine-portable hash shared with dmid_spark's hash_mode='md5'."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1_000_000,
+                seed: int = 42, final: str = "assign") -> str:
+    """DuckDB twin of sim.kmeans (md5 hash mode): the FULL Lloyd chain —
+    deterministic seed centroids (smallest (md5(id+seed)%1000003, id)),
+    then per iteration argmin-assign (|v|^2 - 2 v.c + |c|^2 expansion, tie
+    to lowest cell) and an exact integer-quantized centroid update
+    (SUM(floor(x*scale+0.5)) / (n*scale), empty cells keep the previous
+    centroid). Replayable in SQL precisely because the update reduces
+    int64s, not floats (kmeans.py docstring). ``final='assign'`` emits
+    (vec_id, cluster, dist2); ``final='sample'`` appends the
+    cluster-balanced seeded-draw rank."""
+    hkey = _md5_long(f"CAST(vec_id + {seed} AS VARCHAR)")
+    parts = [f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {scale} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, CAST(t.i AS INT) AS dim, q[CAST(t.i AS INT) + 1] AS qd
+  FROM emb, LATERAL unnest(range(0, len(q))) t(i)
+),
+ordered AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY ({hkey}) % 1000003, vec_id) AS rn
+  FROM emb
+),
+c0f AS (
+  SELECT o.rn - 1 AS cell, d.dim, CAST(d.qd AS DOUBLE) / {scale}.0 AS c
+  FROM ordered o JOIN dims d USING (vec_id) WHERE o.rn <= {k}
+),
+c0 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM c0f GROUP BY cell)"""]
+    prev, prevf = "c0", "c0f"
+    for i in range(iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             (list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv)) ASC, c.cell ASC) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT a.cell, d.dim, SUM(d.qd) AS s, COUNT(*) AS n
+  FROM a{i} a JOIN dims d USING (vec_id) GROUP BY a.cell, d.dim
+),
+c{i + 1}f AS (
+  SELECT p.cell, p.dim,
+         COALESCE(CAST(u.s AS DOUBLE) / (u.n * {scale}.0), p.c) AS c
+  FROM {prevf} p LEFT JOIN u{i} u ON p.cell = u.cell AND p.dim = u.dim
+),
+c{i + 1} AS (SELECT cell, list(c ORDER BY dim) AS cv FROM c{i + 1}f GROUP BY cell)""")
+        prev, prevf = f"c{i + 1}", f"c{i + 1}f"
+    ctes = "".join(parts) + f""",
+fin AS (
+  SELECT vec_id, cell, ROUND(d2, 6) + 0.0 AS dist2 FROM (
+    SELECT e.vec_id, c.cell,
+           (list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+            + list_dot_product(c.cv, c.cv)) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             (list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+              + list_dot_product(c.cv, c.cv)) ASC, c.cell ASC) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+    if final == "assign":
+        return ctes + "\nSELECT vec_id, cell AS cluster, dist2 FROM fin"
+    draw = _md5_long(f"CAST(vec_id AS VARCHAR) || ':' || '{seed}'")
+    return ctes + f"""
+SELECT vec_id, cluster, rank FROM (
+  SELECT vec_id, cell AS cluster,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY ({draw}) % 1000003, vec_id) AS rank
+  FROM fin
+) WHERE rank <= 10"""
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200,
@@ -4032,6 +4179,40 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
             num_hashes=32, bands=8, max_bucket=200, seed=42,
         ),
         "ann_ivf_topk": _ivf_topk_sql(n_centroids=8, k=10, n_probe=3, seed=42, n_queries=5),
+        "emb_kmeans_assign": _kmeans_sql(k=8, iters=2, seed=42, final="assign"),
+        "emb_cluster_sample": _kmeans_sql(k=8, iters=2, seed=42, final="sample"),
+        "graph_negative_samples": _G + f"""
+, rk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM verts),
+nv AS (SELECT COUNT(*) AS v FROM verts),
+draws AS (
+  SELECT src, dst, CAST(t.i AS BIGINT) AS draw
+  FROM edges, LATERAL unnest(range(0, 2)) t(i)
+),
+cand AS (
+  SELECT d.src, d.dst, d.draw,
+         ({_md5_long("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+                     " || ':' || CAST(draw AS VARCHAR) || ':' || '42'")})
+           % (SELECT v FROM nv) AS cand_rk
+  FROM draws d
+)
+SELECT c.src, c.dst, r.id AS neg, c.draw
+FROM cand c JOIN rk r ON c.cand_rk = r.rk
+LEFT JOIN edges e ON e.src = c.src AND e.dst = r.id
+WHERE e.src IS NULL AND r.id <> c.src AND r.id <> c.dst""",
+        "emb_quantize_int8": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+  SELECT vec_id, CAST(t.i AS BIGINT) AS dim, v[CAST(t.i AS INT) + 1] AS x
+  FROM emb, LATERAL unnest(range(0, len(v))) t(i)
+),
+st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY dim),
+sc AS (SELECT dim, mn, (mx - mn) / 255 AS s FROM st)
+SELECT d.vec_id, d.dim,
+       CASE WHEN s.s = 0 THEN 0
+            ELSE LEAST(255, GREATEST(0,
+                   CAST(ROUND((d.x - s.mn) / s.s, 0) AS BIGINT)))
+       END AS code
+FROM dims d JOIN sc s USING (dim)""",
         "ann_rp_lsh": """
 WITH q AS (
   SELECT vec_id,

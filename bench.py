@@ -678,6 +678,20 @@ def main():
         ),
     }
 
+    from dmid_spark.sim import kmeans
+
+    def run_kmeans():
+        # full Lloyd chain at engine defaults: k=8, 2 exact integer-quantized
+        # updates + final assignment — (iters+1) corpus scans, zero shuffles
+        assigned, _, kstats = kmeans(emb, k=8, lloyd_iters=2)
+        return assigned.count(), kstats
+
+    (n_assigned, kstats) = timed("kmeans_assign", run_kmeans)
+    detail["kmeans_assign"] = {
+        "rows": int(n_assigned),
+        "cluster_sizes_final_iter": kstats.sizes_per_iter[-1],
+    }
+
     from dmid_spark.algorithms import best_sweep_cut, personalized_pagerank, sweep_cut
     from dmid_spark.graph import pmi_weights, vertices as g_vertices
 

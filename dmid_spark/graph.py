@@ -496,3 +496,59 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             / F.sum("_w")
         ).alias("weight_reciprocity"),
     )
+
+
+def negative_samples(
+    edges: DataFrame,
+    n_neg: int = 2,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    broadcast_map: bool = True,
+) -> DataFrame:
+    """Seeded negative-edge sampling for link-prediction training sets.
+
+    Not in the reference repo — LLM/GNN-pipeline extension: training a link
+    predictor (or contrastive embedding) over the co-occurrence graph needs,
+    for every positive edge, k non-edges as negatives. For each directed
+    edge (src, dst) and draw index i in [0, n_neg), the candidate is the
+    vertex whose dense rank is ``hash(src:dst:i:seed) mod |V|`` — a
+    content-addressed coin (same device as text.sampling), so the sample is
+    deterministic at any parallelism and replayable in the SQL twin.
+
+    Degenerate draws (candidate == src or dst, or (src, candidate) is a
+    real edge) are DROPPED, not redrawn: the expected loss per draw is
+    (out_deg(src) + 2) / |V| — negligible at corpus scale, and dropping
+    keeps the op one-pass (a redraw loop would iterate driver-side).
+    Returns ``(src, dst, neg, draw)``.
+
+    Scale shape: ranks come from kernel.distributed_rank (range-partitioned
+    zipWithIndex, no global window); the O(V) rank table broadcasts into
+    the draw join (``broadcast_map=False`` = the ≳10⁹-vertex shuffle-join
+    escape hatch, same knob as densify_ids); the final anti-join against
+    the edge table is one shuffle on (src, neg).
+    """
+    from . import kernel as _K
+    from .text.dedup import _hash64
+
+    rank_map = _K.distributed_rank(vertices(edges), ["id"], out_col="rk")
+    n_verts = rank_map.count()
+    draws = edges.select(
+        "src",
+        "dst",
+        F.explode(F.array(*[F.lit(i) for i in range(n_neg)])).alias("draw"),
+    )
+    key = F.concat_ws(
+        ":", F.col("src"), F.col("dst"), F.col("draw"), F.lit(str(seed))
+    )
+    cand = draws.withColumn(
+        "cand_rk", F.pmod(_hash64(key, hash_mode), F.lit(n_verts))
+    )
+    m = F.broadcast(rank_map) if broadcast_map else rank_map
+    cand = cand.join(m, cand.cand_rk == m.rk).select(
+        "src", "dst", "draw", F.col("id").alias("neg")
+    )
+    cand = cand.filter((F.col("neg") != F.col("src")) & (F.col("neg") != F.col("dst")))
+    pos = edges.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd"))
+    return cand.join(
+        pos, (cand.src == pos._ps) & (cand.neg == pos._pd), "left_anti"
+    ).select("src", "dst", "neg", F.col("draw").cast("long").alias("draw"))

@@ -6,12 +6,24 @@ from .ann import (  # noqa: F401
     ivf_recall_at_k,
     ivf_topk,
 )
+from .kmeans import (  # noqa: F401
+    KMeansStats,
+    cluster_balanced_sample,
+    kmeans,
+)
 from .pca import (  # noqa: F401
     PcaModel,
     covariance_stats,
     pca_fit,
     pca_project,
     semantic_dedup,
+)
+from .quant import (  # noqa: F401
+    QuantModel,
+    quant_decode,
+    quant_encode,
+    quant_error_stats,
+    quant_fit,
 )
 from .rplsh import (  # noqa: F401
     rp_lsh_candidates,

@@ -274,3 +274,35 @@ def test_reciprocity_symmetric_graph_is_one(spark):
     r = reciprocity(e).first()
     assert r["n_edges"] == r["n_recip"]
     assert r["edge_reciprocity"] == 1.0 and r["weight_reciprocity"] == 1.0
+
+
+def test_negative_samples_deterministic_and_clean(spark):
+    import hashlib
+
+    from dmid_spark.graph import negative_samples
+
+    rows, _ = random_graph(n=30, seed=51)
+    e = G.edges_from_rows(spark, rows)
+    out = negative_samples(e, n_neg=3, seed=7, hash_mode="md5").collect()
+
+    edge_set = {(s, d) for s, d, _ in rows}
+    verts = sorted({v for s, d, _ in rows for v in (s, d)})
+    rank_of = {r: v for r, v in enumerate(verts)}
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expected = set()
+    for s, d in edge_set:
+        for i in range(3):
+            neg = rank_of[md5l(f"{s}:{d}:{i}:7") % len(verts)]
+            if neg not in (s, d) and (s, neg) not in edge_set:
+                expected.add((s, d, neg, i))
+    got = {(r["src"], r["dst"], r["neg"], r["draw"]) for r in out}
+    assert got == expected
+    assert len(out) == len(got)  # no duplicate rows
+    # every emitted negative is a genuine non-edge distinct from both ends
+    for s, d, n, _ in got:
+        assert (s, n) not in edge_set and n != s and n != d
+    # drops are the exception, not the rule, on a sparse graph
+    assert len(got) > 2 * len(edge_set)

@@ -532,3 +532,164 @@ def test_pca_executor_reduce_matches_driver(spark):
     np.testing.assert_allclose(mod_e.components, mod_d.components, atol=1e-12)
     with pytest.raises(ValueError, match="reduce_mode"):
         covariance_stats(df, reduce_mode="bogus")
+
+
+def _kmeans_numpy_oracle(rows, k, iters, seed=42, scale=1_000_000):
+    """Transliteration of sim.kmeans (md5 mode): md5 seed order, quantized
+    init, per-iter argmin (lowest-cell tiebreak) + exact int64 update."""
+    import hashlib
+
+    # array<float> storage: what Spark reads back is the float32 value
+    data = {
+        i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v, *_ in rows
+    }
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    order = sorted(data, key=lambda i: (md5l(str(i + seed)) % 1_000_003, i))
+    cents = np.array([np.floor(data[i] * scale + 0.5) / scale for i in order[:k]])
+    ids = sorted(data)
+    vecs = np.array([data[i] for i in ids])
+
+    def d2(v, c):
+        return (v * v).sum(1, keepdims=True) - 2 * v @ c.T + (c * c).sum(1)[None, :]
+
+    for _ in range(iters):
+        cell = d2(vecs, cents).argmin(1)
+        quant = np.floor(vecs * scale + 0.5).astype(np.int64)
+        nxt = cents.copy()
+        for c in range(k):
+            m = cell == c
+            if m.sum():
+                nxt[c] = quant[m].sum(0).astype(np.float64) / (m.sum() * float(scale))
+        cents = nxt
+    dd = d2(vecs, cents)
+    return ids, dd.argmin(1), dd.min(1), cents
+
+
+def test_kmeans_matches_numpy_oracle(spark):
+    from dmid_spark.sim import kmeans
+
+    df, rows = emb_df(spark, n=90, dim=12, seed=5, clusters=5)
+    assigned, cents, stats = kmeans(
+        df, k=5, lloyd_iters=3, hash_mode="md5", seed=42
+    )
+    ids, exp_cl, exp_d2, exp_c = _kmeans_numpy_oracle(rows, k=5, iters=3)
+    got = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in assigned.collect()}
+    assert len(got) == 90
+    # centroids bit-identical: quantized int64 sums make the update exact
+    np.testing.assert_allclose(cents, exp_c, rtol=0, atol=0)
+    for j, i in enumerate(ids):
+        assert got[i][0] == exp_cl[j]
+        np.testing.assert_allclose(got[i][1], exp_d2[j], atol=1e-12)
+    assert stats.lloyd_iters == 3 and len(stats.sizes_per_iter) == 3
+    assert all(sum(s) == 90 for s in stats.sizes_per_iter)
+    # sanity: every planted label is internally coherent — all members of a
+    # label land in ONE cluster (labels may share a cluster when the random
+    # seed init drops a region; vanilla Lloyd cannot split a merged seed,
+    # so exact recovery is not an invariant)
+    by_label = {}
+    for i, _, lab in rows:
+        by_label.setdefault(lab, set()).add(got[i][0])
+    assert sum(len(s) == 1 for s in by_label.values()) >= 3
+
+
+def test_kmeans_partition_invariant_and_empty_clusters(spark):
+    from dmid_spark.sim import kmeans
+
+    df, rows = emb_df(spark, n=40, dim=6, seed=8, clusters=2)
+    _, c1, _ = kmeans(df.repartition(1), k=4, lloyd_iters=2)
+    _, c7, _ = kmeans(df.repartition(7), k=4, lloyd_iters=2)
+    # int64-quantized partial sums: bit-identical at any parallelism
+    np.testing.assert_allclose(c1, c7, rtol=0, atol=0)
+
+    # a centroid planted far away is never assigned and must persist as-is
+    far = [(999, [1e3] * 6, 9)]
+    df2 = spark.createDataFrame(
+        [(i, v, l) for i, v, l in rows] + far,
+        "vec_id long, embedding array<float>, label int",
+    )
+    assigned, cents, stats = kmeans(df2, k=2, lloyd_iters=2, hash_mode="md5")
+    ids, exp_cl, _, exp_c = _kmeans_numpy_oracle(rows + far, k=2, iters=2)
+    np.testing.assert_allclose(cents, exp_c, rtol=0, atol=0)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got == {i: int(c) for i, c in zip(ids, exp_cl)}
+    with pytest.raises(ValueError, match="rows < k"):
+        kmeans(df2, k=100)
+
+
+def test_cluster_balanced_sample_flattens_skew(spark):
+    from dmid_spark.sim import cluster_balanced_sample
+
+    # skewed corpus: 3 planted clusters sized 60/30/10
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(3, 8)) * 5
+    rows = []
+    for i, size in enumerate([60, 30, 10]):
+        for j in range(size):
+            v = centers[i] + rng.normal(scale=0.05, size=8)
+            rows.append((len(rows), [float(x) for x in v], i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cluster_balanced_sample(df, k=3, per_cluster=5, lloyd_iters=2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    # every cluster contributes exactly per_cluster rows despite 6:1 skew
+    assert sorted(by_cluster) == [0, 1, 2]
+    assert all(len(v) == 5 for v in by_cluster.values())
+    assert all(sorted(r["rank"] for r in v) == [1, 2, 3, 4, 5] for v in by_cluster.values())
+    # deterministic: same seed → same sample set
+    again = cluster_balanced_sample(df, k=3, per_cluster=5, lloyd_iters=2).collect()
+    assert {r["vec_id"] for r in out} == {r["vec_id"] for r in again}
+
+
+def test_quantize_int8_matches_numpy_and_reconstructs(spark):
+    from dmid_spark.sim import (
+        quant_decode,
+        quant_encode,
+        quant_error_stats,
+        quant_fit,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(50, 6)) * np.array([1, 10, 0.1, 5, 2, 1])
+    rows = []
+    for i in range(50):
+        v = list(base[i])
+        v.append(3.25)  # constant dimension: scale 0 -> code 0, exact decode
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = quant_fit(df, levels=255)
+    assert len(model.mins) == 7 and model.scales[6] == 0.0
+
+    x = np.array(
+        [np.asarray(v, np.float32).astype(np.float64) for _, v in rows]
+    )
+    np.testing.assert_allclose(model.mins, x.min(0), rtol=0, atol=0)
+    np.testing.assert_allclose(model.maxs, x.max(0), rtol=0, atol=0)
+
+    got = {
+        r["vec_id"]: np.asarray(r["codes"])
+        for r in quant_encode(df, model).collect()
+    }
+    scales = np.array(model.scales)
+    safe = np.where(scales == 0, 1.0, scales)
+    # HALF_UP on a non-negative argument == floor(v + 0.5)
+    exp = np.clip(np.floor((x - np.array(model.mins)) / safe + 0.5), 0, 255)
+    exp[:, scales == 0] = 0
+    for i in range(50):
+        np.testing.assert_array_equal(got[i], exp[i].astype(int))
+
+    dec = quant_decode(quant_encode(df, model), model).collect()
+    for r in dec:
+        orig = x[r["vec_id"]]
+        recon = np.asarray(r["decoded"])
+        # max error is half a quantization step per dimension
+        assert np.all(np.abs(orig - recon) <= scales / 2 + 1e-12)
+        assert recon[6] == 3.25  # constant dim decodes exactly
+
+    stats = quant_error_stats(df, model).collect()[0]
+    assert stats["n_values"] == 50 * 7
+    assert stats["max_abs_err"] <= scales.max() / 2 + 1e-12
+    assert 0.0 <= stats["mean_abs_err"] <= stats["max_abs_err"]
