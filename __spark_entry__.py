@@ -1581,12 +1581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_spmv_step": q_g4,
         "g5_leadership": q_g5,
         "g6_influence_filter": q_g6,
-        "g7_follower_degree": q_g7,
-        "g8_global_leaders": q_g8,
         "g12_cascade_round1": q_g12,
         # sources / corpus
         "s10_densify_ids": q_s10,
-        "s11_cooccurrence_pairs": q_s11,
         "corpus_edge_build": q_corpus_edges,
         "corpus_sha_invariant": q_corpus_sha,
         # standard + extended graph algorithms
@@ -1611,7 +1608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slpa_cover": q_slpa,
         # text / dedup family
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_simhash_neardup,
@@ -1624,6 +1620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN family
         "ann_rp_lsh": q_rp_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        # late round-5 additions rotated into the window (g7/g8/s11/
+        # dedup_ngram_jaccard rotate out — each hash-green in BOTH
+        # CORRECTNESS_r03 and r04, parked below)
+        "emb_kmeans_assign": q_emb_kmeans,
+        "emb_cluster_sample": q_emb_cluster_sample,
+        "emb_quantize_int8": q_emb_quantize,
+        "graph_negative_samples": q_negative_samples,
         # round-5 additions (judge asked new ops to sit inside the window;
         # token_budget/shard_shuffle/weighted rotate out — mix_epochs keeps
         # the seeded-coin sampling family's in-window row)
@@ -1693,10 +1696,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prepare_training": q_prepare_training,
         "events_transition_graph": q_transition_graph,
         "emb_pca_project": q_pca_project,
-        "emb_kmeans_assign": q_emb_kmeans,
-        "emb_cluster_sample": q_emb_cluster_sample,
-        "emb_quantize_int8": q_emb_quantize,
-        "graph_negative_samples": q_negative_samples,
+        # parked late in round 5 to make window room for the kmeans/quant/
+        # negative-sampling family (hash-green in CORRECTNESS_r03 AND r04)
+        "g7_follower_degree": q_g7,
+        "g8_global_leaders": q_g8,
+        "s11_cooccurrence_pairs": q_s11,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
         # rotated out of the 50-row driver window in round 5 (hash-green in
         # CORRECTNESS_r03/r04; still oracle-checkable via tools/check_oracles)
         "x20_ktruss": q_ktruss,
