@@ -14,8 +14,10 @@ Spark-first shape — everything JVM-side, zero Python in the hot path:
   ``F.min/F.max(element_at(vec, d))`` aggregates in ONE scan — map-side
   combined, no explode (an N x D posexplode would shuffle the whole
   corpus to aggregate 2·D doubles).
-- encode pass: codes via ``F.transform`` against broadcast per-dim
-  literal arrays — pure column expressions inside whole-stage codegen.
+- encode pass: codes via ``F.zip_with`` against broadcast per-dim
+  literal arrays — pure JVM column expressions (higher-order functions
+  evaluate outside whole-stage codegen but never leave the JVM; the
+  plan has zero exchanges — verified with .explain).
 
 Determinism: min/max are order-independent, the affine map is one
 multiply+round per value — bit-identical at any parallelism, and the
@@ -72,8 +74,9 @@ def quant_encode(
     out_col: str = "codes",
 ) -> DataFrame:
     """Append ``out_col``: int array, code_d = round((x_d - min_d)/scale_d)
-    clamped to [0, levels] (constant dimensions encode 0). Whole-stage
-    codegen — zip_with against the broadcast literal codebook."""
+    clamped to [0, levels] (constant dimensions encode 0). JVM-side
+    zip_with against the broadcast literal codebook — no shuffle, no
+    Python."""
     mins = F.array(*[F.lit(v) for v in model.mins])
     scales = F.array(*[F.lit(v) for v in model.scales])
     vec = F.col(vec_col).cast("array<double>")

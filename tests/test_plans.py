@@ -781,3 +781,46 @@ def test_sweep_cut_no_global_window(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "_pid" in line, f"unpartitioned window: {line}"
+
+
+def test_kmeans_assign_plan_has_no_exchange(spark):
+    # (lloyd_iters+1) corpus scans, zero shuffles: the partial-sum pass and
+    # the final assignment are both pure mapInPandas over the scan
+    from dmid_spark.sim import kmeans
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assigned, _, _ = kmeans(emb, k=4, lloyd_iters=1)
+    assert "Exchange" not in plan_of(assigned)
+
+
+def test_quant_encode_plan_jvm_only_no_exchange(spark):
+    # codes are zip_with column expressions against literal arrays: no
+    # shuffle, no Python eval nodes in the plan
+    from dmid_spark.sim import quant_encode, quant_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    model = quant_fit(emb)
+    plan = plan_of(quant_encode(emb, model))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_negative_samples_rank_and_anti_joins_broadcast(spark):
+    # the O(V) rank map broadcasts into the draw join, and at test scale
+    # the edge anti-join broadcasts too; no single-partition window anywhere
+    from dmid_spark.graph import negative_samples
+
+    rows, _ = random_graph(n=60, seed=52)
+    edges = G.edges_from_rows(spark, rows)
+    out = negative_samples(edges, n_neg=2)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, f"unpartitioned window: {line}"
