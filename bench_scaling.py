@@ -157,6 +157,32 @@ if tpath:
         }
     docs.unpersist()
 
+# -- embedding vector job (k-means partial-sum + assignment passes) --------
+# the third workload family: Arrow-batched NumPy over a wide numeric
+# column — map-only (zero shuffles), so it measures pure scan+compute
+# scaling exactly like the text jobs (inner repeats, minima)
+epath = os.environ.get("SCALE_EMB")
+if epath:
+    from pyspark.sql import functions as SF
+    from dmid_spark.sim import kmeans as _kmeans
+
+    embt = spark.read.parquet(epath).persist()
+    n_emb = embt.count()
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        assigned, _, _ = _kmeans(embt, k=16, lloyd_iters=1)
+        # aggregate over the computed column so the assignment pass runs
+        assigned.agg(SF.sum("cluster")).first()
+        walls.append(time.time() - t0)
+    w = float(np.min(walls))
+    out["emb_kmeans"] = {
+        "vectors": int(n_emb), "wall": round(w, 2),
+        "vec_per_sec": round(n_emb / w, 1),
+        "walls": [round(x, 2) for x in walls],
+    }
+    embt.unpersist()
+
 floor = measure_floor(spark.sparkContext, cores, n)
 out["superstep_floor_sec"] = round(floor, 3)
 for job in ("pagerank", "dmid_rw"):
@@ -278,11 +304,41 @@ def ensure_text_corpus() -> str:
     return path
 
 
-def run(cpus: int, graph: str, text: str) -> dict:
+N_EMB_REPL = int(os.environ.get("SCALE_EMB_REPL", "1000"))
+
+
+def ensure_emb_corpus() -> str:
+    """Deterministic scaled-up embeddings table for the vector job: the
+    sf0.1 table (64-dim float vectors) replicated N_EMB_REPL times with
+    fresh vec_ids. Identical vectors across copies do not change the work:
+    k-means computes every distance regardless of duplication."""
+    path = os.path.join(REPO, "BENCH", "data", f"emb_corpus_x{N_EMB_REPL}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        print(f"--- generating embedding corpus x{N_EMB_REPL} ---", flush=True)
+        code = (
+            "import sys, os; sys.path.insert(0, os.environ['SCALE_REPO']);"
+            "from dmid_spark.session import get_spark;"
+            "from pyspark.sql import functions as F;"
+            "spark = get_spark('genemb', cores=32, shuffle_partitions=64);"
+            "emb = spark.read.parquet('/root/testdata/sf0.1/embeddings.parquet');"
+            f"r = spark.range({N_EMB_REPL}).select(F.col('id').alias('rep'));"
+            "out = emb.crossJoin(r).select("
+            f" (F.col('vec_id') * {N_EMB_REPL} + F.col('rep')).alias('vec_id'),"
+            " F.col('embedding'));"
+            f"out.repartition(64).write.mode('overwrite').parquet({path!r})"
+        )
+        subprocess.run(
+            [sys.executable, "-c", code], env={**os.environ, "SCALE_REPO": REPO},
+            check=True,
+        )
+    return path
+
+
+def run(cpus: int, graph: str, text: str, emb: str) -> dict:
     print(f"--- scaling job at local[{cpus}] ---", flush=True)
     env = dict(
         os.environ, SCALE_CORES=str(cpus), SCALE_REPO=REPO, SCALE_GRAPH=graph,
-        SCALE_TEXT=text,
+        SCALE_TEXT=text, SCALE_EMB=emb,
     )
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")
     subprocess.run(
@@ -322,6 +378,11 @@ def _best_of(runs: list[dict]) -> dict:
         if job in best:
             out[job]["wall"] = min(r[job]["wall"] for r in runs)
             out[job]["mb_per_sec"] = max(r[job]["mb_per_sec"] for r in runs)
+    if "emb_kmeans" in best:
+        out["emb_kmeans"]["wall"] = min(r["emb_kmeans"]["wall"] for r in runs)
+        out["emb_kmeans"]["vec_per_sec"] = max(
+            r["emb_kmeans"]["vec_per_sec"] for r in runs
+        )
     out["repeats"] = len(runs)
     return out
 
@@ -338,9 +399,10 @@ def main():
     else:
         graph = ensure_graph()
         text = ensure_text_corpus()
+        emb = ensure_emb_corpus()
         results = {}
         for c in levels:
-            results[c] = _best_of([run(c, graph, text) for _ in range(repeats)])
+            results[c] = _best_of([run(c, graph, text, emb) for _ in range(repeats)])
             with open(os.path.join(REPO, "BENCH", f"scaling_run_{c}.json"), "w") as f:
                 json.dump(results[c], f, indent=2)
     print("--- hardware ceiling microbenchmark ---", flush=True)
@@ -458,6 +520,40 @@ def main():
                 lines.append(
                     f"| {lo}→{hi} | {name} | **{eff}** | {cl['mem_bound_ceiling']} |"
                 )
+    if "emb_kmeans" in results[levels[0]]:
+        eref = results[levels[0]]["emb_kmeans"]
+        lines += [
+            "",
+            "## Embedding vector job (k-means: partial-sum + assignment passes)",
+            "",
+            f"Same table at every level: {eref['vectors']:,} x 64-dim float",
+            f"vectors (sf0.1 embeddings deterministically replicated"
+            f" x{N_EMB_REPL}); k=16, one integer-quantized Lloyd update +"
+            " final assignment — map-only Arrow/NumPy passes, zero shuffles"
+            " (plan-tested in tests/test_plans.py), so this is the pure"
+            " scan+compute scaling of the vector-operator family. Min of 3"
+            " inner repeats per run, per-level minima across SCALE_REPEATS.",
+            "",
+            "| job | cores | wall | vectors/s |",
+            "|---|---|---|---|",
+        ]
+        for c in levels:
+            r = results[c]["emb_kmeans"]
+            lines.append(f"| emb_kmeans | {c} | {r['wall']}s | {r['vec_per_sec']:,} |")
+        lines += [
+            "",
+            "| pair | job | efficiency (vectors/s) | box mem-bound ceiling | box cpu-bound ceiling |",
+            "|---|---|---|---|---|",
+        ]
+        for lo, hi in pairs:
+            factor = hi / lo
+            cl = ceil[f"{lo}->{hi}"]
+            a, b = results[lo]["emb_kmeans"], results[hi]["emb_kmeans"]
+            eff = round(b["vec_per_sec"] / (factor * a["vec_per_sec"]), 3)
+            lines.append(
+                f"| {lo}→{hi} | emb_kmeans | **{eff}** "
+                f"| {cl['mem_bound_ceiling']} | {cl['cpu_bound_ceiling']} |"
+            )
     lines += [
         "",
         "## Reading these numbers",
