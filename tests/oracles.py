@@ -620,3 +620,84 @@ def best_match_f1_bruteforce(cover_a, cover_b):
                 best, match = f1, cb
         res[ca] = (len(sa), best, match)
     return res
+
+
+def omega_bruteforce(cover_a, cover_b, nodes):
+    """(n_pairs, agree_pairs, omega_u, omega_e, omega) by enumerating every
+    unordered node pair. cover: dict node -> {community: degree}; zero
+    degrees are non-membership. omega is None when P < 1 or the correction
+    denominator vanishes."""
+    from itertools import combinations
+
+    def mem(cover, v):
+        return {c for c, d in cover.get(v, {}).items() if d != 0}
+
+    nodes = sorted(set(nodes))
+    pairs = list(combinations(nodes, 2))
+    p = len(pairs)
+    if p == 0:
+        return (0, None, None, None, None)
+    agree = 0
+    hist_a, hist_b = {}, {}
+    for u, v in pairs:
+        ja = len(mem(cover_a, u) & mem(cover_a, v))
+        jb = len(mem(cover_b, u) & mem(cover_b, v))
+        if ja == jb:
+            agree += 1
+        hist_a[ja] = hist_a.get(ja, 0) + 1
+        hist_b[jb] = hist_b.get(jb, 0) + 1
+    s = sum(a * hist_b.get(j, 0) for j, a in hist_a.items())
+    omega_u = agree / p
+    omega_e = s / (p * p)
+    omega = None if p * p == s else (agree * p - s) / (p * p - s)
+    return (p, agree, omega_u, omega_e, omega)
+
+
+def goodness_bruteforce(edges, cover, n_total):
+    """Per-community (n_nodes, internal_w, cut_w, internal_density,
+    cut_ratio, avg_odf, flake_odf) treating each (s, d, w) row as ONE
+    undirected edge (parallel rows are parallel edges). Self-loops add 2w
+    to degree, nothing to internal/cut. avg_odf floor-quantizes each
+    per-node fraction to 1e-12ths (the metric's documented definition)."""
+    import math
+
+    deg = {}
+    for s, d, w in edges:
+        deg[s] = deg.get(s, 0.0) + w
+        deg[d] = deg.get(d, 0.0) + w
+    comms = sorted({c for mem in cover.values() for c, d in mem.items() if d != 0})
+    out = {}
+    q = 10**12
+    for c in comms:
+        members = {v for v, mem in cover.items() if mem.get(c, 0) != 0}
+        n = len(members)
+        internal = sum(
+            w for s, d, w in edges if s != d and s in members and d in members
+        )
+        cut = sum(w for s, d, w in edges if (s in members) != (d in members))
+        odf_q = 0
+        flakes = 0
+        for u in members:
+            du = deg.get(u, 0.0)
+            ou = sum(
+                w
+                for s, d, w in edges
+                if s != d
+                and ((s == u and d not in members) or (d == u and s not in members))
+            )
+            if du > 0:
+                odf_q += math.floor(ou / du * q)
+            if 2 * ou > du:
+                flakes += 1
+        density = internal / (n * (n - 1) / 2) if n >= 2 else None
+        cut_ratio = cut / (n * (n_total - n)) if 0 < n < n_total else None
+        out[c] = (
+            n,
+            internal,
+            cut,
+            density,
+            cut_ratio,
+            odf_q / q / n,
+            flakes / n,
+        )
+    return out

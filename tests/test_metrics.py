@@ -298,3 +298,112 @@ def test_cover_f1_both_directions_single_pass(spark):
     }
     assert {k[1]: v for k, v in both.items() if k[0] == "ab"} == ab
     assert {k[1]: v for k, v in both.items() if k[0] == "ba"} == ba
+
+
+def random_overlapping_cover(n, n_comms, seed, p_extra=0.35):
+    rng = np.random.default_rng(seed)
+    cov = {}
+    for v in range(n):
+        mems = {int(rng.integers(0, n_comms)): 1.0}
+        while rng.random() < p_extra:
+            mems[int(rng.integers(0, n_comms))] = 1.0
+        cov[v] = mems
+    return cov
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9])
+def test_omega_matches_bruteforce(spark, seed):
+    from dmid_spark.metrics import omega_index
+
+    n = 30
+    ca = random_overlapping_cover(n, 5, seed)
+    cb = random_overlapping_cover(n, 4, seed + 100)
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    row = omega_index(cover_df(spark, ca), cover_df(spark, cb), nodes).collect()[0]
+    p, agree, ou, oe, om = O.omega_bruteforce(ca, cb, range(n))
+    assert row["n_pairs"] == p
+    assert row["agree_pairs"] == agree
+    assert row["omega_u"] == pytest.approx(ou, abs=1e-12)
+    assert row["omega_e"] == pytest.approx(oe, abs=1e-12)
+    if om is None:
+        assert row["omega"] is None
+    else:
+        assert row["omega"] == pytest.approx(om, abs=1e-12)
+
+
+def test_omega_identical_covers_is_one(spark):
+    from dmid_spark.metrics import omega_index
+
+    ca = random_overlapping_cover(24, 4, 3)
+    df = cover_df(spark, ca)
+    row = omega_index(df, df).collect()[0]
+    assert row["omega_u"] == 1.0
+    assert row["omega"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_omega_universe_extends_beyond_members(spark):
+    from dmid_spark.metrics import omega_index
+
+    # two extra never-member nodes enlarge P; both engines' closed forms
+    # must fold the all-zero pairs in analytically
+    ca = {0: {0: 1.0}, 1: {0: 1.0}, 2: {1: 1.0}}
+    cb = {0: {5: 1.0}, 1: {5: 1.0}, 2: {5: 1.0}}
+    nodes = spark.range(5).select(F.col("id").alias("node"))
+    row = omega_index(cover_df(spark, ca), cover_df(spark, cb), nodes).collect()[0]
+    p, agree, ou, oe, om = O.omega_bruteforce(ca, cb, range(5))
+    assert (row["n_pairs"], row["agree_pairs"]) == (p, agree)
+    assert row["omega"] == pytest.approx(om, abs=1e-12)
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "golden", "random"])
+def test_goodness_matches_bruteforce(spark, name):
+    from dmid_spark.metrics import community_goodness
+
+    rows, n = {
+        "two_cliques": two_cliques_bridge(),
+        "golden": (GOLDEN_EDGES, GOLDEN_N),
+        "random": random_graph(n=40, seed=47),
+    }[name]
+    edges = G.edges_from_rows(spark, rows)
+    cover = two_community_cover(n, overlap=(0, n - 1))
+    got = {
+        r["community"]: (
+            r["n_nodes"],
+            r["internal_w"],
+            r["cut_w"],
+            r["internal_density"],
+            r["cut_ratio"],
+            r["avg_odf"],
+            r["flake_odf"],
+        )
+        for r in community_goodness(edges, cover_df(spark, cover)).collect()
+    }
+    exp = O.goodness_bruteforce(rows, cover, n)
+    assert set(got) == set(exp)
+    for c in exp:
+        for gv, ev in zip(got[c], exp[c]):
+            if ev is None:
+                assert gv is None
+            else:
+                assert gv == pytest.approx(ev, abs=1e-9)
+
+
+def test_goodness_self_loop_isolated_and_empty_community(spark):
+    from dmid_spark.metrics import community_goodness
+
+    rows = [(0, 1, 2.0), (0, 0, 3.0), (1, 2, 1.0), (2, 3, 0.0)]
+    edges = G.edges_from_rows(spark, rows)
+    cov = {0: {0: 1.0}, 1: {0: 1.0}, 2: {1: 1.0}, 3: {1: 1.0}, 9: {2: 1.0}}
+    got = {
+        r["community"]: r.asDict() for r in community_goodness(edges, cover_df(spark, cov)).collect()
+    }
+    exp = O.goodness_bruteforce(rows, cov, 5)
+    assert set(got) == {0, 1, 2} == set(exp)
+    # self-loop: in degree (deg(0)=2+6=8), never in internal/cut
+    assert got[0]["internal_w"] == 2.0 and got[0]["cut_w"] == 1.0
+    assert got[0]["avg_odf"] == pytest.approx(exp[0][5], abs=1e-12)
+    # isolated member 3 counts toward size, scores odf 0
+    assert got[1]["n_nodes"] == 2 and got[1]["flake_odf"] == 0.5
+    # edgeless community 9 is kept (unlike conductance's inner join)
+    assert got[2]["n_nodes"] == 1 and got[2]["internal_density"] is None
+    assert got[2]["cut_ratio"] == 0.0 and got[2]["avg_odf"] == 0.0
