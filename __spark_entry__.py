@@ -1277,6 +1277,20 @@ def q_katz5(spark, sf_dir):
     return scores.select("id", F.col("value").alias("katz"))
 
 
+def q_eigen5(spark, sf_dir):
+    """Weighted eigenvector centrality, 5 fixed power-iteration steps (the
+    SQL-expressible twin of the to-convergence variant). L∞ (max)
+    normalization keeps the per-step scalar order-independent and exact;
+    round_dp=9 quantizes the state each step so the non-dyadic post-division
+    doubles stay bit-identical across engines (see _eigen5_sql)."""
+    from dmid_spark.algorithms import eigenvector_centrality
+
+    scores, _ = eigenvector_centrality(
+        _edges(spark, sf_dir), weighted=True, tol=-1.0, max_iter=5, round_dp=9
+    )
+    return scores.select("id", F.col("value").alias("eigen"))
+
+
 def q_bfs(spark, sf_dir):
     """Multi-source directed BFS from the deterministic sample id % 50 == 0,
     depth-capped at 12 (the sf0.01 graph's eccentricity from the sample is
@@ -1622,7 +1636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DMID building blocks
         "g2_weighted_indegree": q_g2,
         "g3_dis_norm": q_g3,
-        "g4_spmv_step": q_g4,
         "g5_leadership": q_g5,
         "g6_influence_filter": q_g6,
         "g12_cascade_round1": q_g12,
@@ -1675,6 +1688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_budget/shard_shuffle/weighted rotate out — mix_epochs keeps
         # the seeded-coin sampling family's in-window row)
         "x35_katz_5iter": q_katz5,
+        # late round-5 window additions (g4/dedup_simhash rotate out —
+        # double-green in CORRECTNESS_r03 AND r04, parked below)
+        "x37_eigenvector_5iter": q_eigen5,
         "text_bm25_topk": q_bm25,
         # sketch + events families
         "sketch_hll_registers": q_hll_registers,
@@ -1688,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m12_omega": q_m12,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py;
         # x33/layout_zorder rotated out with green CORRECTNESS_r04 rows) ---
+        "g4_spmv_step": q_g4,
         "events_retention": q_events_retention,
         "events_bursts": q_events_bursts,
         "x33_seeded_lpa": q_seeded_lpa,
@@ -2002,6 +2019,32 @@ k{i} AS MATERIALIZED (
 )""")
     return ",\n".join(steps) + f"""
 SELECT id, s AS katz FROM k{iters}"""
+
+
+def _eigen5_sql(iters: int = 5) -> str:
+    """Unrolled weighted eigenvector centrality: y ← Aᵀx, x ← y / max(y),
+    from x₀ = 1. The L∞ normalizer (MAX) is order-independent and exact in
+    IEEE doubles — unlike an L2/L1 norm there is no accumulation-order
+    wiggle in the scalar itself. The per-step ROUND(·,9)+0.0 quantization
+    (matching the operator's round_dp=9) re-syncs both engines after the
+    non-dyadic division, the same device as the DMID `ls` column."""
+    steps = ["ev0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM verts)"]
+    for i in range(1, iters + 1):
+        steps.append(f"""
+evy{i} AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(c.s, 0) AS DOUBLE) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.weight * p.s) AS s FROM edges e
+    JOIN ev{i - 1} p ON e.src = p.id GROUP BY e.dst
+  ) c ON v.id = c.id
+),
+ev{i} AS MATERIALIZED (
+  SELECT y.id,
+         ROUND(CASE WHEN m.mx > 0 THEN y.s / m.mx ELSE y.s END, 9) + 0.0 AS s
+  FROM evy{i} y CROSS JOIN (SELECT MAX(s) AS mx FROM evy{i}) m
+)""")
+    return ",\n".join(steps) + f"""
+SELECT id, s AS eigen FROM ev{iters}"""
 
 
 def _ppr5_sql(iters: int = 5, d: float = 0.85, as_cte: bool = False) -> str:
@@ -3110,6 +3153,7 @@ GROUP BY 1, 2""",
         "x9_hits_5iter": _G + ", " + _hits5_sql(),
         "x10_ppr_5iter": _G + ", " + _ppr5_sql(),
         "x35_katz_5iter": _G + ", " + _katz5_sql(),
+        "x37_eigenvector_5iter": _G + ", " + _eigen5_sql(),
         "x11_coreness": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2

@@ -25,6 +25,7 @@ from .hyperball import (  # noqa: F401
 from .louvain import louvain, louvain_refine, partition_modularity  # noqa: F401
 from .spectral import (  # noqa: F401
     best_sweep_cut,
+    eigenvector_centrality,
     hits,
     katz_centrality,
     personalized_pagerank,

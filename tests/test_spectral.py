@@ -357,3 +357,119 @@ def test_sweep_cut_self_loop(spark):
         assert g[0] == e[0] and g[1] == e[1]
         assert g[2] == pytest.approx(e[3], abs=1e-12)
         assert g[3] == pytest.approx(e[4], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality
+# ---------------------------------------------------------------------------
+def eigenvector_oracle(rows, n, iters=500, tol=1e-9, weighted=False, round_dp=None):
+    """Transliterated power iteration with L-inf (max) normalization and the
+    same optional per-step quantization as the Spark operator."""
+    A = np.zeros((n, n))
+    for s, d, w in rows:
+        A[s, d] = w if weighted else 1.0
+    x = np.ones(n)
+    for _ in range(iters):
+        y = A.T @ x
+        mx = y.max()
+        if mx > 0:
+            y = y / mx
+        if round_dp is not None:
+            y = np.round(y, round_dp) + 0.0
+        if np.abs(y - x).sum() < tol:
+            return y
+        x = y
+    return x
+
+
+def _symmetrize(rows):
+    seen = {}
+    for s, d, w in rows:
+        seen[(s, d)] = w
+        seen.setdefault((d, s), w)
+    return [(s, d, w) for (s, d), w in seen.items()]
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "star", "random"])
+def test_eigenvector_matches_oracle(spark, name):
+    from dmid_spark.algorithms import eigenvector_centrality
+
+    rows, n = GRAPHS[name]
+    rows = _symmetrize(rows)
+    if name == "star":
+        # the undirected star is bipartite (center vs leaves) — power
+        # iteration oscillates with period 2; a center self-loop breaks
+        # bipartiteness, the standard aperiodicity fix
+        rows = rows + [(0, 0, 1.0)]
+    edges = G.edges_from_rows(spark, rows)
+    scores, stats = eigenvector_centrality(edges, tol=1e-9, max_iter=500)
+    exp = eigenvector_oracle(rows, n)
+    assert stats.converged
+    assert np.allclose(vec(scores, n), exp, atol=1e-6)
+    got = vec(scores, n)
+    assert got.max() == pytest.approx(1.0)
+
+
+def test_eigenvector_is_dominant_eigenvector(spark):
+    # on a connected non-bipartite undirected graph the fixed point is the
+    # Perron eigenvector of A (max-normalized)
+    from dmid_spark.algorithms import eigenvector_centrality
+
+    rows, n = random_graph(n=60, seed=9, weighted=True)
+    # ensure connectivity + aperiodicity: a triangle spanning chain
+    extra = [(i, i + 1, 1.0) for i in range(n - 1)] + [(0, 2, 1.0)]
+    # force a genuinely symmetric weight matrix (unordered-pair max) so the
+    # eigh comparison below is well-posed
+    pairs = {}
+    for s, d, w in rows + extra:
+        if s == d:
+            continue
+        k = (min(s, d), max(s, d))
+        pairs[k] = max(pairs.get(k, 0.0), w)
+    rows = [(a, b, w) for (a, b), w in pairs.items()] + [
+        (b, a, w) for (a, b), w in pairs.items()
+    ]
+    edges = G.edges_from_rows(spark, rows)
+    scores, stats = eigenvector_centrality(
+        edges, weighted=True, tol=1e-12, max_iter=3000
+    )
+    A = np.zeros((n, n))
+    for s, d, w in rows:
+        A[s, d] = w
+    vals, vecs = np.linalg.eigh(A)
+    v = np.abs(vecs[:, np.argmax(vals)])
+    v = v / v.max()
+    assert stats.converged
+    assert np.allclose(vec(scores, n), v, atol=1e-5)
+
+
+def test_eigenvector_directed_sources_decay_to_zero(spark):
+    from dmid_spark.algorithms import eigenvector_centrality
+
+    # 0 -> 1 -> 2 <-> 3 : the 2<->3 cycle dominates; pure sources decay to 0
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 2, 1.0)]
+    scores, stats = eigenvector_centrality(
+        G.edges_from_rows(spark, rows), tol=1e-10, max_iter=500
+    )
+    got = vec(scores, 4)
+    assert stats.converged
+    assert got[0] == pytest.approx(0.0, abs=1e-8)
+    assert got[1] == pytest.approx(0.0, abs=1e-8)
+    assert got[2] == pytest.approx(1.0, abs=1e-8)
+    assert got[3] == pytest.approx(1.0, abs=1e-8)
+
+
+def test_eigenvector_round_dp_matches_quantized_oracle(spark):
+    from dmid_spark.algorithms import eigenvector_centrality
+
+    rows, n = GRAPHS["random"]
+    rows = _symmetrize(rows)
+    edges = G.edges_from_rows(spark, rows)
+    scores, _ = eigenvector_centrality(
+        edges, tol=-1.0, max_iter=5, round_dp=9
+    )
+    exp = eigenvector_oracle(rows, n, iters=5, tol=-1.0, round_dp=9)
+    got = vec(scores, n)
+    assert np.array_equal(got, exp)  # bit-identical under per-step 9dp quantization
+    # -0.0 is folded
+    assert not any(np.signbit(g) and g == 0.0 for g in got)
