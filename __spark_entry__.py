@@ -377,6 +377,28 @@ def q_seeded_lpa(spark, sf_dir):
     return labels.select("id", F.col("label").cast("long").alias("label"))
 
 
+def q_m13_ari(spark, sf_dir):
+    """Adjusted Rand Index between two 1-round LPA labelings of the same
+    graph — plain LPA vs the Zhu–Ghahramani-seeded variant (x3 / x33's
+    exact label tables) — the standard pair-counting agreement score for
+    disjoint partitions. Exact BIGINT pair counts + a single 9dp ratio."""
+    from dmid_spark.algorithms import label_propagation
+    from dmid_spark.metrics import adjusted_rand_index
+
+    e = _edges(spark, sf_dir)
+    plain, _ = label_propagation(e, max_iter=1, until_fixpoint=False)
+    verts = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    seeds = verts.filter(F.col("id") % 100 == 0).select(
+        "id", (F.col("id") / 100).cast("long").alias("label")
+    )
+    seeded, _ = label_propagation(
+        e, max_iter=1, until_fixpoint=False, seeds=seeds, frozen_seeds=True
+    )
+    return adjusted_rand_index(plain, seeded)
+
+
 def q_backbone(spark, sf_dir):
     """Serrano multiscale backbone: keep edges significant (α<0.15) at a
     testable endpoint under the uniform-strength null; pendant-only edges
@@ -1667,7 +1689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
-        "dedup_simhash": q_simhash_neardup,
         "pipeline_clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
         "sample_mix_epochs": q_mix_epochs,
@@ -1702,9 +1723,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03 AND r04, the events family keeps 2 in-window rows)
         "m11_goodness": q_m11,
         "m12_omega": q_m12,
+        "m13_adjusted_rand": q_m13_ari,
         # --- beyond the driver's 50-row window (judge-run via tools/check_oracles.py;
         # x33/layout_zorder rotated out with green CORRECTNESS_r04 rows) ---
         "g4_spmv_step": q_g4,
+        "dedup_simhash": q_simhash_neardup,
         "events_retention": q_events_retention,
         "events_bursts": q_events_bursts,
         "x33_seeded_lpa": q_seeded_lpa,
@@ -3467,6 +3490,70 @@ SELECT event_type, bucket, n, mean_prev,
                       THEN ROUND((n - mean_prev) / sd, 6) + 0.0 END) >= 2.5,
                 FALSE) AS is_burst
 FROM win""",
+        "m13_adjusted_rand": _G + """
+, lpa1 AS (
+  SELECT v.id, CAST(COALESCE(b.label, v.id) AS BIGINT) AS label
+  FROM verts v LEFT JOIN (
+    SELECT vv, label FROM (
+      SELECT e.dst AS vv, e.src AS label,
+             ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, e.src) AS rn
+      FROM edges e GROUP BY e.dst, e.src
+    ) WHERE rn = 1
+  ) b ON v.id = b.vv
+),
+arseeds AS (SELECT id, CAST(id // 100 AS BIGINT) AS slabel FROM verts WHERE id % 100 = 0),
+arinit AS (
+  SELECT v.id, COALESCE(s.slabel, v.id) AS label
+  FROM verts v LEFT JOIN arseeds s ON v.id = s.id
+),
+arcounts AS (
+  SELECT e.dst AS vv, l.label, COUNT(*) AS c
+  FROM edges e JOIN arinit l ON e.src = l.id GROUP BY 1, 2
+),
+arbest AS (
+  SELECT vv, label FROM (
+    SELECT vv, label, ROW_NUMBER() OVER (PARTITION BY vv ORDER BY c DESC, label) AS rn
+    FROM arcounts
+  ) WHERE rn = 1
+),
+lpa2 AS (
+  SELECT m.id, CAST(COALESCE(s.slabel, m.label) AS BIGINT) AS label
+  FROM (
+    SELECT i.id, COALESCE(b.label, i.label) AS label
+    FROM arinit i LEFT JOIN arbest b ON i.id = b.vv
+  ) m LEFT JOIN arseeds s ON m.id = s.id
+),
+cont AS (
+  SELECT a.label AS la, b.label AS lb, COUNT(*) AS c
+  FROM lpa1 a JOIN lpa2 b ON a.id = b.id GROUP BY 1, 2
+),
+jt AS (
+  SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT) AS pairs_joint,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_items
+  FROM cont
+),
+mga AS (
+  SELECT CAST(COALESCE(SUM((s * (s - 1)) // 2), 0) AS BIGINT) AS pairs_a
+  FROM (SELECT SUM(c) AS s FROM cont GROUP BY la)
+),
+mgb AS (
+  SELECT CAST(COALESCE(SUM((s * (s - 1)) // 2), 0) AS BIGINT) AS pairs_b
+  FROM (SELECT SUM(c) AS s FROM cont GROUP BY lb)
+),
+parts AS (
+  SELECT jt.n_items, jt.pairs_joint, mga.pairs_a, mgb.pairs_b,
+         CASE WHEN jt.n_items > 1
+              THEN mga.pairs_a * 1.0 * mgb.pairs_b
+                   / ((jt.n_items * (jt.n_items - 1)) // 2)
+              ELSE 0.0 END AS expected
+  FROM jt, mga, mgb
+)
+SELECT n_items, pairs_joint, pairs_a, pairs_b,
+       ROUND(CASE WHEN ((pairs_a + pairs_b) / 2.0 - expected) <> 0
+                  THEN (pairs_joint - expected)
+                       / ((pairs_a + pairs_b) / 2.0 - expected)
+                  ELSE 1.0 END, 9) + 0.0 AS ari
+FROM parts""",
         "x33_seeded_lpa": _G + """
 , seeds AS (SELECT id, CAST(id // 100 AS BIGINT) AS slabel FROM verts WHERE id % 100 = 0),
 init AS (

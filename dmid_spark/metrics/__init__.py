@@ -1,3 +1,4 @@
+from .ari import adjusted_rand_index  # noqa: F401
 from .conductance import community_conductance  # noqa: F401
 from .f1 import avg_f1, best_match_f1, cover_f1  # noqa: F401
 from .goodness import community_goodness  # noqa: F401

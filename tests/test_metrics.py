@@ -407,3 +407,90 @@ def test_goodness_self_loop_isolated_and_empty_community(spark):
     # edgeless community 9 is kept (unlike conductance's inner join)
     assert got[2]["n_nodes"] == 1 and got[2]["internal_density"] is None
     assert got[2]["cut_ratio"] == 0.0 and got[2]["avg_odf"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# adjusted Rand index (metrics/ari.py)
+# ---------------------------------------------------------------------------
+def ari_oracle(la: dict, lb: dict):
+    """Brute-force pair-counting ARI over the ids present in BOTH labelings
+    (the operator inner-joins on id)."""
+    ids = sorted(set(la) & set(lb))
+    n = len(ids)
+    same_a = same_b = same_both = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sa = la[ids[i]] == la[ids[j]]
+            sb = lb[ids[i]] == lb[ids[j]]
+            same_a += sa
+            same_b += sb
+            same_both += sa and sb
+    tot = n * (n - 1) // 2
+    exp = same_a * same_b / tot if tot else 0.0
+    den = (same_a + same_b) / 2 - exp
+    ari = (same_both - exp) / den if den != 0 else 1.0
+    return n, same_both, same_a, same_b, ari
+
+
+def _labels_df(spark, d):
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in d.items()], "id long, label long"
+    )
+
+
+def _run_ari(spark, la, lb):
+    from dmid_spark.metrics import adjusted_rand_index
+
+    row = adjusted_rand_index(_labels_df(spark, la), _labels_df(spark, lb)).collect()[0]
+    return (row["n_items"], row["pairs_joint"], row["pairs_a"], row["pairs_b"], row["ari"])
+
+
+def test_ari_identical_partitions_is_one(spark):
+    la = {i: i % 4 for i in range(40)}
+    got = _run_ari(spark, la, la)
+    assert got[4] == pytest.approx(1.0)
+
+
+def test_ari_matches_bruteforce_on_random_labelings(spark):
+    rng = np.random.RandomState(7)
+    la = {i: int(rng.randint(0, 6)) for i in range(120)}
+    lb = {i: int(rng.randint(0, 4)) for i in range(120)}
+    n, joint, pa, pb, ari = _run_ari(spark, la, lb)
+    en, ejoint, epa, epb, eari = ari_oracle(la, lb)
+    assert (n, joint, pa, pb) == (en, ejoint, epa, epb)
+    assert ari == pytest.approx(eari, abs=1e-9)
+    # independent labelings agree at ~chance level
+    assert abs(ari) < 0.1
+
+
+def test_ari_hand_example(spark):
+    # Hubert-Arabie style 2x2: A = {0,1,2 | 3,4,5}, B = {0,1 | 2,3,4,5}
+    la = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    lb = {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1}
+    n, joint, pa, pb, ari = _run_ari(spark, la, lb)
+    en, ejoint, epa, epb, eari = ari_oracle(la, lb)
+    assert (n, joint, pa, pb) == (en, ejoint, epa, epb) == (6, 4, 6, 7)
+    assert ari == pytest.approx(eari, abs=1e-9)
+
+
+def test_ari_degenerate_conventions(spark):
+    # all singletons on both sides: max index == expected index == 0 -> 1.0
+    la = {i: i for i in range(10)}
+    assert _run_ari(spark, la, la)[4] == pytest.approx(1.0)
+    # one big cluster on both sides -> denominator 0 -> 1.0
+    lb = {i: 0 for i in range(10)}
+    assert _run_ari(spark, lb, lb)[4] == pytest.approx(1.0)
+    # one side all-singleton, other one-cluster -> ARI 0 by the formula
+    n, joint, pa, pb, ari = _run_ari(spark, la, lb)
+    assert (joint, pa) == (0, 0)
+    assert ari == pytest.approx(0.0)
+
+
+def test_ari_inner_join_on_ids(spark):
+    la = {i: i % 2 for i in range(20)}          # ids 0..19
+    lb = {i: i % 2 for i in range(10, 30)}      # ids 10..29
+    n, joint, pa, pb, ari = _run_ari(spark, la, lb)
+    en, ejoint, epa, epb, eari = ari_oracle(la, lb)
+    assert n == en == 10
+    assert (joint, pa, pb) == (ejoint, epa, epb)
+    assert ari == pytest.approx(eari, abs=1e-9)
