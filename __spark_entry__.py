@@ -615,6 +615,46 @@ def q_emb_cluster_sample(spark, sf_dir):
     )
 
 
+def q_emb_pq_codes(spark, sf_dir):
+    """Product quantization (sim/pq.py): 4 subspace codebooks x 16 cells
+    trained with 2 exact integer-quantized Lloyd iterations in ONE corpus
+    scan per iteration (all subspaces share the scan), then one Arrow
+    encode pass. Long-form (vec_id, sub, code) so the hash gate covers
+    every subspace assignment of the trained model."""
+    import numpy as np  # noqa: F401 (query vec dtype below)
+    from dmid_spark.sim import pq_encode, pq_train
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cb, _ = pq_train(emb, m=4, k=16, lloyd_iters=2, hash_mode="md5")
+    codes = pq_encode(emb, cb)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select(
+        "vec_id",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def q_emb_pq_adc(spark, sf_dir):
+    """ADC retrieval over PQ codes: the query vector's (m, k) lookup
+    table is a driver-side constant folded into JVM column expressions
+    (element_at per subspace, fixed left-to-right sum) — scoring is a
+    scan, the global top-10 a TakeOrderedAndProject. Rank orders by the
+    6dp-quantized distance with id tiebreak (stable across engines)."""
+    import numpy as np
+    from dmid_spark.sim import pq_adc_topk, pq_encode, pq_train
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cb, _ = pq_train(emb, m=4, k=16, lloyd_iters=2, hash_mode="md5")
+    codes = pq_encode(emb, cb)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = np.array(list(qrow["embedding"]), dtype=np.float64)
+    return pq_adc_topk(codes, cb, query, top_k=10).select(
+        "id", "approx_d2", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_emb_quantize(spark, sf_dir):
     """Per-dimension affine int8 quantization (sim/quant.py): one-scan
     min/max stats (D paired aggregates, no explode), then codes as pure
@@ -1702,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_ngram_jaccard rotate out — each hash-green in BOTH
         # CORRECTNESS_r03 and r04, parked below)
         "emb_kmeans_assign": q_emb_kmeans,
+        "emb_pq_codes": q_emb_pq_codes,
+        "emb_pq_adc_topk": q_emb_pq_adc,
         "emb_cluster_sample": q_emb_cluster_sample,
         "emb_quantize_int8": q_emb_quantize,
         "graph_negative_samples": q_negative_samples,
@@ -2348,6 +2390,117 @@ SELECT vec_id, cluster, rank FROM (
                             ORDER BY ({draw}) % 1000003, vec_id) AS rank
   FROM fin
 ) WHERE rank <= 10"""
+
+
+def _pq_sql(m: int = 4, k: int = 16, iters: int = 2, scale: int = 1_000_000,
+            seed: int = 42, final: str = "codes", query_id: int = 0,
+            top_k: int = 10) -> str:
+    """DuckDB twin of sim.pq (md5 hash mode): m independent per-subspace
+    Lloyd chains — every subspace seeds from slices of the SAME k
+    hash-selected corpus vectors (one shared ``ordered`` CTE), then per
+    iteration argmin-assign + exact integer-quantized centroid update,
+    exactly the :func:`_kmeans_sql` chain over ``v[lo:hi]`` slices.
+    ``final='codes'`` emits one (vec_id, sub, code) row per subspace
+    assignment; ``final='adc'`` builds the query vector's (m, k) distance
+    lookup table from the trained codebooks and emits the global
+    ``top_k`` by the 6dp-quantized left-to-right LUT sum (id tiebreak) —
+    the same fold order :func:`dmid_spark.sim.pq.adc_lut` uses."""
+    hkey = _md5_long(f"CAST(vec_id + {seed} AS VARCHAR)")
+    parts = [f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ordered AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY ({hkey}) % 1000003, vec_id) AS rn
+  FROM emb
+),
+dsz AS (SELECT len(v) // {m} AS d FROM emb LIMIT 1)"""]
+    for s in range(m):
+        lo, hi = f"{s} * (SELECT d FROM dsz) + 1", f"{s + 1} * (SELECT d FROM dsz)"
+        parts.append(f""",
+sub{s} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS vs,
+         list_transform(v[{lo}:{hi}],
+                        x -> CAST(FLOOR(x * {scale} + 0.5) AS BIGINT)) AS q
+  FROM emb
+),
+dims{s} AS (
+  SELECT vec_id, CAST(t.i AS INT) AS dim, q[CAST(t.i AS INT) + 1] AS qd
+  FROM sub{s}, LATERAL unnest(range(0, len(q))) t(i)
+),
+c{s}x0f AS (
+  SELECT o.rn - 1 AS cell, d.dim, CAST(d.qd AS DOUBLE) / {scale}.0 AS c
+  FROM ordered o JOIN dims{s} d USING (vec_id) WHERE o.rn <= {k}
+),
+c{s}x0 AS (SELECT cell, list(c ORDER BY dim) AS cv FROM c{s}x0f GROUP BY cell)""")
+        prev, prevf = f"c{s}x0", f"c{s}x0f"
+        for i in range(iters):
+            parts.append(f""",
+a{s}x{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             (list_dot_product(e.vs, e.vs) - 2 * list_dot_product(e.vs, c.cv)
+              + list_dot_product(c.cv, c.cv)) ASC, c.cell ASC) AS rn
+    FROM sub{s} e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+u{s}x{i} AS (
+  SELECT a.cell, d.dim, SUM(d.qd) AS sq, COUNT(*) AS n
+  FROM a{s}x{i} a JOIN dims{s} d USING (vec_id) GROUP BY a.cell, d.dim
+),
+c{s}x{i + 1}f AS (
+  SELECT p.cell, p.dim,
+         COALESCE(CAST(u.sq AS DOUBLE) / (u.n * {scale}.0), p.c) AS c
+  FROM {prevf} p LEFT JOIN u{s}x{i} u ON p.cell = u.cell AND p.dim = u.dim
+),
+c{s}x{i + 1} AS (SELECT cell, list(c ORDER BY dim) AS cv FROM c{s}x{i + 1}f GROUP BY cell)""")
+            prev, prevf = f"c{s}x{i + 1}", f"c{s}x{i + 1}f"
+        parts.append(f""",
+f{s} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             (list_dot_product(e.vs, e.vs) - 2 * list_dot_product(e.vs, c.cv)
+              + list_dot_product(c.cv, c.cv)) ASC, c.cell ASC) AS rn
+    FROM sub{s} e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+    ctes = "".join(parts)
+    if final == "codes":
+        union = "\n  UNION ALL\n  ".join(
+            f"SELECT vec_id, {s} AS sub, cell FROM f{s}" for s in range(m)
+        )
+        return ctes + f"""
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cell AS BIGINT) AS code FROM (
+  {union}
+)"""
+    # final == 'adc': per-subspace LUT for the query vector, then the
+    # left-to-right lookup sum, 6dp-quantized, global top_k by (d2, id)
+    luts = "".join(
+        f""",
+lut{s} AS (
+  SELECT c.cell,
+         (list_dot_product(qv.qs, qv.qs) - 2 * list_dot_product(qv.qs, c.cv)
+          + list_dot_product(c.cv, c.cv)) AS d
+  FROM c{s}x{iters} c,
+       (SELECT v[{s} * (SELECT d FROM dsz) + 1:{s + 1} * (SELECT d FROM dsz)] AS qs
+        FROM emb WHERE vec_id = {query_id}) qv
+)""" for s in range(m)
+    )
+    joins = "".join(
+        f"\n  JOIN f{s} ON f{s}.vec_id = f0.vec_id" for s in range(1, m)
+    ) + "".join(
+        f"\n  JOIN lut{s} l{s} ON l{s}.cell = f{s}.cell" for s in range(m)
+    )
+    d2sum = " + ".join(f"l{s}.d" for s in range(m))
+    return ctes + luts + f""",
+scored AS (
+  SELECT f0.vec_id AS id, ROUND({d2sum}, 6) + 0.0 AS approx_d2
+  FROM f0{joins}
+)
+SELECT id, approx_d2, CAST(ROW_NUMBER() OVER (ORDER BY approx_d2, id) AS BIGINT) AS rank
+FROM scored ORDER BY approx_d2, id LIMIT {top_k}"""
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200,
@@ -4365,6 +4518,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         ),
         "ann_ivf_topk": _ivf_topk_sql(n_centroids=8, k=10, n_probe=3, seed=42, n_queries=5),
         "emb_kmeans_assign": _kmeans_sql(k=8, iters=2, seed=42, final="assign"),
+        "emb_pq_codes": _pq_sql(m=4, k=16, iters=2, seed=42, final="codes"),
+        "emb_pq_adc_topk": _pq_sql(m=4, k=16, iters=2, seed=42, final="adc",
+                                   query_id=0, top_k=10),
         "emb_cluster_sample": _kmeans_sql(k=8, iters=2, seed=42, final="sample"),
         "graph_negative_samples": _G + f"""
 , rk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM verts),

@@ -18,6 +18,13 @@ from .pca import (  # noqa: F401
     pca_project,
     semantic_dedup,
 )
+from .pq import (  # noqa: F401
+    PQStats,
+    adc_lut,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
 from .quant import (  # noqa: F401
     QuantModel,
     quant_decode,

@@ -693,3 +693,160 @@ def test_quantize_int8_matches_numpy_and_reconstructs(spark):
     assert stats["n_values"] == 50 * 7
     assert stats["max_abs_err"] <= scales.max() / 2 + 1e-12
     assert 0.0 <= stats["mean_abs_err"] <= stats["max_abs_err"]
+
+
+# ---------------------------------------------------------------------------
+# product quantization (sim/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _pq_numpy_oracle(rows, m, k, iters, seed=42, scale=1_000_000):
+    """Transliteration of sim.pq (md5 mode): the _kmeans_numpy_oracle
+    chain run independently per subspace over vector slices, all
+    subspaces seeded from slices of the same md5-ordered k vectors."""
+    import hashlib
+
+    data = {
+        i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v, *_ in rows
+    }
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    order = sorted(data, key=lambda i: (md5l(str(i + seed)) % 1_000_003, i))
+    ids = sorted(data)
+    vecs = np.array([data[i] for i in ids])
+    dim = vecs.shape[1]
+    dsub = dim // m
+    cents = np.stack(
+        [
+            np.array(
+                [
+                    np.floor(data[i][s * dsub:(s + 1) * dsub] * scale + 0.5) / scale
+                    for i in order[:k]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+    def d2(v, c):
+        return (v * v).sum(1, keepdims=True) - 2 * v @ c.T + (c * c).sum(1)[None, :]
+
+    for _ in range(iters):
+        nxt = cents.copy()
+        for s in range(m):
+            sub = vecs[:, s * dsub:(s + 1) * dsub]
+            cell = d2(sub, cents[s]).argmin(1)
+            quant = np.floor(sub * scale + 0.5).astype(np.int64)
+            for c in range(k):
+                msk = cell == c
+                if msk.sum():
+                    nxt[s][c] = quant[msk].sum(0).astype(np.float64) / (
+                        msk.sum() * float(scale)
+                    )
+        cents = nxt
+    codes = np.stack(
+        [
+            d2(vecs[:, s * dsub:(s + 1) * dsub], cents[s]).argmin(1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    return ids, codes, cents
+
+
+def test_pq_train_encode_matches_numpy_oracle(spark):
+    from dmid_spark.sim import pq_encode, pq_train
+
+    df, rows = emb_df(spark, n=90, dim=12, seed=11, clusters=5)
+    cb, stats = pq_train(df, m=3, k=5, lloyd_iters=2, hash_mode="md5", seed=42)
+    ids, exp_codes, exp_cb = _pq_numpy_oracle(rows, m=3, k=5, iters=2)
+    # codebooks bit-identical: quantized int64 sums make every update exact
+    np.testing.assert_allclose(cb, exp_cb, rtol=0, atol=0)
+    assert stats.m == 3 and stats.k == 5 and stats.dsub == 4
+    assert len(stats.sizes_per_iter) == 2
+    assert all(sum(per_cell) == 90 for it in stats.sizes_per_iter for per_cell in it)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, cb).collect()}
+    assert len(got) == 90
+    for j, i in enumerate(ids):
+        assert got[i] == exp_codes[j].tolist()
+
+
+def test_pq_partition_invariant_and_dim_check(spark):
+    import pytest as _pt
+
+    from dmid_spark.sim import pq_train
+
+    df, _ = emb_df(spark, n=40, dim=12, seed=8, clusters=2)
+    cb1, _ = pq_train(df.repartition(1), m=4, k=4, lloyd_iters=2)
+    cb7, _ = pq_train(df.repartition(7), m=4, k=4, lloyd_iters=2)
+    # int64-quantized partial sums: bit-identical at any parallelism
+    np.testing.assert_allclose(cb1, cb7, rtol=0, atol=0)
+    with _pt.raises(ValueError, match="not divisible"):
+        pq_train(df, m=5, k=4, lloyd_iters=1)
+
+
+def test_pq_adc_matches_reconstruction_distance(spark):
+    from dmid_spark.sim import adc_lut, pq_adc_topk, pq_encode, pq_train
+
+    df, rows = emb_df(spark, n=60, dim=12, seed=4, clusters=4)
+    cb, _ = pq_train(df, m=3, k=4, lloyd_iters=2, hash_mode="md5")
+    codes_df = pq_encode(df, cb)
+    data = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v, _ in rows}
+    q = data[0]
+    lut = adc_lut(cb, q)
+    # ADC identity: lut-sum == |q_s - centroid(code_s)|^2 summed over subspaces
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    dsub = 12 // 3
+    exp = {}
+    for i, cs in codes.items():
+        recon = np.concatenate([cb[s, cs[s]] for s in range(3)])
+        d_recon = float(((q - recon) ** 2).sum())
+        d_lut = float(sum(lut[s, cs[s]] for s in range(3)))
+        np.testing.assert_allclose(d_lut, d_recon, atol=1e-9)
+        exp[i] = round(d_lut, 6)
+    top = pq_adc_topk(codes_df, cb, q, top_k=8).collect()
+    want = sorted(exp.items(), key=lambda kv: (kv[1], kv[0]))[:8]
+    assert [(r["id"], r["rank"]) for r in top] == [
+        (i, j + 1) for j, (i, _) in enumerate(want)
+    ]
+    for r in top:
+        np.testing.assert_allclose(r["approx_d2"], exp[r["id"]], atol=1e-9)
+
+
+def test_pq_quantizes_toward_cluster_structure(spark):
+    """Planted-cluster sanity: same-cluster vectors should share full code
+    words far more often than cross-cluster ones, and PQ reconstruction
+    error must beat the all-zeros codebook assignment."""
+    from dmid_spark.sim import pq_encode, pq_train
+
+    df, rows = emb_df(spark, n=80, dim=16, seed=9, clusters=4)
+    cb, _ = pq_train(df, m=4, k=4, lloyd_iters=3, hash_mode="md5")
+    codes = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(df, cb).collect()}
+    labels = {i: lab for i, _, lab in rows}
+    same = [
+        codes[a] == codes[b]
+        for a in codes
+        for b in codes
+        if a < b and labels[a] == labels[b]
+    ]
+    diff = [
+        codes[a] == codes[b]
+        for a in codes
+        for b in codes
+        if a < b and labels[a] != labels[b]
+    ]
+    # hash-seeded vanilla Lloyd may split a planted cluster across cells
+    # in some subspace (same caveat as test_kmeans_matches_numpy_oracle),
+    # so exact codeword recovery is not an invariant — a wide margin is
+    assert np.mean(same) > 0.6
+    assert np.mean(diff) < 0.2
+    data = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v, _ in rows}
+    err_pq = err_zero = 0.0
+    for i, cs in codes.items():
+        recon = np.concatenate([cb[s, cs[s]] for s in range(4)])
+        zero = np.concatenate([cb[s, 0] for s in range(4)])
+        err_pq += float(((data[i] - recon) ** 2).sum())
+        err_zero += float(((data[i] - zero) ** 2).sum())
+    assert err_pq < err_zero
