@@ -868,6 +868,23 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_quality_probe(spark, sf_dir):
+    """Trained quality probe (text/probe.py): distill the heuristic
+    prose gate into a linear scorer via 3 full-batch GD iterations with
+    exact integer-quantized gradient sums — the transcendental-free
+    squared-loss link keeps the whole weight trajectory inside IEEE +/*
+    so the DuckDB twin replays training bit-for-bit. One aggregate
+    action per iteration, scoring is a scan."""
+    from dmid_spark.text.probe import probe_features, probe_scores, train_probe
+
+    feats = probe_features(_docs(spark, sf_dir))
+    model = train_probe(feats, lr=0.5, iterations=3, link="linear")
+    out = probe_scores(feats, model, round_dp=6)
+    return out.select(
+        "doc_id", F.col("y").cast("long").alias("label"), "score"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from dmid_spark.text import language_id
 
@@ -1731,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "pipeline_clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
+        "text_quality_probe": q_quality_probe,
         "sample_mix_epochs": q_mix_epochs,
         "text_bpe_merges": q_bpe_merges,
         "text_lm_perplexity": q_lm_perplexity,
@@ -2501,6 +2519,59 @@ scored AS (
 )
 SELECT id, approx_d2, CAST(ROW_NUMBER() OVER (ORDER BY approx_d2, id) AS BIGINT) AS rank
 FROM scored ORDER BY approx_d2, id LIMIT {top_k}"""
+
+
+def _probe_sql(stop_hits: str, iters: int = 3, lr: float = 0.5,
+               scale: int = 1_000_000_000) -> str:
+    """DuckDB twin of text.probe (linear link): featurize with the exact
+    text_quality arithmetic (integer counts divided once), label with the
+    prose gate, then unroll ``iters`` full-batch GD steps — each step is
+    one aggregate of per-feature int64 gradient sums (per-doc
+    contributions quantized ``FLOOR(c*scale + 0.5)``, the kmeans device)
+    and a single-row weight CTE updated by one IEEE division per feature.
+    Transcendental-free, so the weight trajectory matches Spark's
+    bit-for-bit; the final scores quantize at 6dp."""
+    nt = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END"
+    parts = [f"""
+WITH feat AS (
+  SELECT doc_id,
+    1.0 AS x0,
+    length(text) / 1000.0 AS x1,
+    ({nt}) / 100.0 AS x2,
+    length(text) / GREATEST({nt}, 1) / 10.0 AS x3,
+    ({stop_hits}) / GREATEST({nt}, 1) AS x4,
+    CASE WHEN ({nt}) >= 20
+          AND ({stop_hits}) / GREATEST({nt}, 1) >= 0.04
+         THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+w0t AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""]
+    z = ("(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+         " + w.w4 * f.x4)")
+    for i in range(iters):
+        sums = ",\n    ".join(
+            f"SUM(CAST(FLOOR(({z} - f.y) * f.x{j} * {scale}.0 + 0.5)"
+            f" AS BIGINT)) AS s{j}"
+            for j in range(5)
+        )
+        ups = ",\n         ".join(
+            f"w.w{j} - {lr} * (CAST(g.s{j} AS DOUBLE) / (g.n * {scale}.0)) AS w{j}"
+            for j in range(5)
+        )
+        parts.append(f""",
+g{i} AS (
+  SELECT {sums},
+    COUNT(*) AS n
+  FROM feat f CROSS JOIN w{i}t w
+),
+w{i + 1}t AS (
+  SELECT {ups}
+  FROM w{i}t w CROSS JOIN g{i} g
+)""")
+    return "".join(parts) + f"""
+SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+       ROUND({z}, 6) + 0.0 AS score
+FROM feat f CROSS JOIN w{iters}t w"""
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8, max_bucket: int = 200,
@@ -4046,6 +4117,7 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8""",
+        "text_quality_probe": _probe_sql(stop_hits, iters=3, lr=0.5),
         "text_quality": f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,

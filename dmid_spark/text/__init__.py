@@ -32,6 +32,12 @@ from .sampling import (  # noqa: F401
     weighted_sample,
 )
 from .lm import dsir_weights, lm_perplexity, lm_train  # noqa: F401
+from .probe import (  # noqa: F401
+    ProbeModel,
+    probe_features,
+    probe_scores,
+    train_probe,
+)
 from .quality import (  # noqa: F401
     doc_fingerprint,
     language_id,
