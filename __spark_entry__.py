@@ -685,6 +685,26 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(_edges(spark, sf_dir), n_neg=2, seed=42, hash_mode="md5")
 
 
+def q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style 2-hop fan-out sampling (paths.py::neighbor_sample):
+    per-hop seeded shared neighbor samples (src-partitioned windows, one
+    content-addressed coin per edge) expanded from a root set by one
+    broadcast join per hop — the GNN minibatch extraction plan."""
+    from dmid_spark.algorithms import neighbor_sample
+
+    e = _edges(spark, sf_dir)
+    roots = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 25 == 0)
+    )
+    out = neighbor_sample(e, fanouts=(4, 3), roots=roots, hash_mode="md5")
+    return out.select(
+        "root", F.col("hop").cast("long").alias("hop"), "src", "dst"
+    )
+
+
 def q_pmi_weights(spark, sf_dir):
     """(N)PMI re-weighting of the co-occurrence edge table — marginals are
     exact integer-count sums; ln is the one libm surface, rounded 9dp."""
@@ -1765,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_sample": q_emb_cluster_sample,
         "emb_quantize_int8": q_emb_quantize,
         "graph_negative_samples": q_negative_samples,
+        "graph_neighbor_sample": q_neighbor_sample,
         # round-5 additions (judge asked new ops to sit inside the window;
         # token_budget/shard_shuffle/weighted rotate out — mix_epochs keeps
         # the seeded-coin sampling family's in-window row)
@@ -4594,6 +4615,30 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "emb_pq_adc_topk": _pq_sql(m=4, k=16, iters=2, seed=42, final="adc",
                                    query_id=0, top_k=10),
         "emb_cluster_sample": _kmeans_sql(k=8, iters=2, seed=42, final="sample"),
+        "graph_neighbor_sample": _G + f"""
+, s1 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+      ({_md5_long("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR) || ':42:1'")})
+        % 1000003, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 4
+),
+s2 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+      ({_md5_long("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR) || ':42:2'")})
+        % 1000003, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+roots AS (SELECT id FROM verts WHERE id % 25 = 0),
+h1 AS (SELECT r.id AS root, s.src, s.dst FROM roots r JOIN s1 s ON s.src = r.id),
+f1 AS (SELECT DISTINCT root, dst AS node FROM h1),
+h2 AS (SELECT f.root, s.src, s.dst FROM f1 f JOIN s2 s ON s.src = f.node)
+SELECT root, CAST(1 AS BIGINT) AS hop, src, dst FROM h1
+UNION ALL
+SELECT root, CAST(2 AS BIGINT) AS hop, src, dst FROM h2""",
         "graph_negative_samples": _G + f"""
 , rk AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rk FROM verts),
 nv AS (SELECT COUNT(*) AS v FROM verts),

@@ -37,8 +37,10 @@ from .paths import (  # noqa: F401
     harmonic_centrality,
     embed_walks,
     node2vec_walks,
+    neighbor_sample,
     random_walks,
     ranked_adjacency,
+    sampled_adjacency,
 )
 from .paths import betweenness_sample  # noqa: F401
 from .paths import sssp  # noqa: F401

@@ -668,3 +668,90 @@ def embed_walks(
         F.col("word").cast("long").alias("id"),
         vector_to_array("vector", "float32").alias("vector"),
     )
+
+
+def sampled_adjacency(
+    edges: DataFrame,
+    fanout: int,
+    hop: int = 1,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-node seeded neighbor sample: for every source keep the
+    ``fanout`` neighbors with the smallest ``(hash(src:dst:seed:hop)
+    mod 1000003, dst)`` draw — the content-addressed coin every sampler
+    here uses (slpa.py, text/sampling.py), so the sample is a pure
+    function of the edge and reproducible at any parallelism (and, under
+    ``hash_mode='md5'``, in any engine). One window partitioned by src —
+    per-vertex groups, never global. Returns ``(src, dst)``."""
+    from pyspark.sql import Window
+
+    if fanout < 1:
+        raise ValueError(f"fanout must be >= 1, got {fanout}")
+    draw = F.pmod(
+        _hash64(
+            F.concat_ws(
+                ":", F.col("src"), F.col("dst"), F.lit(str(seed)), F.lit(str(hop))
+            ),
+            hash_mode,
+        ),
+        F.lit(1_000_003),
+    )
+    w = Window.partitionBy("src").orderBy(draw, "dst")
+    return (
+        edges.select("src", "dst")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= fanout)
+        .drop("_r")
+    )
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    fanouts: tuple[int, ...] = (5, 3),
+    roots: DataFrame | None = None,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """GraphSAGE-style L-hop fan-out sampling (Hamilton et al., NeurIPS
+    2017) — the minibatch neighborhood extraction step of every GNN
+    training pipeline, as a relational plan. Returns one row per sampled
+    edge: ``(root, hop, src, dst)`` with hop 1..len(fanouts).
+
+    Scale shape: each hop h draws its own ``sampled_adjacency`` (hop-
+    salted coin, one src-partitioned window over E — never a global
+    window), then expands the previous hop's DISTINCT ``(root, node)``
+    frontier with ONE join into that ≤ fanout·V relation. Sampling is
+    *shared* per node within a hop — all roots reaching node v at hop h
+    see the same sampled neighbors (the draw is keyed by the edge, not
+    the root), which is what caps the join's right side at fanout·V and
+    makes the plan reusable across minibatches; resample by changing
+    ``seed``. The frontier is broadcast when small
+    (``broadcast_frontier``), the ≳10⁹-root escape hatch is the plain
+    shuffled equi-join.
+
+    Row growth is the product of fanouts per root — bounded by
+    construction (|roots|·Πf), the quantity a GNN trainer budgets for.
+
+    Reference parity note: the reference engine has no sampling ops;
+    this serves the training-data-pipeline brief (graph learning data
+    prep over the link graph).
+    """
+    if not fanouts:
+        raise ValueError("fanouts must be non-empty")
+    if roots is None:
+        roots = G.vertices(edges)
+    frontier = roots.select(F.col("id").alias("root"), F.col("id").alias("node"))
+    out = None
+    for h, f in enumerate(fanouts, start=1):
+        adj = sampled_adjacency(edges, f, hop=h, seed=seed, hash_mode=hash_mode)
+        fr = F.broadcast(frontier) if broadcast_frontier else frontier
+        hop_edges = K.materialize(
+            fr.join(adj, fr["node"] == adj["src"]).select(
+                "root", F.lit(h).alias("hop"), "src", "dst"
+            )
+        )
+        out = hop_edges if out is None else out.unionByName(hop_edges)
+        frontier = hop_edges.select("root", F.col("dst").alias("node")).distinct()
+    return out

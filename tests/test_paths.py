@@ -537,3 +537,110 @@ def test_embed_walks_clusters_planted_communities(spark):
     within = [cos(a, b) for a in range(6) for b in range(a + 1, 6)]
     across = [cos(a, b) for a in range(4) for b in range(7, 12)]
     assert sum(within) / len(within) > sum(across) / len(across) + 0.1
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style neighbor fan-out sampling
+# ---------------------------------------------------------------------------
+
+
+def _ns_transliteration(rows, fanouts, roots, seed=42):
+    """Python replica of neighbor_sample (md5 mode): per-hop shared
+    neighbor sample by (md5long(src:dst:seed:hop) % 1000003, dst), then
+    frontier expansion from the distinct (root, node) set."""
+    import hashlib
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    for s, d, _ in rows:
+        adj.setdefault(s, []).append(d)
+    out = []
+    frontier = {(r, r) for r in roots}
+    for h, f in enumerate(fanouts, start=1):
+        sampled = {
+            s: sorted(ds, key=lambda d: (md5l(f"{s}:{d}:{seed}:{h}") % 1_000_003, d))[:f]
+            for s, ds in adj.items()
+        }
+        hop_edges = set()
+        for root, node in frontier:
+            for d in sampled.get(node, []):
+                hop_edges.add((root, h, node, d))
+        out.extend(sorted(hop_edges))
+        frontier = {(r, d) for r, _, _, d in hop_edges}
+    return sorted(out)
+
+
+def test_neighbor_sample_matches_transliteration(spark):
+    from dmid_spark.algorithms import neighbor_sample
+
+    rows, n = random_graph(n=60, avg_deg=5, seed=3)
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    roots = [i for i in range(n) if i % 7 == 0]
+    roots_df = spark.createDataFrame([(r,) for r in roots], "id long")
+    got = sorted(
+        (r["root"], r["hop"], r["src"], r["dst"])
+        for r in neighbor_sample(
+            df, fanouts=(3, 2), roots=roots_df, hash_mode="md5"
+        ).collect()
+    )
+    assert got == _ns_transliteration(rows, (3, 2), roots)
+    # fan-out bound: per (root, src, hop) at most fanout_h edges
+    from collections import Counter
+
+    c = Counter((r, h, s) for r, h, s, _ in got)
+    for (_, h, _), cnt in c.items():
+        assert cnt <= (3 if h == 1 else 2)
+
+
+def test_neighbor_sample_shared_and_deterministic(spark):
+    from dmid_spark.algorithms import neighbor_sample, sampled_adjacency
+
+    rows, n = random_graph(n=50, avg_deg=6, seed=9)
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    # shared sampling: two roots reaching the same node at the same hop
+    # see identical sampled neighbors
+    all_roots = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    out = neighbor_sample(df, fanouts=(4,), roots=all_roots).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], set()).add(r["dst"])
+    adj1 = sampled_adjacency(df, 4, hop=1).collect()
+    exp = {}
+    for r in adj1:
+        exp.setdefault(r["src"], set()).add(r["dst"])
+    for s, ds in by_src.items():
+        assert ds == exp[s]
+    # partition invariance + broadcast opt-out equivalence
+    r1 = sorted(map(tuple, neighbor_sample(
+        df.repartition(1), fanouts=(3, 2), broadcast_frontier=True
+    ).collect()))
+    r7 = sorted(map(tuple, neighbor_sample(
+        df.repartition(7), fanouts=(3, 2), broadcast_frontier=False
+    ).collect()))
+    assert r1 == r7
+    # a different seed draws a different sample somewhere
+    r_seed = sorted(map(tuple, neighbor_sample(
+        df, fanouts=(3, 2), seed=43
+    ).collect()))
+    assert r_seed != r1
+
+
+def test_neighbor_sample_validations_and_hop_chain(spark):
+    import pytest as _pt
+
+    from dmid_spark.algorithms import neighbor_sample, sampled_adjacency
+
+    rows, n = random_graph(n=40, avg_deg=4, seed=5)
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    with _pt.raises(ValueError, match="non-empty"):
+        neighbor_sample(df, fanouts=())
+    with _pt.raises(ValueError, match="fanout"):
+        sampled_adjacency(df, 0)
+    out = neighbor_sample(df, fanouts=(2, 2)).collect()
+    # every hop-2 source appears as a hop-1 destination for that root
+    h1 = {(r["root"], r["dst"]) for r in out if r["hop"] == 1}
+    for r in out:
+        if r["hop"] == 2:
+            assert (r["root"], r["src"]) in h1
