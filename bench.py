@@ -692,6 +692,56 @@ def main():
         "cluster_sizes_final_iter": kstats.sizes_per_iter[-1],
     }
 
+    from dmid_spark.sim import adc_lut, pq_adc_topk, pq_encode, pq_train
+
+    pq_split = {}
+
+    def run_pq():
+        # train 4x16 subspace codebooks (2 exact-integer Lloyd iterations,
+        # one scan per iteration for all subspaces), encode the corpus to
+        # 4-code words, then ADC-score one query against every stored code
+        # (LUT folded into column expressions — a scan + TakeOrdered top-10)
+        import numpy as np
+
+        t_b = time.time()
+        cb, _ = pq_train(emb, m=4, k=16, lloyd_iters=2)
+        codes = pq_encode(emb, cb).persist()
+        n_codes = codes.count()
+        pq_split["pq_train_encode_sec"] = round(time.time() - t_b, 3)
+        qrow = emb.limit(1).select("embedding").first()
+        query = np.array(list(qrow["embedding"]), dtype=np.float64)
+        t_p = time.time()
+        top = pq_adc_topk(codes, cb, query, top_k=10).count()
+        pq_split["pq_adc_sec"] = round(time.time() - t_p, 3)
+        codes.unpersist()
+        return n_codes + top
+
+    timed("pq_encode_adc", run_pq)
+    detail["pq_split"] = pq_split
+
+    from dmid_spark.text import probe_features, probe_scores, train_probe
+
+    def run_probe():
+        # featurize -> 3 GD iterations (one aggregate action each) -> score
+        feats = probe_features(docs)
+        model = train_probe(feats, iterations=3, link="linear")
+        return probe_scores(feats, model).count(), model
+
+    (n_scored, probe_model) = timed("quality_probe", run_probe)
+    detail["quality_probe"] = {
+        "rows": int(n_scored),
+        "mse_per_iter": [round(v, 6) for v in probe_model.loss_per_iter],
+    }
+
+    from dmid_spark.algorithms import neighbor_sample
+
+    def run_neighbor_sample():
+        roots = G.vertices(edges).filter(F.col("id") % 20 == 0)
+        return neighbor_sample(edges, fanouts=(10, 5), roots=roots).count()
+
+    n_sampled = timed("neighbor_sample_2hop", run_neighbor_sample)
+    detail["neighbor_sample_2hop"] = {"sampled_edges": int(n_sampled)}
+
     from dmid_spark.algorithms import best_sweep_cut, personalized_pagerank, sweep_cut
     from dmid_spark.graph import pmi_weights, vertices as g_vertices
 
