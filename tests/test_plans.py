@@ -824,3 +824,76 @@ def test_negative_samples_rank_and_anti_joins_broadcast(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "_pid" in line, f"unpartitioned window: {line}"
+
+
+def test_pq_encode_no_exchange_and_adc_scan_takeordered(spark):
+    # encode is pure mapInPandas over the scan (zero shuffles); ADC scoring
+    # is JVM column arithmetic (no Python eval) and the global top-k is a
+    # TakeOrderedAndProject, never a full sort-shuffle
+    import numpy as np
+
+    from dmid_spark.sim import pq_adc_topk, pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb, _ = pq_train(emb, m=4, k=4, lloyd_iters=1)
+    codes = pq_encode(emb, cb)
+    assert "Exchange" not in plan_of(codes)
+    q = np.zeros(cb.shape[0] * cb.shape[2])
+    scored = pq_adc_topk(codes, cb, q, top_k=5)
+    plan = plan_of(scored)
+    assert "TakeOrderedAndProject" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_probe_gradient_agg_combines_map_side(spark):
+    # each GD iteration is ONE aggregate over the feature scan with a
+    # partial_sum stage before the exchange (map-side combine), and the
+    # whole featurize+gradient pipeline stays JVM-side
+    from dmid_spark.text.probe import _z, probe_features
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = probe_features(docs)
+    cols = ["x0", "x1", "x2", "x3", "x4"]
+    resid = _z([0.1] * 5, cols) - F.col("y")
+    agg = feats.agg(
+        *[
+            F.sum(F.floor(resid * F.col(c) * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            for c in cols
+        ],
+        F.count("*"),
+    )
+    plan = plan_of(agg)
+    assert "partial_sum" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_neighbor_sample_windows_partitioned_frontier_broadcast(spark):
+    # per-hop sample windows partition by src (never global) and the
+    # frontier expansion joins broadcast at minibatch scale
+    from dmid_spark.algorithms import sampled_adjacency
+
+    rows, _ = random_graph(n=80, seed=31)
+    edges = G.edges_from_rows(spark, rows)
+    roots = spark.createDataFrame([(i,) for i in range(0, 80, 8)], "id long")
+    adj = sampled_adjacency(edges, 3, hop=1)
+    adj_plan = plan_of(adj)
+    assert "SinglePartition" not in adj_plan
+    for line in adj_plan.splitlines():
+        if "Window [" in line:
+            assert "src" in line.split("Window [", 1)[1], (
+                f"window not partitioned by src: {line}"
+            )
+    # the hop expansion neighbor_sample materializes: broadcast frontier
+    # joined into the fanout-bounded sample — inspected pre-materialization
+    # (K.materialize truncates the assembled plan to RDD scans by design)
+    fr = F.broadcast(roots.select(F.col("id").alias("root"), F.col("id").alias("node")))
+    hop = fr.join(adj, fr["node"] == adj["src"]).select(
+        "root", F.lit(1).alias("hop"), "src", "dst"
+    )
+    hop_plan = plan_of(hop)
+    assert "BroadcastHashJoin" in hop_plan
+    assert "SinglePartition" not in hop_plan
