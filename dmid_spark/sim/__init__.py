@@ -21,6 +21,8 @@ from .pca import (  # noqa: F401
 from .pq import (  # noqa: F401
     PQStats,
     adc_lut,
+    ivfpq_build,
+    ivfpq_topk,
     pq_adc_topk,
     pq_encode,
     pq_train,

@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import QUANT_SCALE, _dist2, _init_centroids
+from .kmeans import QUANT_SCALE, _dist2, _init_centroids, kmeans
 
 
 @dataclass
@@ -237,4 +237,177 @@ def pq_adc_topk(
 
     return w_ordered.withColumn(
         "rank", F.row_number().over(Window.orderBy("approx_d2", "id"))
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_coarse: int = 8,
+    m: int = 4,
+    k: int = 16,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    quant_scale: int = QUANT_SCALE,
+) -> tuple[DataFrame, np.ndarray, np.ndarray, PQStats]:
+    """IVF-PQ index build (Jégou et al. §IV): a coarse quantizer over the
+    full vectors (Euclidean k-means — the :mod:`.kmeans` exact
+    integer-quantized chain, NOT ivf_build's float spherical path, so the
+    whole index trains bit-replayably), then product quantization of the
+    RESIDUAL ``v − coarse[cell]`` — the device that makes m tiny codes
+    describe a vector to useful precision, because residuals concentrate
+    near 0 regardless of which cell a vector lives in.
+
+    Returns ``(index, coarse_centroids, codebooks, stats)`` where index =
+    ``(id, cluster, codes array<int>)`` — the (n_coarse + m·k·D/m)-float
+    model plus C+m small ints per vector is the entire ANN state.
+
+    Scale shape: coarse train = (coarse_iters+1) scans (kmeans), residual
+    pass = one Arrow scan (centroid matrix broadcast), PQ train =
+    pq_iters scans over residuals, encode = one more — every stage is a
+    corpus scan with driver-resident small state, zero shuffles.
+    Residual arithmetic is exact IEEE subtraction of engine-identical
+    doubles, so the SQL twin replays coarse → residual → codebooks →
+    codes end to end."""
+    assigned, coarse, _ = kmeans(
+        corpus, k=n_coarse, lloyd_iters=coarse_iters, id_col=id_col,
+        vec_col=vec_col, seed=seed, hash_mode=hash_mode, quant_scale=quant_scale,
+    )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(coarse)
+    prepared = assigned.select(
+        F.col(id_col), F.col("cluster"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+
+    def resid(it, _bc=bc, _id=id_col):
+        for pdf in it:
+            vecs = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+            res = vecs - _bc.value[pdf["cluster"].to_numpy()]
+            out = pdf[[_id, "cluster"]].copy()
+            out["residual"] = list(res)
+            yield out
+
+    residuals = prepared.mapInPandas(
+        resid, f"{id_col} long, cluster int, residual array<double>"
+    )
+    from .. import kernel as K
+
+    residuals = K.materialize(residuals)
+    codebooks, stats = pq_train(
+        residuals, m=m, k=k, lloyd_iters=pq_iters, id_col=id_col,
+        vec_col="residual", seed=seed, hash_mode=hash_mode,
+        quant_scale=quant_scale,
+    )
+    codes = pq_encode(residuals, codebooks, id_col=id_col, vec_col="residual")
+    return codes, coarse, codebooks, stats
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    n_probe: int = 3,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+    rerank: DataFrame | None = None,
+    rerank_mult: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probed ADC search: pick the ``n_probe`` coarse cells nearest the
+    query (driver-side — C is tiny), build one residual lookup table per
+    probed cell (the query's residual differs per cell), and score ONLY
+    rows in probed cells with pure JVM expressions — a filtered scan +
+    TakeOrderedAndProject, no join, no Python. Distances and ranks
+    quantize at ``round_dp`` with id tiebreak (stable across engines).
+
+    ``rerank`` (the original vector table) enables the FAISS
+    IndexRefineFlat refinement: the ADC shortlist of
+    ``top_k·rerank_mult`` ids — a driver-resident handful — broadcast-
+    semi-joins back into the vector table and the final top_k orders by
+    EXACT distance (one ``aggregate`` HOF over the zipped difference, a
+    fixed sequential fold). ADC's code-quantization error then only has
+    to land the true neighbors in the shortlist, not rank them — the
+    device that buys back recall when subquantizer distortion is
+    comparable to the neighbor-distance gaps (isotropic/high-dim data).
+
+    The per-cell LUT literal is ``n_probe·m·k`` doubles folded into the
+    plan — at production shape (n_probe 32, m 16, k 256) ~1 MB of plan
+    constants; past that, ship the LUT as a broadcast map join instead."""
+    n_coarse = coarse.shape[0]
+    m, kk, dsub = codebooks.shape
+    # coarse distances via the same sequential expansion the twin uses
+    cd = []
+    for c in range(n_coarse):
+        qq = qc = cc = 0.0
+        for j in range(len(query)):
+            qq += query[j] * query[j]
+            qc += query[j] * coarse[c, j]
+            cc += coarse[c, j] * coarse[c, j]
+        cd.append((qq - 2.0 * qc + cc, c))
+    probed = [c for _, c in sorted(cd)[:n_probe]]
+    # per-cell residual LUTs, dense over all cells (unprobed rows filtered)
+    luts = np.zeros((n_coarse, m, kk), dtype=np.float64)
+    for c in probed:
+        luts[c] = adc_lut(codebooks, query - coarse[c])
+    nested = [
+        F.array(*[
+            F.array(*[F.lit(float(luts[c, s, j])) for j in range(kk)])
+            for c in range(n_coarse)
+        ])
+        for s in range(m)
+    ]
+    terms = [
+        F.element_at(
+            F.element_at(nested[s], F.col("cluster") + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        for s in range(m)
+    ]
+    d2 = terms[0]
+    for t in terms[1:]:
+        d2 = d2 + t
+    scored = (
+        index.filter(F.col("cluster").isin([int(c) for c in probed]))
+        .select(
+            F.col(id_col).alias("id"),
+            (F.round(d2, round_dp) + F.lit(0.0)).alias("approx_d2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    if rerank is None:
+        out = scored.orderBy("approx_d2", "id").limit(top_k)
+        return out.withColumn(
+            "rank", F.row_number().over(Window.orderBy("approx_d2", "id"))
+        )
+    short = scored.orderBy("approx_d2", "id").limit(top_k * rerank_mult)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    # exact |q - v|^2 as one sequential fold over the zipped difference —
+    # the same left-to-right order the SQL twin's unrolled sum uses
+    exact_d2 = F.aggregate(
+        F.zip_with(
+            qlit, F.col(vec_col).cast("array<double>"), lambda a, b: a - b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    refined = (
+        rerank.join(
+            F.broadcast(short.select("id")),
+            rerank[id_col] == F.col("id"),
+        )
+        .select(
+            "id", (F.round(exact_d2, round_dp) + F.lit(0.0)).alias("exact_d2")
+        )
+        .orderBy("exact_d2", "id")
+        .limit(top_k)
+    )
+    return refined.withColumn(
+        "rank", F.row_number().over(Window.orderBy("exact_d2", "id"))
     )

@@ -850,3 +850,126 @@ def test_pq_quantizes_toward_cluster_structure(spark):
         err_pq += float(((data[i] - recon) ** 2).sum())
         err_zero += float(((data[i] - zero) ** 2).sum())
     assert err_pq < err_zero
+
+
+def _ivfpq_numpy_oracle(rows, n_coarse, m, k, coarse_iters, pq_iters,
+                        seed=42, scale=1_000_000):
+    """Transliteration of sim.pq.ivfpq_build: the _kmeans_numpy_oracle
+    coarse chain, exact residuals, then the _pq_numpy_oracle chains over
+    residual slices (same md5 seed order — identical ids and seed)."""
+    ids, coarse_cells, _, coarse_c = _kmeans_numpy_oracle(
+        rows, k=n_coarse, iters=coarse_iters, seed=seed, scale=scale
+    )
+    data = {
+        i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v, *_ in rows
+    }
+    resid_rows = [
+        (i, (data[i] - coarse_c[coarse_cells[j]]).tolist())
+        for j, i in enumerate(ids)
+    ]
+    # residuals are float64 already; _pq_numpy_oracle's float32 cast must
+    # not apply — inline the same chain with float64 passthrough
+    import hashlib
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rdata = {i: np.asarray(v, dtype=np.float64) for i, v in resid_rows}
+    order = sorted(rdata, key=lambda i: (md5l(str(i + seed)) % 1_000_003, i))
+    vecs = np.array([rdata[i] for i in ids])
+    dim = vecs.shape[1]
+    dsub = dim // m
+    cents = np.stack(
+        [
+            np.array(
+                [
+                    np.floor(rdata[i][s * dsub:(s + 1) * dsub] * scale + 0.5) / scale
+                    for i in order[:k]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+    def d2(v, c):
+        return (v * v).sum(1, keepdims=True) - 2 * v @ c.T + (c * c).sum(1)[None, :]
+
+    for _ in range(pq_iters):
+        nxt = cents.copy()
+        for s in range(m):
+            sub = vecs[:, s * dsub:(s + 1) * dsub]
+            cell = d2(sub, cents[s]).argmin(1)
+            quant = np.floor(sub * scale + 0.5).astype(np.int64)
+            for c in range(k):
+                msk = cell == c
+                if msk.sum():
+                    nxt[s][c] = quant[msk].sum(0).astype(np.float64) / (
+                        msk.sum() * float(scale)
+                    )
+        cents = nxt
+    codes = np.stack(
+        [d2(vecs[:, s * dsub:(s + 1) * dsub], cents[s]).argmin(1) for s in range(m)],
+        axis=1,
+    )
+    return ids, dict(zip(ids, coarse_cells)), codes, coarse_c, cents
+
+
+def test_ivfpq_build_matches_numpy_oracle(spark):
+    from dmid_spark.sim import ivfpq_build
+
+    df, rows = emb_df(spark, n=90, dim=12, seed=13, clusters=5)
+    idx, coarse, cb, stats = ivfpq_build(
+        df, n_coarse=4, m=3, k=5, hash_mode="md5", seed=42
+    )
+    ids, exp_cl, exp_codes, exp_coarse, exp_cb = _ivfpq_numpy_oracle(
+        rows, n_coarse=4, m=3, k=5, coarse_iters=2, pq_iters=2
+    )
+    np.testing.assert_allclose(coarse, exp_coarse, rtol=0, atol=0)
+    np.testing.assert_allclose(cb, exp_cb, rtol=0, atol=0)
+    got = {r["vec_id"]: (r["cluster"], list(r["codes"])) for r in idx.collect()}
+    assert len(got) == 90
+    for j, i in enumerate(ids):
+        assert got[i][0] == exp_cl[i]
+        assert got[i][1] == exp_codes[j].tolist()
+    assert stats.m == 3 and stats.dsub == 4
+
+
+def test_ivfpq_topk_rerank_beats_adc_and_is_partition_invariant(spark):
+    from dmid_spark.sim import ivfpq_build, ivfpq_topk
+
+    df, rows = emb_df(spark, n=80, dim=16, seed=21, clusters=4)
+    data = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v, _ in rows}
+    idx, coarse, cb, _ = ivfpq_build(df, n_coarse=4, m=4, k=8, hash_mode="md5")
+    idx = idx.persist()
+    q = data[0]
+    exact = sorted(data, key=lambda i: float(((q - data[i]) ** 2).sum()))[:5]
+
+    def rec(out):
+        got = [r["id"] for r in out.collect()]
+        return len(set(got) & set(exact)) / 5
+
+    plain = rec(ivfpq_topk(idx, coarse, cb, q, n_probe=4, top_k=5))
+    refined = rec(
+        ivfpq_topk(idx, coarse, cb, q, n_probe=4, top_k=5, rerank=df, rerank_mult=8)
+    )
+    # exact rerank of the ADC shortlist can only help; on planted clusters
+    # with all cells probed it recovers the true neighbors
+    assert refined >= plain
+    assert refined == 1.0
+    # rerank distances are the exact |q - v|^2 (6dp)
+    out = ivfpq_topk(
+        idx, coarse, cb, q, n_probe=4, top_k=5, rerank=df, rerank_mult=8
+    ).collect()
+    for r in out:
+        true = float(((q - data[r["id"]]) ** 2).sum())
+        np.testing.assert_allclose(r["exact_d2"], round(true, 6), atol=2e-6)
+    # index build is partition invariant (exact integer devices end to end)
+    idx2, coarse2, cb2, _ = ivfpq_build(
+        df.repartition(7), n_coarse=4, m=4, k=8, hash_mode="md5"
+    )
+    np.testing.assert_allclose(coarse, coarse2, rtol=0, atol=0)
+    np.testing.assert_allclose(cb, cb2, rtol=0, atol=0)
+    a = sorted((r["vec_id"], r["cluster"], tuple(r["codes"])) for r in idx.collect())
+    b = sorted((r["vec_id"], r["cluster"], tuple(r["codes"])) for r in idx2.collect())
+    assert a == b
+    idx.unpersist()
