@@ -29,6 +29,7 @@ from .spectral import (  # noqa: F401
     hits,
     katz_centrality,
     personalized_pagerank,
+    salsa,
     sweep_cut,
 )
 from .scc import strongly_connected_components  # noqa: F401
@@ -52,4 +53,10 @@ from .percolation import (  # noqa: F401
     triangle_list,
 )
 from .mst import minimum_spanning_forest  # noqa: F401
-from .propagation import features_long, features_wide, smooth_features  # noqa: F401
+from .propagation import (  # noqa: F401
+    features_long,
+    features_wide,
+    label_spreading,
+    smooth_features,
+    spread_labels,
+)

@@ -71,6 +71,139 @@ def _hop(arcs: DataFrame, x: DataFrame) -> DataFrame:
     )
 
 
+def _sym_norm_arcs(edges: DataFrame, self_loop: bool) -> DataFrame:
+    """Symmetric-normalized arc list ``(u, v, nw = w / sqrt(d_u d_v))``
+    over the undirected weight-summed view of ``edges``. ``self_loop=True``
+    adds the +I loop of A_hat = A + I (SGC smoothing); ``False`` is the
+    plain S = D^-1/2 W D^-1/2 of label spreading (isolated vertices get
+    no arcs — their S row is zero)."""
+    sym = (
+        G.drop_self_loops(edges)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    both = sym.select("u", "v", "w").unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    bonus = 1.0 if self_loop else 0.0
+    deg = (
+        G.vertices(edges)
+        .join(both.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("d")), "id", "left")
+        .select("id", (F.coalesce("d", F.lit(0.0)) + F.lit(bonus)).alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    arcs = (
+        both.join(du, "u").join(dv, "v")
+        .select("u", "v", (F.col("w") / F.sqrt(F.col("du") * F.col("dv"))).alias("nw"))
+    )
+    if self_loop:
+        arcs = arcs.unionByName(
+            deg.select(
+                F.col("id").alias("u"), F.col("id").alias("v"),
+                (F.lit(1.0) / F.col("d")).alias("nw"),
+            )
+        )
+    return arcs
+
+
+def label_spreading(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    iterations: int = 5,
+    id_col: str = "id",
+    label_col: str = "label",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Soft multi-class label spreading (Zhou et al., "Learning with Local
+    and Global Consistency", NIPS 2004): ``F ← α·S·F + (1−α)·Y`` from
+    ``F⁰ = Y``, where ``S = D^-1/2 W D^-1/2`` over the undirected
+    weight-summed view of ``edges`` and ``Y`` is the one-hot seed matrix
+    from ``seeds(id, label)``. The soft-score generalization of the X33
+    seeded LPA: every vertex ends with a score per class, seeds stay
+    anchored by the (1−α) clamp instead of a hard freeze.
+
+    Returns the long form ``(id, label, score)``; absent rows are exact
+    zeros (a vertex unreachable from any seed has no rows). ``round_dp``
+    quantizes the final scores, collapsing IEEE −0.0 (engine-twin hash
+    stability). Complements, not replaces, ``lpa.label_propagation``:
+    this is the diffusion (harmonic-function) semantics, LPA the
+    mode-of-neighbors semantics.
+
+    Scale: per iteration one O(E·C_active) arcs⋈scores join + map-side
+    combined (id, label) sum, then a full-outer join against the O(|seeds|)
+    clamp table — shuffle volume bounded by edges × classes-with-mass,
+    never V×C dense. Same plan family as smooth_features (X32); the twin
+    unrolls exactly.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    arcs = K.materialize(_sym_norm_arcs(edges, self_loop=False))
+    y = K.materialize(
+        seeds.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("long").alias("label"),
+            F.lit(1.0).alias("value"),
+        ).distinct()
+    )
+    x = y
+    for _ in range(iterations):
+        hop = (
+            arcs.join(
+                x.select(F.col("id").alias("u"), "label", "value"), "u"
+            )
+            .groupBy(F.col("v").alias("id"), "label")
+            .agg(F.sum(F.col("nw") * F.col("value")).alias("hv"))
+        )
+        x = K.materialize(
+            hop.join(
+                y.select("id", "label", F.col("value").alias("yv")),
+                ["id", "label"],
+                "full_outer",
+            ).select(
+                "id",
+                "label",
+                (
+                    F.lit(float(alpha)) * F.coalesce("hv", F.lit(0.0))
+                    + F.lit(1.0 - float(alpha)) * F.coalesce("yv", F.lit(0.0))
+                ).alias("value"),
+            )
+        )
+    if round_dp is not None:
+        # +0.0 collapses IEEE -0.0 (same device as smooth_features)
+        x = x.select(
+            "id", "label", (F.round("value", round_dp) + F.lit(0.0)).alias("value")
+        )
+    return x.select("id", "label", F.col("value").alias("score"))
+
+
+def spread_labels(scores: DataFrame, round_dp: int = 9) -> DataFrame:
+    """Argmax decision over ``label_spreading`` output: per id the
+    max-score class, ties broken toward the smaller label. Scores are
+    quantized before comparison so the argmax is engine-portable (the
+    tfidf/sweep-cut device). One per-id window over the C-bounded score
+    rows — partitioned by id, never global."""
+    from pyspark.sql import Window
+
+    q = scores.select(
+        "id", "label", (F.round("score", round_dp) + F.lit(0.0)).alias("q")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("q"), F.asc("label"))
+    return (
+        q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "label", F.col("q").alias("score"))
+    )
+
+
 def smooth_features(
     edges: DataFrame,
     features: DataFrame,

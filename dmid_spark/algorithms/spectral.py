@@ -123,6 +123,124 @@ def hits(
     return out, stats
 
 
+def salsa(
+    edges: DataFrame,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    weighted: bool = False,
+    broadcast_state: bool = True,
+) -> tuple[DataFrame, HitsStats]:
+    """SALSA (Lempel & Moran, WWW 2000): the stochastic cousin of HITS —
+    hub/authority scores from the two bipartite random-walk chains over
+    row- and column-normalized adjacency instead of HITS's unnormalized
+    mutual reinforcement. This is the link-analysis score behind
+    large-scale who-to-follow recommendation; its key property is that a
+    high-out-degree spammer cannot concentrate authority the way it can
+    under HITS (each hub's vote mass is split by its out-degree).
+
+    Power iteration on the authority chain ``a ← W_cᵀ (W_r a)`` and hub
+    chain ``h ← W_r (W_cᵀ h)``, where ``W_r(u,v) = w(u,v)/outdeg(u)`` and
+    ``W_c(u,v) = w(u,v)/indeg(v)``; both vectors L1-normalized per
+    iteration (walk distributions). Stops on summed L1 delta < ``tol``.
+    Vertices with no in-edges get authority 0, no out-edges → hub 0.
+
+    Scale: identical plan family to :func:`hits` — the two normalized arc
+    tables are materialized once (two map-side-combined degree aggregates
+    + hash joins), then every iteration is two spmv_join_step passes and
+    two single-row L1 scalars. ``broadcast_state=False`` is the shared
+    ≳10⁹-vertex escape hatch.
+    """
+    t0 = time.time()
+    stats = HitsStats()
+    w = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("weight"))
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("od"))
+    indeg = e.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("ind"))
+    # W_r as arcs src→dst (weight/outdeg); W_cᵀ as arcs dst→src (weight/indeg)
+    w_r = K.materialize(
+        e.join(outdeg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("weight") / F.col("od")).alias("weight"))
+    )
+    w_ct = K.materialize(
+        e.join(indeg.withColumnRenamed("id", "dst"), "dst")
+        .select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            (F.col("weight") / F.col("ind")).alias("weight"),
+        )
+    )
+    verts = K.materialize(G.vertices(edges))
+    n = verts.count()
+    auth = K.materialize(verts.select("id", F.lit(1.0 / n).alias("value")))
+    hub = K.materialize(verts.select("id", F.lit(1.0 / n).alias("value")))
+
+    def l1_normalize(x: DataFrame) -> DataFrame:
+        s = float(x.agg(F.sum(F.abs(F.col("value"))).alias("s")).first()["s"] or 0.0)
+        if s == 0.0:
+            return x
+        return x.select("id", (F.col("value") / F.lit(s)).alias("value"))
+
+    for i in range(1, max_iter + 1):
+        # a' = W_rᵀ (W_c a): backward along in-links (W_c), forward along
+        # out-links (W_rᵀ). spmv_join_step(arcs, x) sums weight·x[src] into
+        # dst, so w_r arcs (u→v, W_r(u,v)) give W_rᵀx and w_ct arcs
+        # (v→u, W_c(u,v)) give W_c·x.
+        new_auth = K.materialize(
+            l1_normalize(
+                K.complete_vector(
+                    K.spmv_join_step(
+                        w_r,
+                        K.complete_vector(
+                            K.spmv_join_step(w_ct, auth, broadcast_state=broadcast_state),
+                            verts,
+                        ),
+                        broadcast_state=broadcast_state,
+                    ),
+                    verts,
+                )
+            )
+        )
+        # h' = W_c (W_rᵀ h)
+        new_hub = K.materialize(
+            l1_normalize(
+                K.complete_vector(
+                    K.spmv_join_step(
+                        w_ct,
+                        K.complete_vector(
+                            K.spmv_join_step(w_r, hub, broadcast_state=broadcast_state),
+                            verts,
+                        ),
+                        broadcast_state=broadcast_state,
+                    ),
+                    verts,
+                )
+            )
+        )
+        delta_row = (
+            new_auth.join(auth.select("id", F.col("value").alias("old")), "id")
+            .select(F.abs(F.col("value") - F.col("old")).alias("d"))
+            .unionByName(
+                new_hub.join(hub.select("id", F.col("value").alias("old")), "id")
+                .select(F.abs(F.col("value") - F.col("old")).alias("d"))
+            )
+            .agg(F.sum("d").alias("s"))
+            .first()
+        )
+        delta = float(delta_row["s"] or 0.0)
+        stats.deltas.append(delta)
+        stats.iterations = i
+        auth, hub = new_auth, new_hub
+        if delta < tol:
+            stats.converged = True
+            break
+    out = (
+        hub.select("id", F.col("value").alias("hub"))
+        .join(auth.select("id", F.col("value").alias("authority")), "id")
+    )
+    stats.wall_sec = time.time() - t0
+    return out, stats
+
+
 @dataclass
 class PprStats:
     iterations: int = 0

@@ -498,6 +498,94 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
+def attribute_mixing(
+    edges: DataFrame,
+    attrs: DataFrame,
+    id_col: str = "id",
+    attr_col: str = "attr",
+    weighted: bool = False,
+) -> DataFrame:
+    """Categorical mixing matrix (Newman, "Mixing patterns in networks",
+    PRE 2003 §II): ``(attr_src, attr_dst, mass, fraction)`` — the share of
+    directed edge mass flowing from category i to category j. Edges whose
+    endpoint lacks an attribute row are dropped (documented; count them
+    upstream if needed). ``weighted=True`` uses edge weights as mass,
+    else each edge counts 1.
+
+    Scale: two hash joins of the edge table against the O(V) attribute
+    relation, then one map-side-combined (i, j) aggregate — output is
+    C×C-bounded, never per-edge. The grand total joins in as a broadcast
+    scalar, no driver action.
+    """
+    a_src = attrs.select(F.col(id_col).alias("src"), F.col(attr_col).alias("attr_src"))
+    a_dst = attrs.select(F.col(id_col).alias("dst"), F.col(attr_col).alias("attr_dst"))
+    mass = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    cells = (
+        edges.join(a_src, "src")
+        .join(a_dst, "dst")
+        .groupBy("attr_src", "attr_dst")
+        .agg(F.sum(mass).alias("mass"))
+    )
+    total = cells.agg(F.sum("mass").alias("_tot"))
+    return cells.join(F.broadcast(total)).select(
+        "attr_src",
+        "attr_dst",
+        "mass",
+        (F.col("mass") / F.col("_tot")).alias("fraction"),
+    )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    id_col: str = "id",
+    attr_col: str = "attr",
+    weighted: bool = False,
+) -> DataFrame:
+    """Newman's categorical assortativity coefficient over the mixing
+    matrix e: ``r = (Σᵢ eᵢᵢ − Σᵢ aᵢ bᵢ) / (1 − Σᵢ aᵢ bᵢ)`` with
+    ``aᵢ = Σⱼ eᵢⱼ`` (row sums), ``bⱼ = Σᵢ eᵢⱼ`` (column sums). One row
+    ``(n_categories, trace, agreement, r)``; ``r`` is NULL when every edge
+    sits in one category (denominator 0 — undefined by definition; the
+    companion homophily reading is the raw ``trace``).
+
+    Scale: everything downstream of :func:`attribute_mixing` runs on the
+    C×C cell table — two C-row marginal aggregates joined back on the
+    category key, then one scalar row. Nothing beyond the two O(E) joins
+    of the mixing step touches the edge table.
+    """
+    e = attribute_mixing(edges, attrs, id_col, attr_col, weighted)
+    row = e.groupBy(F.col("attr_src").alias("cat")).agg(F.sum("fraction").alias("a"))
+    col = e.groupBy(F.col("attr_dst").alias("cat")).agg(F.sum("fraction").alias("b"))
+    ab = (
+        row.join(col, "cat", "full_outer")
+        .select((F.coalesce("a", F.lit(0.0)) * F.coalesce("b", F.lit(0.0))).alias("ab"))
+        .agg(F.sum("ab").alias("sum_ab"))
+    )
+    trace = e.filter(F.col("attr_src") == F.col("attr_dst")).agg(
+        F.sum("fraction").alias("trace")
+    )
+    ncat = (
+        e.select(F.col("attr_src").alias("cat"))
+        .unionByName(e.select(F.col("attr_dst").alias("cat")))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_categories"))
+    )
+    return (
+        ncat.join(F.broadcast(trace.select(F.coalesce("trace", F.lit(0.0)).alias("trace"))))
+        .join(F.broadcast(ab))
+        .select(
+            "n_categories",
+            "trace",
+            F.col("sum_ab").alias("agreement"),
+            F.when(
+                F.lit(1.0) - F.col("sum_ab") != 0.0,
+                (F.col("trace") - F.col("sum_ab")) / (F.lit(1.0) - F.col("sum_ab")),
+            ).alias("r"),
+        )
+    )
+
+
 def negative_samples(
     edges: DataFrame,
     n_neg: int = 2,

@@ -7,6 +7,7 @@ from itertools import combinations
 import pytest
 from pyspark.sql import functions as F
 
+from fixtures import two_cliques_bridge
 from dmid_spark.algorithms import (
     clique_graph_edges,
     kclique_communities,
@@ -366,3 +367,95 @@ def test_features_wide_densifies_missing_dims(spark):
     # explicit width overrides the observed max
     back5 = {r.id: r.features for r in features_wide(long_df, n_dims=5).collect()}
     assert back5[2] == [0.0] * 5 and back5[1] == [1.0, 0.0, 3.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# label spreading (Zhou et al. 2004)
+# ---------------------------------------------------------------------------
+def _spreading_oracle(rows, n, seeds, alpha, iters):
+    """NumPy transliteration: F <- alpha S F + (1-alpha) Y from F0 = Y,
+    S = D^-1/2 W D^-1/2 over the undirected weight-summed view."""
+    import numpy as np
+
+    # undirected weight-summed view collapses (u,v)/(v,u) duplicates first
+    W2 = np.zeros((n, n))
+    for s, d, w in rows:
+        if s == d:
+            continue
+        u, v = min(s, d), max(s, d)
+        W2[u, v] += w
+    W = W2 + W2.T
+    deg = W.sum(axis=1)
+    inv = np.divide(1.0, np.sqrt(deg), out=np.zeros(n), where=deg > 0)
+    S = W * inv[:, None] * inv[None, :]
+    classes = sorted({c for _, c in seeds})
+    Y = np.zeros((n, len(classes)))
+    for i, c in seeds:
+        Y[i, classes.index(c)] = 1.0
+    X = Y.copy()
+    for _ in range(iters):
+        X = alpha * (S @ X) + (1 - alpha) * Y
+    return classes, X
+
+
+def test_label_spreading_matches_numpy(spark):
+    import numpy as np
+
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_spreading
+
+    rows, n = two_cliques_bridge()
+    seeds = [(0, 7), (6, 3)]  # one labeled node per clique, arbitrary class ids
+    sdf = spark.createDataFrame(seeds, "id long, label long")
+    out = label_spreading(
+        G.edges_from_rows(spark, rows), sdf, alpha=0.85, iterations=4
+    )
+    classes, X = _spreading_oracle(rows, n, seeds, alpha=0.85, iters=4)
+    got = np.zeros((n, len(classes)))
+    for r in out.collect():
+        got[r["id"], classes.index(r["label"])] = r["score"]
+    assert np.allclose(got, X, atol=1e-9)
+    # diffusion assigns each clique to its seed's class
+    from dmid_spark.algorithms import spread_labels
+
+    pred = {r["id"]: r["label"] for r in spread_labels(out).collect()}
+    assert all(pred[i] == 7 for i in range(6))
+    assert all(pred[i] == 3 for i in range(6, 12))
+
+
+def test_label_spreading_zero_iterations_is_seed_matrix(spark):
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_spreading
+
+    rows, _ = two_cliques_bridge()
+    sdf = spark.createDataFrame([(0, 1), (3, 2)], "id long, label long")
+    out = label_spreading(G.edges_from_rows(spark, rows), sdf, iterations=0)
+    got = {(r["id"], r["label"]): r["score"] for r in out.collect()}
+    assert got == {(0, 1): 1.0, (3, 2): 1.0}
+
+
+def test_label_spreading_isolated_seed_keeps_clamp_mass(spark):
+    """A seed with no edges has a zero S row: its score settles at
+    (1-alpha) * 1 after any iteration count >= 1."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_spreading
+
+    rows = [(0, 1, 1.0), (1, 0, 1.0)]
+    edges = G.edges_from_rows(spark, rows)
+    # vertex 5 exists only as a seed (not in the edge table)
+    sdf = spark.createDataFrame([(5, 9)], "id long, label long")
+    out = label_spreading(edges, sdf, alpha=0.8, iterations=3)
+    got = {(r["id"], r["label"]): r["score"] for r in out.collect()}
+    assert got[(5, 9)] == pytest.approx(0.2, abs=1e-12)
+
+
+def test_label_spreading_validates_args(spark):
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_spreading
+
+    rows, _ = two_cliques_bridge()
+    sdf = spark.createDataFrame([(0, 1)], "id long, label long")
+    with pytest.raises(ValueError):
+        label_spreading(G.edges_from_rows(spark, rows), sdf, iterations=-1)
+    with pytest.raises(ValueError):
+        label_spreading(G.edges_from_rows(spark, rows), sdf, alpha=1.5)

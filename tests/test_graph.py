@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import oracles as O
 from fixtures import GOLDEN_EDGES, GOLDEN_N, random_graph, sparse_ids_graph
@@ -306,3 +307,74 @@ def test_negative_samples_deterministic_and_clean(spark):
         assert (s, n) not in edge_set and n != s and n != d
     # drops are the exception, not the rule, on a sparse graph
     assert len(got) > 2 * len(edge_set)
+
+
+# ---------------------------------------------------------------------------
+# categorical attribute mixing / assortativity (Newman PRE 2003)
+# ---------------------------------------------------------------------------
+def _attr_assort_oracle(edge_rows, attr, weighted=False):
+    """Transliteration: mixing matrix fractions -> r."""
+    from collections import defaultdict
+
+    cells = defaultdict(float)
+    for s, d, w in edge_rows:
+        if s in attr and d in attr:
+            cells[(attr[s], attr[d])] += w if weighted else 1.0
+    tot = sum(cells.values())
+    e = {k: v / tot for k, v in cells.items()}
+    cats = {c for k in e for c in k}
+    a = {c: sum(v for (i, _), v in e.items() if i == c) for c in cats}
+    b = {c: sum(v for (_, j), v in e.items() if j == c) for c in cats}
+    trace = sum(v for (i, j), v in e.items() if i == j)
+    sum_ab = sum(a.get(c, 0.0) * b.get(c, 0.0) for c in cats)
+    r = None if (1.0 - sum_ab) == 0.0 else (trace - sum_ab) / (1.0 - sum_ab)
+    return e, trace, sum_ab, r
+
+
+def test_attribute_mixing_matches_oracle(spark):
+    from dmid_spark.graph import attribute_assortativity, attribute_mixing
+
+    rows, n = random_graph(n=60, seed=5)
+    attr = {i: f"c{i % 4}" for i in range(n)}
+    edges = G.edges_from_rows(spark, rows)
+    attrs = spark.createDataFrame(list(attr.items()), "id long, attr string")
+    for weighted in (False, True):
+        e, trace, sum_ab, r = _attr_assort_oracle(rows, attr, weighted)
+        got_e = {
+            (x["attr_src"], x["attr_dst"]): x["fraction"]
+            for x in attribute_mixing(edges, attrs, weighted=weighted).collect()
+        }
+        assert set(got_e) == set(e)
+        assert all(abs(got_e[k] - e[k]) < 1e-12 for k in e)
+        row = attribute_assortativity(edges, attrs, weighted=weighted).first()
+        assert row["trace"] == pytest.approx(trace, abs=1e-12)
+        assert row["agreement"] == pytest.approx(sum_ab, abs=1e-12)
+        assert row["r"] == pytest.approx(r, abs=1e-9)
+
+
+def test_attribute_assortativity_extremes(spark):
+    from dmid_spark.graph import attribute_assortativity
+
+    # perfectly assortative: edges only within categories -> r = 1
+    rows = [(0, 1, 1.0), (1, 0, 1.0), (2, 3, 1.0), (3, 2, 1.0)]
+    attrs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "id long, attr string"
+    )
+    r1 = attribute_assortativity(G.edges_from_rows(spark, rows), attrs).first()
+    assert r1["r"] == pytest.approx(1.0)
+    # perfectly disassortative 2-category bipartite -> r = -1
+    rows2 = [(0, 2, 1.0), (2, 0, 1.0), (1, 3, 1.0), (3, 1, 1.0)]
+    r2 = attribute_assortativity(G.edges_from_rows(spark, rows2), attrs).first()
+    assert r2["r"] == pytest.approx(-1.0)
+    # single category -> undefined (NULL), trace carried
+    attrs_one = spark.createDataFrame(
+        [(i, "only") for i in range(4)], "id long, attr string"
+    )
+    r3 = attribute_assortativity(G.edges_from_rows(spark, rows), attrs_one).first()
+    assert r3["r"] is None and r3["trace"] == pytest.approx(1.0)
+    # edges with an attribute-less endpoint are dropped
+    attrs_partial = spark.createDataFrame(
+        [(0, "a"), (1, "a")], "id long, attr string"
+    )
+    r4 = attribute_assortativity(G.edges_from_rows(spark, rows), attrs_partial).first()
+    assert r4["n_categories"] == 1 and r4["trace"] == pytest.approx(1.0)

@@ -473,3 +473,88 @@ def test_eigenvector_round_dp_matches_quantized_oracle(spark):
     assert np.array_equal(got, exp)  # bit-identical under per-step 9dp quantization
     # -0.0 is folded
     assert not any(np.signbit(g) and g == 0.0 for g in got)
+
+
+# ---------------------------------------------------------------------------
+# SALSA
+# ---------------------------------------------------------------------------
+def salsa_oracle(rows, n, iters=500, tol=1e-8, weighted=False):
+    W = np.zeros((n, n))
+    for s, d, w in rows:
+        W[s, d] = w if weighted else 1.0
+    out_ = W.sum(axis=1)
+    in_ = W.sum(axis=0)
+    Wr = np.divide(W, out_[:, None], out=np.zeros_like(W), where=out_[:, None] > 0)
+    Wc = np.divide(W, in_[None, :], out=np.zeros_like(W), where=in_[None, :] > 0)
+    a = np.ones(n) / n
+    h = np.ones(n) / n
+    for _ in range(iters):
+        na = Wr.T @ (Wc @ a)
+        s = np.abs(na).sum()
+        if s > 0:
+            na = na / s
+        nh = Wc @ (Wr.T @ h)
+        s = np.abs(nh).sum()
+        if s > 0:
+            nh = nh / s
+        delta = np.abs(na - a).sum() + np.abs(nh - h).sum()
+        a, h = na, nh
+        if delta < tol:
+            break
+    return h, a
+
+
+@pytest.mark.parametrize("name", ["two_cliques", "star", "path", "random"])
+def test_salsa_matches_oracle(spark, name):
+    from dmid_spark.algorithms import salsa
+
+    rows, n = GRAPHS[name]
+    edges = G.edges_from_rows(spark, rows)
+    out, stats = salsa(edges, tol=1e-8, max_iter=300)
+    eh, ea = salsa_oracle(rows, n, iters=300, tol=1e-8)
+    assert np.allclose(vec(out, n, val="hub"), eh, atol=1e-6)
+    assert np.allclose(vec(out, n, val="authority"), ea, atol=1e-6)
+
+
+def test_salsa_structural_zeros(spark):
+    from dmid_spark.algorithms import salsa
+
+    rows, n = directed_path()
+    out, _ = salsa(G.edges_from_rows(spark, rows), tol=1e-8, max_iter=300)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in out.collect()}
+    assert got[n - 1][0] == 0.0  # sink has no out-edges -> hub 0
+    assert got[0][1] == 0.0  # source has no in-edges -> authority 0
+
+
+def test_salsa_indegree_proportional_on_cocitation_connected_graph(spark):
+    """Lempel-Moran: on a graph whose co-citation (authority-chain) support
+    is one connected component, SALSA authority is proportional to
+    in-degree -- the property that makes SALSA spam-resistant vs HITS."""
+    from dmid_spark.algorithms import salsa
+
+    # one hub citing everyone makes the co-citation graph connected
+    rows = [(0, v, 1.0) for v in range(1, 6)] + [
+        (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 1.0), (5, 1, 1.0)
+    ]
+    n = 6
+    out, _ = salsa(G.edges_from_rows(spark, rows), tol=1e-10, max_iter=500)
+    a = vec(out, n, val="authority")
+    indeg = np.zeros(n)
+    for _, d, _w in rows:
+        indeg[d] += 1.0
+    expect = indeg / indeg.sum()
+    assert np.allclose(a, expect, atol=1e-6)
+
+
+def test_salsa_weighted_differs_from_unweighted(spark):
+    from dmid_spark.algorithms import salsa
+
+    rows = [(0, 2, 10.0), (1, 2, 1.0), (0, 3, 1.0), (1, 3, 1.0), (2, 0, 1.0), (3, 1, 1.0)]
+    e = G.edges_from_rows(spark, rows)
+    uw, _ = salsa(e, tol=1e-9, max_iter=300, weighted=False)
+    wt, _ = salsa(e, tol=1e-9, max_iter=300, weighted=True)
+    au = vec(uw, 4, val="authority")
+    aw = vec(wt, 4, val="authority")
+    assert not np.allclose(au, aw, atol=1e-9)
+    eh, ea = salsa_oracle(rows, 4, iters=300, tol=1e-9, weighted=True)
+    assert np.allclose(aw, ea, atol=1e-6)

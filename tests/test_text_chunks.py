@@ -287,3 +287,109 @@ def test_shard_assignments_seeded_permutation(spark):
     assert {r.doc_id: (r.shard, r.pos) for r in again.collect()} == want
     with pytest.raises(ValueError):
         shard_assignments(d, 0)
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram spans (Lee et al. ExactSubstr on token n-grams)
+# ---------------------------------------------------------------------------
+def _spans_oracle(texts, n, min_docs):
+    """Python transliteration of duplicate_ngram_spans."""
+    toks = {
+        d: t.strip().lower().split()
+        for d, t in texts.items()
+        if t is not None and t.strip() != ""
+    }
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            gram_docs[" ".join(ts[i : i + n])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = []
+    for d, ts in toks.items():
+        marked = [i for i in range(len(ts) - n + 1) if " ".join(ts[i : i + n]) in dup]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1] - n + 1 + (n - 1):
+                # overlaps-or-adjacent: p <= prev_max_pos + n - 1
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + n - 1), spans[-1][2] + 1)
+            else:
+                spans.append((p, p + n - 1, 1))
+        for s, e, c in spans:
+            out.append((d, s, e, c))
+    return sorted(out)
+
+
+def test_duplicate_spans_matches_oracle(spark):
+    from dmid_spark.text import duplicate_ngram_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = {
+        1: f"alpha beta {shared} gamma delta",
+        2: f"one two three {shared} four five six",
+        3: "totally unique words nothing shared here at all",
+        4: f"{shared} {shared}",  # internal repeat + cross-doc duplicate
+        5: "",  # empty doc drops out
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    for n in (3, 5):
+        got = sorted(
+            tuple(r)
+            for r in duplicate_ngram_spans(docs, n=n, min_docs=2).collect()
+        )
+        assert got == _spans_oracle(texts, n, 2), f"n={n}"
+
+
+def test_duplicate_spans_hash_grams_same_result(spark):
+    from dmid_spark.text import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y c d e f g h z w"),
+            (3, "c d e f g h a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = sorted(tuple(r) for r in duplicate_ngram_spans(docs, n=4).collect())
+    hashed = sorted(
+        tuple(r) for r in duplicate_ngram_spans(docs, n=4, hash_grams=True).collect()
+    )
+    assert plain == hashed and len(plain) > 0
+
+
+def test_duplicate_spans_validates_args(spark):
+    import pytest as _pytest
+
+    from dmid_spark.text import duplicate_ngram_spans
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        duplicate_ngram_spans(docs, n=0)
+    with _pytest.raises(ValueError):
+        duplicate_ngram_spans(docs, min_docs=1)
+
+
+def test_remove_spans_cuts_exactly_the_masked_tokens(spark):
+    from dmid_spark.text import duplicate_ngram_spans, remove_spans
+
+    shared = "l m n o p q"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"ee {shared} ff"),
+            (3, "gg hh ii"),
+            (4, shared),  # fully covered -> empty clean_text
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_ngram_spans(docs, n=3, min_docs=2)
+    out = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"]) for r in
+           remove_spans(docs, spans).collect()}
+    assert out[1] == ("aa bb cc dd", 6)
+    assert out[2] == ("ee ff", 6)
+    assert out[3] == ("gg hh ii", 0)
+    assert out[4] == ("", 6)
