@@ -1748,6 +1748,67 @@ def q_cms_counters(spark, sf_dir):
     return cms_build(_events(spark, sf_dir), "user_id", depth=4, width=64, hash_mode="md5")
 
 
+def q_salsa5(spark, sf_dir):
+    """SALSA hub/authority, 5 fixed L1-normalized power iterations over the
+    row/column-normalized walk chains (unrolled twin, same fixed-iteration
+    device as x9_hits_5iter)."""
+    from dmid_spark.algorithms import salsa
+
+    out, _ = salsa(_edges(spark, sf_dir), tol=-1.0, max_iter=5)
+    return out.select(
+        "id", F.round("hub", 9).alias("hub"), F.round("authority", 9).alias("authority")
+    )
+
+
+def q_label_spreading(spark, sf_dir):
+    """Soft label spreading (Zhou et al. 2004), 3 iterations at α=0.75
+    (0.75/0.25 are binary-exact, so both engines damp with identical IEEE
+    constants) from the deterministic seed set id %% 10 == 0 labeled
+    (id %% 100) div 20 — five genuinely distinct classes (id %% 5 would
+    collapse to one: every seed id ends in 0). Long-form
+    (id, label, score) output, 9dp-quantized."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_spreading
+
+    e = _edges(spark, sf_dir)
+    seeds = G.vertices(e).filter(F.col("id") % 10 == 0).select(
+        "id", F.expr("(id % 100) div 20").alias("label")
+    )
+    return label_spreading(e, seeds, alpha=0.75, iterations=3, round_dp=9)
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022) on the documents
+    table: maximal token ranges whose every 8-gram occurs in ≥2 distinct
+    docs. Integer output — span bounds + marked-gram counts."""
+    from dmid_spark.text import duplicate_ngram_spans
+
+    out = duplicate_ngram_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
+def q_attr_assortativity(spark, sf_dir):
+    """Newman categorical assortativity over the synthetic attribute
+    id %% 7 (deterministic; the operator itself takes any (id, attr)
+    relation — community labels, langs, domains)."""
+    from dmid_spark import graph as G
+    from dmid_spark.graph import attribute_assortativity
+
+    e = _edges(spark, sf_dir)
+    attrs = G.vertices(e).select("id", (F.col("id") % 7).alias("attr"))
+    return attribute_assortativity(e, attrs).select(
+        "n_categories",
+        F.round("trace", 9).alias("trace"),
+        F.round("agreement", 9).alias("agreement"),
+        F.round("r", 9).alias("r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -1756,12 +1817,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50): every operator family keeps a row ---
-        # DMID building blocks
-        "g2_weighted_indegree": q_g2,
-        "g3_dis_norm": q_g3,
-        "g5_leadership": q_g5,
-        "g6_influence_filter": q_g6,
+        # DMID building blocks (g2/g3/g5/g6 park below late round 5 — each
+        # hash-green in BOTH CORRECTNESS_r03 and r04 — so the final
+        # round-5 additions x38/x39/text_duplicate_spans/attr_assortativity
+        # gate in-window; g12 keeps the cascade row)
         "g12_cascade_round1": q_g12,
+        "x38_salsa_5iter": q_salsa5,
+        "x39_label_spreading": q_label_spreading,
+        "text_duplicate_spans": q_duplicate_spans,
+        "graph_attr_assortativity": q_attr_assortativity,
         # sources / corpus
         "s10_densify_ids": q_s10,
         "corpus_edge_build": q_corpus_edges,
@@ -1832,6 +1896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_hll/sketch_bloom/events_sessionize/events_funnel rotated out
         # late round 5 — all hash-green in r04 (hll/sessionize in r03 too) —
         # so the PQ/probe/neighbor-sample additions gate in-window) ---
+        "g2_weighted_indegree": q_g2,
+        "g3_dis_norm": q_g3,
+        "g5_leadership": q_g5,
+        "g6_influence_filter": q_g6,
         "ann_rp_lsh": q_rp_lsh,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
@@ -2134,6 +2202,164 @@ h{i} AS MATERIALIZED (
     return ",\n".join(steps) + f"""
 SELECT h.id, ROUND(h.s, 9) AS hub, ROUND(a.s, 9) AS authority
 FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+
+
+def _salsa5_sql(iters: int = 5) -> str:
+    """Unrolled SALSA: a ← W_rᵀ(W_c a), h ← W_c(W_rᵀ h), L1-normalized per
+    iteration from the uniform 1/n start. Reuses _G's verts/nn; the two
+    normalized walk-arc tables are built once."""
+    steps = ["""od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+ind AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS ind FROM edges GROUP BY dst),
+wr AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / o.od AS w FROM edges e JOIN od o ON e.src = o.src),
+wct AS MATERIALIZED (SELECT e.dst AS src, e.src AS dst, 1.0 / i.ind AS w
+                     FROM edges e JOIN ind i ON e.dst = i.dst),
+sa0 AS MATERIALIZED (SELECT v.id, 1.0 / n.n AS s FROM verts v CROSS JOIN nn n),
+sh0 AS MATERIALIZED (SELECT v.id, 1.0 / n.n AS s FROM verts v CROSS JOIN nn n)"""]
+    for i in range(1, iters + 1):
+        steps.append(f"""
+sat{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.s) AS s FROM wct e
+    JOIN sa{i - 1} p ON e.src = p.id GROUP BY e.dst
+  ) c ON v.id = c.id
+),
+saraw{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.s) AS s FROM wr e
+    JOIN sat{i} p ON e.src = p.id GROUP BY e.dst
+  ) c ON v.id = c.id
+),
+sanrm{i} AS (SELECT SUM(ABS(s)) AS n FROM saraw{i}),
+sa{i} AS MATERIALIZED (
+  SELECT a.id, CASE WHEN n.n > 0 THEN a.s / n.n ELSE a.s END AS s
+  FROM saraw{i} a CROSS JOIN sanrm{i} n
+),
+sht{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.s) AS s FROM wr e
+    JOIN sh{i - 1} p ON e.src = p.id GROUP BY e.dst
+  ) c ON v.id = c.id
+),
+shraw{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.s, 0) AS s
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.w * p.s) AS s FROM wct e
+    JOIN sht{i} p ON e.src = p.id GROUP BY e.dst
+  ) c ON v.id = c.id
+),
+shnrm{i} AS (SELECT SUM(ABS(s)) AS n FROM shraw{i}),
+sh{i} AS MATERIALIZED (
+  SELECT h.id, CASE WHEN n.n > 0 THEN h.s / n.n ELSE h.s END AS s
+  FROM shraw{i} h CROSS JOIN shnrm{i} n
+)""")
+    return ",\n".join(steps) + f"""
+SELECT h.id, ROUND(h.s, 9) AS hub, ROUND(a.s, 9) AS authority
+FROM sh{iters} h JOIN sa{iters} a ON h.id = a.id"""
+
+
+def _label_spreading_sql(iters: int = 3, alpha: float = 0.75) -> str:
+    """Unrolled Zhou-et-al label spreading: per iteration one arcs⋈scores
+    SpMV grouped by (id, label) full-outer-joined against the (1−α) seed
+    clamp. α must be binary-exact so both engines damp identically."""
+    a, b = repr(alpha), repr(1.0 - alpha)
+    steps = [f"""lsd AS MATERIALIZED (
+  SELECT id, CAST((id % 100) // 20 AS BIGINT) AS label, 1.0 AS v
+  FROM verts WHERE id % 10 = 0
+),
+lsym AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v2, SUM(weight) AS w
+  FROM edges GROUP BY 1, 2
+),
+lboth AS (SELECT u, v2, w FROM lsym UNION ALL SELECT v2 AS u, u AS v2, w FROM lsym),
+ldeg AS (
+  SELECT vv.id, COALESCE(s.d, 0.0) AS d
+  FROM verts vv LEFT JOIN (SELECT u, SUM(w) AS d FROM lboth GROUP BY u) s ON vv.id = s.u
+),
+larcs AS MATERIALIZED (
+  SELECT b.u, b.v2, b.w / SQRT(du.d * dv.d) AS nw
+  FROM lboth b JOIN ldeg du ON b.u = du.id JOIN ldeg dv ON b.v2 = dv.id
+),
+lsp0 AS MATERIALIZED (SELECT id, label, v FROM lsd)"""]
+    for i in range(1, iters + 1):
+        steps.append(f"""
+lsp{i} AS MATERIALIZED (
+  SELECT COALESCE(h.id, y.id) AS id, COALESCE(h.label, y.label) AS label,
+         {a} * COALESCE(h.hv, 0) + {b} * COALESCE(y.v, 0) AS v
+  FROM (
+    SELECT a.v2 AS id, p.label, SUM(a.nw * p.v) AS hv
+    FROM larcs a JOIN lsp{i - 1} p ON a.u = p.id GROUP BY 1, 2
+  ) h
+  FULL OUTER JOIN lsd y ON h.id = y.id AND h.label = y.label
+)""")
+    return ",\n".join(steps) + f"""
+SELECT id, label, ROUND(v, 9) + 0.0 AS score FROM lsp{iters}"""
+
+
+def _duplicate_spans_sql(n: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin of q_duplicate_spans: same tokenize/gram scan (1-based
+    list slice, inclusive), gram-frequency HAVING, and windowed interval
+    merge (break when pos > prev running-max pos + n-1)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i + {n - 1}], ' ') AS gram
+  FROM toks, LATERAL unnest(range(1, len(ts) - {n} + 2)) AS t(i)
+  WHERE len(ts) >= {n}
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)),
+flg AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > COALESCE(MAX(pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {n - 1}, -1)
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+sp AS (
+  SELECT doc_id, pos, SUM(brk) OVER (
+    PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM flg
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {n - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM sp GROUP BY doc_id, span_id"""
+
+
+def _attr_assortativity_sql() -> str:
+    """Twin of q_attr_assortativity: mixing-matrix fractions over the
+    id % 7 attribute, marginal products, Newman r with the NULL guard."""
+    return """ats AS (SELECT id, id % 7 AS attr FROM verts),
+acel AS MATERIALIZED (
+  SELECT sa.attr AS a_src, da.attr AS a_dst, CAST(COUNT(*) AS DOUBLE) AS mass
+  FROM edges e JOIN ats sa ON e.src = sa.id JOIN ats da ON e.dst = da.id
+  GROUP BY 1, 2
+),
+atot AS (SELECT SUM(mass) AS t FROM acel),
+afrac AS MATERIALIZED (SELECT a_src, a_dst, mass / t.t AS f FROM acel CROSS JOIN atot t),
+ara AS (SELECT a_src AS cat, SUM(f) AS a FROM afrac GROUP BY 1),
+acb AS (SELECT a_dst AS cat, SUM(f) AS b FROM afrac GROUP BY 1),
+aab AS (
+  SELECT SUM(COALESCE(ara.a, 0) * COALESCE(acb.b, 0)) AS sum_ab
+  FROM ara FULL OUTER JOIN acb ON ara.cat = acb.cat
+),
+atr AS (SELECT COALESCE(SUM(f), 0) AS trace FROM afrac WHERE a_src = a_dst),
+anc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories
+  FROM (SELECT a_src AS c FROM acel UNION SELECT a_dst FROM acel)
+)
+SELECT anc.n_categories, ROUND(atr.trace, 9) AS trace, ROUND(aab.sum_ab, 9) AS agreement,
+       CASE WHEN 1.0 - aab.sum_ab <> 0
+            THEN ROUND((atr.trace - aab.sum_ab) / (1.0 - aab.sum_ab), 9) END AS r
+FROM anc CROSS JOIN atr CROSS JOIN aab"""
 
 
 def _katz5_sql(iters: int = 5, alpha: float = 0.0625) -> str:
@@ -3587,6 +3813,10 @@ GROUP BY 1, 2""",
         "x10_ppr_5iter": _G + ", " + _ppr5_sql(),
         "x35_katz_5iter": _G + ", " + _katz5_sql(),
         "x37_eigenvector_5iter": _G + ", " + _eigen5_sql(),
+        "x38_salsa_5iter": _G + ", " + _salsa5_sql(),
+        "x39_label_spreading": _G + ", " + _label_spreading_sql(),
+        "text_duplicate_spans": _duplicate_spans_sql(),
+        "graph_attr_assortativity": _G + ", " + _attr_assortativity_sql(),
         "x11_coreness": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2

@@ -521,6 +521,16 @@ def main():
     n_cont = timed("decontaminate_13gram", run_decontaminate)
     detail["decontaminate"] = {"contaminated_docs": int(n_cont)}
 
+    from dmid_spark.text import duplicate_ngram_spans
+
+    def run_dup_spans():
+        # hash_grams=True is the scale operating point: the gram-frequency
+        # shuffle carries 8-byte xxhash64 keys, not 8-token strings
+        return duplicate_ngram_spans(docs, n=8, hash_grams=True).count()
+
+    n_spans = timed("duplicate_spans", run_dup_spans)
+    detail["duplicate_spans"] = {"spans": int(n_spans)}
+
     from dmid_spark.text import CleanCorpusParams, pack_sequences, prepare_training_data
 
     timed("pack_sequences", lambda: pack_sequences(docs, budget=2048).count())
@@ -807,6 +817,27 @@ def main():
     detail["sweep_cut_ppr"] = {"best_conductance": best_phi}
 
     timed("pmi_weights", lambda: pmi_weights(edges).count())
+
+    from dmid_spark.algorithms import label_spreading, salsa
+
+    def run_salsa():
+        # 8 fixed iterations (tol-driven counts would drift run-to-run);
+        # each is four spmv_join_step passes + two L1 scalar rows
+        out, _ = salsa(edges, tol=-1.0, max_iter=8)
+        return out.count()
+
+    timed("salsa_8iter", run_salsa)
+
+    def run_spreading():
+        # (id % 500) div 100: five genuinely distinct classes (id % 5 would
+        # collapse to one on ids ending in 00)
+        seeds = g_vertices(edges).filter(F.col("id") % 100 == 0).select(
+            "id", F.expr("(id % 500) div 100").alias("label")
+        )
+        return label_spreading(edges, seeds, alpha=0.75, iterations=3).count()
+
+    n_spread = timed("label_spreading_3iter", run_spreading)
+    detail["label_spreading_3iter"] = {"score_rows": int(n_spread)}
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed(

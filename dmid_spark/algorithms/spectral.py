@@ -96,25 +96,30 @@ def hits(
                 )
             )
         )
-        delta_row = (
-            new_auth.select("id", "value")
-            .join(auth.select("id", F.col("value").alias("old")), "id")
-            .select(F.abs(F.col("value") - F.col("old")).alias("d"))
-            .unionByName(
-                new_hub.select("id", "value")
-                .join(hub.select("id", F.col("value").alias("old")), "id")
-                .select(F.abs(F.col("value") - F.col("old")).alias("d"))
-            )
-            .agg(F.sum("d").alias("s"))
-            .first()
-        )
-        delta = float(delta_row["s"] or 0.0)
-        stats.deltas.append(delta)
         stats.iterations = i
-        auth, hub = new_auth, new_hub
-        if delta < tol:
-            stats.converged = True
-            break
+        if tol >= 0:
+            # fixed-iteration runs (tol < 0) skip the delta action — it only
+            # drives convergence (same device as salsa below)
+            delta_row = (
+                new_auth.select("id", "value")
+                .join(auth.select("id", F.col("value").alias("old")), "id")
+                .select(F.abs(F.col("value") - F.col("old")).alias("d"))
+                .unionByName(
+                    new_hub.select("id", "value")
+                    .join(hub.select("id", F.col("value").alias("old")), "id")
+                    .select(F.abs(F.col("value") - F.col("old")).alias("d"))
+                )
+                .agg(F.sum("d").alias("s"))
+                .first()
+            )
+            delta = float(delta_row["s"] or 0.0)
+            stats.deltas.append(delta)
+            auth, hub = new_auth, new_hub
+            if delta < tol:
+                stats.converged = True
+                break
+        else:
+            auth, hub = new_auth, new_hub
     out = (
         hub.select("id", F.col("value").alias("hub"))
         .join(auth.select("id", F.col("value").alias("authority")), "id")
@@ -216,23 +221,29 @@ def salsa(
                 )
             )
         )
-        delta_row = (
-            new_auth.join(auth.select("id", F.col("value").alias("old")), "id")
-            .select(F.abs(F.col("value") - F.col("old")).alias("d"))
-            .unionByName(
-                new_hub.join(hub.select("id", F.col("value").alias("old")), "id")
-                .select(F.abs(F.col("value") - F.col("old")).alias("d"))
-            )
-            .agg(F.sum("d").alias("s"))
-            .first()
-        )
-        delta = float(delta_row["s"] or 0.0)
-        stats.deltas.append(delta)
         stats.iterations = i
-        auth, hub = new_auth, new_hub
-        if delta < tol:
-            stats.converged = True
-            break
+        if tol >= 0:
+            # fixed-iteration runs (tol < 0) skip the delta action entirely —
+            # it exists only to drive convergence, and each skipped action
+            # saves a full two-vector join job per superstep
+            delta_row = (
+                new_auth.join(auth.select("id", F.col("value").alias("old")), "id")
+                .select(F.abs(F.col("value") - F.col("old")).alias("d"))
+                .unionByName(
+                    new_hub.join(hub.select("id", F.col("value").alias("old")), "id")
+                    .select(F.abs(F.col("value") - F.col("old")).alias("d"))
+                )
+                .agg(F.sum("d").alias("s"))
+                .first()
+            )
+            delta = float(delta_row["s"] or 0.0)
+            stats.deltas.append(delta)
+            auth, hub = new_auth, new_hub
+            if delta < tol:
+                stats.converged = True
+                break
+        else:
+            auth, hub = new_auth, new_hub
     out = (
         hub.select("id", F.col("value").alias("hub"))
         .join(auth.select("id", F.col("value").alias("authority")), "id")

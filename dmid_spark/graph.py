@@ -517,10 +517,15 @@ def attribute_mixing(
     C×C-bounded, never per-edge. The grand total joins in as a broadcast
     scalar, no driver action.
     """
+    from . import kernel as _K
+
     a_src = attrs.select(F.col(id_col).alias("src"), F.col(attr_col).alias("attr_src"))
     a_dst = attrs.select(F.col(id_col).alias("dst"), F.col(attr_col).alias("attr_dst"))
     mass = F.col("weight").cast("double") if weighted else F.lit(1.0)
-    cells = (
+    # materialized: the C×C cell table fans out to the total scalar and the
+    # final select (and assortativity's four marginal consumers) — without
+    # the cut each consumer would re-run the two O(E) joins
+    cells = _K.materialize(
         edges.join(a_src, "src")
         .join(a_dst, "dst")
         .groupBy("attr_src", "attr_dst")

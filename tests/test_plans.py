@@ -897,3 +897,63 @@ def test_neighbor_sample_windows_partitioned_frontier_broadcast(spark):
     hop_plan = plan_of(hop)
     assert "BroadcastHashJoin" in hop_plan
     assert "SinglePartition" not in hop_plan
+
+
+def test_salsa_iteration_join_is_broadcast(spark, monkeypatch):
+    import importlib
+
+    spectral = importlib.import_module("dmid_spark.algorithms.spectral")
+    monkeypatch.setattr(spectral.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=100, seed=13)
+    edges = G.edges_from_rows(spark, rows)
+    out, _ = spectral.salsa(edges, tol=-1.0, max_iter=1)
+    plan = plan_of(out)
+    # vertex state broadcasts into the normalized walk-arc tables; the
+    # L1 scalars are driver rows, never a SinglePartition exchange
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_label_spreading_no_global_exchange(spark, monkeypatch):
+    import importlib
+
+    prop = importlib.import_module("dmid_spark.algorithms.propagation")
+    monkeypatch.setattr(prop.K, "materialize", lambda df: df)
+    rows, n = random_graph(n=100, seed=13)
+    edges = G.edges_from_rows(spark, rows)
+    seeds = spark.createDataFrame([(0, 1), (5, 2)], "id long, label long")
+    out = prop.label_spreading(edges, seeds, iterations=2)
+    plan = plan_of(out)
+    # per-hop (id, label) sums hash-partition; nothing is global
+    assert "SinglePartition" not in plan and "Window" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_duplicate_spans_window_partitioned_by_doc(spark):
+    from dmid_spark.text import duplicate_ngram_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = duplicate_ngram_spans(docs, n=8, hash_grams=True)
+    plan = plan_of(out)
+    # the interval-merge window partitions by doc_id — a hash exchange,
+    # never a SinglePartition global sort
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    # gram frequency agg combines map-side before its shuffle
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower() \
+        or "HashAggregate" in plan
+
+
+def test_attribute_mixing_output_is_cell_bounded_agg(spark):
+    from dmid_spark.graph import attribute_mixing
+
+    rows, n = random_graph(n=100, seed=13)
+    edges = G.edges_from_rows(spark, rows)
+    attrs = spark.createDataFrame(
+        [(i, i % 4) for i in range(n)], "id long, attr long"
+    )
+    out = attribute_mixing(edges, attrs)
+    plan = plan_of(out)
+    # grand total joins back as a broadcast scalar, no SinglePartition sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
