@@ -1809,6 +1809,21 @@ def q_attr_assortativity(spark, sf_dir):
     )
 
 
+def q_similarity_join(spark, sf_dir):
+    """Exact prefix-filtered set-similarity self-join (AllPairs/PPJoin) at
+    Jaccard ≥ 0.5 over 3-gram shingle sets — every qualifying pair, no
+    all-pairs join. The twin brute-forces the same pairs (the oracle may
+    be O(N²); the engine must not be). 0.5 is binary-exact so the
+    boundary ≥-test is engine-identical."""
+    from dmid_spark.text import similarity_join
+
+    out = similarity_join(_docs(spark, sf_dir), threshold=0.5, n=3)
+    return out.select(
+        "doc_a", "doc_b", "sz_a", "sz_b", "inter",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -1826,8 +1841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x39_label_spreading": q_label_spreading,
         "text_duplicate_spans": q_duplicate_spans,
         "graph_attr_assortativity": q_attr_assortativity,
+        # exact prefix-filtered similarity join (s10 parks below on its
+        # double-green r03+r04 rows to keep the window at 50)
+        "text_similarity_join": q_similarity_join,
         # sources / corpus
-        "s10_densify_ids": q_s10,
         "corpus_edge_build": q_corpus_edges,
         "corpus_sha_invariant": q_corpus_sha,
         # standard + extended graph algorithms
@@ -1901,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_leadership": q_g5,
         "g6_influence_filter": q_g6,
         "ann_rp_lsh": q_rp_lsh,
+        # (s10 parked here late round 5 — hash-green in r03 AND r04)
+        "s10_densify_ids": q_s10,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -3817,6 +3836,31 @@ GROUP BY 1, 2""",
         "x39_label_spreading": _G + ", " + _label_spreading_sql(),
         "text_duplicate_spans": _duplicate_spans_sql(),
         "graph_attr_assortativity": _G + ", " + _attr_assortativity_sql(),
+        # brute-force oracle for the prefix-filtered exact similarity join:
+        # the twin may be O(N²) — the engine must not be. Gram build matches
+        # _shingles (split on \s+ of the lowered text, no trim; empty gram
+        # dropped; DISTINCT per doc).
+        "text_similarity_join": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, (ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g
+  FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE (ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) <> ''
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b, CAST(i AS BIGINT) AS inter,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i >= 0.5 * (sa.sz + sb.sz - i)""",
         "x11_coreness": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2

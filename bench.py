@@ -531,6 +531,14 @@ def main():
     n_spans = timed("duplicate_spans", run_dup_spans)
     detail["duplicate_spans"] = {"spans": int(n_spans)}
 
+    from dmid_spark.text import similarity_join
+
+    n_sim = timed(
+        "similarity_join_05",
+        lambda: similarity_join(docs, threshold=0.5, n=3).count(),
+    )
+    detail["similarity_join_05"] = {"pairs": int(n_sim)}
+
     from dmid_spark.text import CleanCorpusParams, pack_sequences, prepare_training_data
 
     timed("pack_sequences", lambda: pack_sequences(docs, budget=2048).count())

@@ -957,3 +957,17 @@ def test_attribute_mixing_output_is_cell_bounded_agg(spark):
     # grand total joins back as a broadcast scalar, no SinglePartition sort
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_similarity_join_no_cartesian_no_global_exchange(spark, monkeypatch):
+    import importlib
+
+    sj = importlib.import_module("dmid_spark.text.simjoin")
+    monkeypatch.setattr(sj.K, "materialize", lambda df: df)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sj.similarity_join(docs, threshold=0.5, n=3)
+    plan = plan_of(out)
+    # candidates come from the grank equi-join of prefixes — never a
+    # cartesian/all-pairs product; the only windows are doc-partitioned
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan

@@ -393,3 +393,94 @@ def test_remove_spans_cuts_exactly_the_masked_tokens(spark):
     assert out[2] == ("ee ff", 6)
     assert out[3] == ("gg hh ii", 0)
     assert out[4] == ("", 6)
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join with prefix filtering (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+def _simjoin_oracle(texts, t, n):
+    """Brute-force all-pairs exact Jaccard over word n-gram sets."""
+    import hashlib
+
+    def sh(text):
+        toks = text.lower().split()
+        grams = {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        } - {""}
+        return grams
+
+    sets = {d: sh(t_) for d, t_ in texts.items() if t_}
+    out = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                out.append((a, b, len(sets[a]), len(sets[b]), inter))
+    return sorted(out)
+
+
+def test_similarity_join_matches_bruteforce(spark):
+    import random
+
+    from dmid_spark.text import similarity_join
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = {}
+    for d in range(40):
+        texts[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(15, 40)))
+    # planted near-duplicates: copy with small edits
+    texts[100] = texts[0]
+    texts[101] = texts[1] + " extra tail words here"
+    texts[102] = "xx " + texts[2]
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    for t in (0.5, 0.75):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["sz_a"], r["sz_b"], r["inter"])
+            for r in similarity_join(docs, threshold=t, n=3).collect()
+        )
+        assert got == _simjoin_oracle(texts, t, 3), f"t={t}"
+
+
+def test_similarity_join_exactness_includes_identical_pair(spark):
+    from dmid_spark.text import similarity_join
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    rows = similarity_join(docs, threshold=1.0, n=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (1, 2, 1.0)
+
+
+def test_similarity_join_cap_drops_hot_prefix_buckets(spark):
+    from dmid_spark.text import similarity_join
+
+    # every doc shares the same 2-gram vocabulary -> hot prefix buckets;
+    # cap=1 kills candidate generation entirely
+    docs = spark.createDataFrame(
+        [(d, "x y x y x y") for d in range(5)], "doc_id long, text string"
+    )
+    full = similarity_join(docs, threshold=0.5, n=2).count()
+    capped = similarity_join(
+        docs, threshold=0.5, n=2, max_prefix_bucket=1
+    ).count()
+    assert full == 10 and capped == 0
+
+
+def test_similarity_join_validates_threshold(spark):
+    import pytest as _pytest
+
+    from dmid_spark.text import similarity_join
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        similarity_join(docs, threshold=0.0)
+    with _pytest.raises(ValueError):
+        similarity_join(docs, threshold=1.5)
