@@ -1824,6 +1824,22 @@ def q_similarity_join(spark, sf_dir):
     )
 
 
+def q_spectral_cluster(spark, sf_dir):
+    """NJW spectral clustering: bit-deterministic spectral embedding
+    (orthogonal iteration on S+I with integer-quantized sums + final
+    Rayleigh–Ritz rotation) composed with the exact-integer k-means.
+    Rows-only BY DESIGN: the k×k Cholesky/eigh steps run on the driver and
+    are not SQL-expressible (the emb_pca_project stance); correctness is
+    pinned by the bit-exact NumPy transliteration oracle in
+    tests/test_embedding.py instead."""
+    from dmid_spark.algorithms import spectral_clustering
+
+    assigned, _ = spectral_clustering(
+        _edges(spark, sf_dir), n_clusters=5, k=3, iterations=4, lloyd_iters=2
+    )
+    return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 lineitem → edge table → PageRank to 1e-6."""
     return q_pagerank_conv(spark, "/root/testdata/sf0.001")
@@ -1844,9 +1860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact prefix-filtered similarity join (s10 parks below on its
         # double-green r03+r04 rows to keep the window at 50)
         "text_similarity_join": q_similarity_join,
+        # spectral clustering (rows-only by design — driver k×k algebra;
+        # corpus_sha_invariant parks below on double-green rows)
+        "graph_spectral_cluster": q_spectral_cluster,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
-        "corpus_sha_invariant": q_corpus_sha,
         # standard + extended graph algorithms
         "x1_pagerank_5iter": q_pagerank5,
         "x4_triangle_counts": q_triangles,
@@ -1918,8 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_leadership": q_g5,
         "g6_influence_filter": q_g6,
         "ann_rp_lsh": q_rp_lsh,
-        # (s10 parked here late round 5 — hash-green in r03 AND r04)
+        # (s10/corpus_sha parked here late round 5 — hash-green in r03 AND r04)
         "s10_densify_ids": q_s10,
+        "corpus_sha_invariant": q_corpus_sha,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,

@@ -826,7 +826,17 @@ def main():
 
     timed("pmi_weights", lambda: pmi_weights(edges).count())
 
-    from dmid_spark.algorithms import label_spreading, salsa
+    from dmid_spark.algorithms import label_spreading, salsa, spectral_embedding
+
+    def run_spectral():
+        emb, st = spectral_embedding(edges, k=4, iterations=6)
+        return emb.count(), st
+
+    (n_emb, spec_stats) = timed("spectral_embed_k4", run_spectral)
+    detail["spectral_embed_k4"] = {
+        "rows": int(n_emb),
+        "eigenvalues": [round(v, 6) for v in spec_stats.eigenvalues],
+    }
 
     def run_salsa():
         # 8 fixed iterations (tol-driven counts would drift run-to-run);

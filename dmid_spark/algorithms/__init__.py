@@ -53,6 +53,7 @@ from .percolation import (  # noqa: F401
     triangle_list,
 )
 from .mst import minimum_spanning_forest  # noqa: F401
+from .embedding import spectral_clustering, spectral_embedding  # noqa: F401
 from .propagation import (  # noqa: F401
     features_long,
     features_wide,
