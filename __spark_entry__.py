@@ -1824,6 +1824,19 @@ def q_similarity_join(spark, sf_dir):
     )
 
 
+def q_containment_join(spark, sf_dir):
+    """Asymmetric containment join at |A∩B|/|A| ≥ 0.75 (binary-exact) over
+    3-gram shingles — the near-subset pairs Jaccard dedup structurally
+    misses. Twin brute-forces ordered pairs."""
+    from dmid_spark.text import containment_join
+
+    out = containment_join(_docs(spark, sf_dir), threshold=0.75, n=3)
+    return out.select(
+        "doc_a", "doc_b", "sz_a", "sz_b", "inter",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
 def q_spectral_cluster(spark, sf_dir):
     """NJW spectral clustering: bit-deterministic spectral embedding
     (orthogonal iteration on S+I with integer-quantized sums + final
@@ -1863,11 +1876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spectral clustering (rows-only by design — driver k×k algebra;
         # corpus_sha_invariant parks below on double-green rows)
         "graph_spectral_cluster": q_spectral_cluster,
+        # containment join (x4_triangle_counts parks below, double-green)
+        "text_containment_join": q_containment_join,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
         "x1_pagerank_5iter": q_pagerank5,
-        "x4_triangle_counts": q_triangles,
         "m9_conductance": q_conductance,
         "x36_sweep_cut": q_sweep_cut,
         "m10_cover_f1": q_cover_f1,
@@ -1936,9 +1950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_leadership": q_g5,
         "g6_influence_filter": q_g6,
         "ann_rp_lsh": q_rp_lsh,
-        # (s10/corpus_sha parked here late round 5 — hash-green in r03 AND r04)
+        # (s10/corpus_sha/x4 parked here late round 5 — hash-green in r03 AND r04)
         "s10_densify_ids": q_s10,
         "corpus_sha_invariant": q_corpus_sha,
+        "x4_triangle_counts": q_triangles,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -3880,6 +3895,29 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE i >= 0.5 * (sa.sz + sb.sz - i)""",
+        # ordered-pair brute-force oracle for the containment join (same
+        # gram build); the engine prefix-filters, the oracle may be O(N²)
+        "text_containment_join": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, (ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g
+  FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS t(i)
+  WHERE (ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) <> ''
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b, CAST(i AS BIGINT) AS inter,
+       ROUND(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i >= 0.75 * sa.sz""",
         "x11_coreness": _G + """
 , und AS (
   SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges GROUP BY 1, 2

@@ -539,6 +539,14 @@ def main():
     )
     detail["similarity_join_05"] = {"pairs": int(n_sim)}
 
+    from dmid_spark.text import containment_join
+
+    n_cont_pairs = timed(
+        "containment_join_075",
+        lambda: containment_join(docs, threshold=0.75, n=3).count(),
+    )
+    detail["containment_join_075"] = {"ordered_pairs": int(n_cont_pairs)}
+
     from dmid_spark.text import CleanCorpusParams, pack_sequences, prepare_training_data
 
     timed("pack_sequences", lambda: pack_sequences(docs, budget=2048).count())

@@ -50,4 +50,4 @@ from .bpe import bpe_segment, bpe_segment_pandas, bpe_train, word_frequencies  #
 from .packing import pack_sequences, shard_assignments  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .spans import duplicate_ngram_spans, remove_spans  # noqa: F401
-from .simjoin import prefix_bucket_report, similarity_join  # noqa: F401
+from .simjoin import containment_join, prefix_bucket_report, similarity_join  # noqa: F401

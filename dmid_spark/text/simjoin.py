@@ -120,6 +120,82 @@ def similarity_join(
     )
 
 
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.75,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-subset detection: every ordered pair with
+    containment ``|A∩B| / |A| ≥ threshold`` (A ≠ B), exactly —
+    ``(doc_a, doc_b, sz_a, sz_b, inter, containment)`` where ``doc_a`` is
+    the (nearly) contained document. This is what Jaccard dedup
+    structurally misses: a quoted page inside a much larger page has high
+    containment but low Jaccard (the union is dominated by B).
+
+    Prefix theorem, containment form: if B misses ALL of A's
+    ``|A| − ⌈t·|A|⌉ + 1`` rarest shingles, then ``|A∩B| ≤ ⌈t|A|⌉ − 1 <
+    t·|A|`` — so candidates are A-prefix shingles joined against the FULL
+    shingle table, plus the size filter ``|B| ≥ t·|A|`` (the intersection
+    cannot exceed |B|). Only A needs a prefix; B has no upper length
+    bound by design.
+
+    The B side of the candidate join is the whole gram table, so a
+    boilerplate shingle with document frequency f pairs f ways —
+    ``max_gram_df`` (None = exact) excludes shingles above the cap from
+    candidate generation, trading the exactness guarantee for bounded
+    fan-out (rarest-first prefixes make this rarely needed; audit with
+    :func:`prefix_bucket_report`'s df histogram companion).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    g = K.materialize(_shingles(docs, text_col, id_col, n, hash_mode))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = g.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = g.join(freq, "sh").join(sizes, "doc_id")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = ranked.withColumn("_p", F.row_number().over(wdoc)).filter(
+        F.col("_p") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "sh", "sz", "df")
+    if max_gram_df is not None:
+        prefix = prefix.filter(F.col("df") <= max_gram_df)
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("sz").alias("sz_a")
+    )
+    gb = g.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        pa.join(gb, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(F.col("sz_b") >= F.lit(t) * F.col("sz_a"))
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), "sh")
+    gb2 = g.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb2, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return inter.filter(
+        F.col("inter") >= F.lit(t) * F.col("sz_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "sz_a",
+        "sz_b",
+        "inter",
+        (F.col("inter") / F.col("sz_a")).alias("containment"),
+    )
+
+
 def prefix_bucket_report(
     docs: DataFrame,
     threshold: float = 0.5,

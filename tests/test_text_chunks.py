@@ -484,3 +484,80 @@ def test_similarity_join_validates_threshold(spark):
         similarity_join(docs, threshold=0.0)
     with _pytest.raises(ValueError):
         similarity_join(docs, threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# containment join (asymmetric near-subset detection)
+# ---------------------------------------------------------------------------
+def _containment_oracle(texts, t, n):
+    import re
+
+    def sh(text):
+        # transliterate _shingles exactly: regex split WITHOUT trim keeps
+        # boundary empty tokens (they participate in grams; only the
+        # all-empty gram is dropped)
+        toks = re.split(r"\s+", text.lower())
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        } - {""}
+
+    sets = {d: sh(t_) for d, t_ in texts.items() if t_}
+    out = []
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter >= t * len(sets[a]):
+                out.append((a, b, len(sets[a]), len(sets[b]), inter))
+    return sorted(out)
+
+
+def test_containment_join_matches_bruteforce(spark):
+    import random
+
+    from dmid_spark.text import containment_join
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = {}
+    for d in range(30):
+        texts[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(12, 35)))
+    # planted containments: short doc quoted inside a much longer one
+    texts[200] = texts[0] + " " + texts[1] + " " + texts[2]
+    texts[201] = texts[3][: len(texts[3]) // 2]
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    for t in (0.75, 1.0):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["sz_a"], r["sz_b"], r["inter"])
+            for r in containment_join(docs, threshold=t, n=3).collect()
+        )
+        assert got == _containment_oracle(texts, t, 3), f"t={t}"
+
+
+def test_containment_join_is_asymmetric(spark):
+    from dmid_spark.text import containment_join
+
+    # doc 1 fully inside doc 2; doc 2 NOT inside doc 1
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f g h i j k l m n")],
+        "doc_id long, text string",
+    )
+    rows = containment_join(docs, threshold=1.0, n=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["containment"]) == (1, 2, 1.0)
+
+
+def test_containment_join_gram_df_cap(spark):
+    from dmid_spark.text import containment_join
+
+    # all docs share all grams -> df cap below corpus size kills candidates
+    docs = spark.createDataFrame(
+        [(d, "p q p q p q") for d in range(4)], "doc_id long, text string"
+    )
+    full = containment_join(docs, threshold=0.5, n=2).count()
+    capped = containment_join(docs, threshold=0.5, n=2, max_gram_df=1).count()
+    assert full == 12 and capped == 0  # 4*3 ordered pairs
