@@ -1837,6 +1837,34 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_hll_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types from HLL registers
+    (p=8, md5 mode): union sketch = register-wise max, intersection by
+    inclusion–exclusion, estimator as relational expressions (1/2^rho via
+    integer shift — engine-exact)."""
+    from dmid_spark.sketch import hll_pairwise_overlap, hll_registers
+
+    regs = hll_registers(
+        _events(spark, sf_dir), "user_id", ["event_type"], p=8, hash_mode="md5"
+    )
+    return hll_pairwise_overlap(regs, "event_type", p=8, round_dp=6)
+
+
+def _hll_est_sql(s: str, nf: str, p: int = 8) -> str:
+    """The _est_expr math as a SQL fragment with Python-repr'd float
+    literals, so both engines evaluate identical IEEE constants."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m) if p >= 7 else {6: 0.709, 5: 0.697}.get(p, 0.673)
+    amm = repr(alpha * m * m)
+    mf = repr(float(m))
+    return (
+        f"CASE WHEN {amm} / ({s} + ({mf} - {nf})) <= {repr(2.5 * m)} "
+        f"AND ({mf} - {nf}) > 0 "
+        f"THEN {mf} * LN({mf} / ({mf} - {nf})) "
+        f"ELSE {amm} / ({s} + ({mf} - {nf})) END"
+    )
+
+
 def q_spectral_cluster(spark, sf_dir):
     """NJW spectral clustering: bit-deterministic spectral embedding
     (orthogonal iteration on S+I with integer-quantized sums + final
@@ -1878,6 +1906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_spectral_cluster": q_spectral_cluster,
         # containment join (x4_triangle_counts parks below, double-green)
         "text_containment_join": q_containment_join,
+        # HLL pairwise overlap (m1_extended_modularity parks below,
+        # double-green)
+        "sketch_hll_overlap": q_hll_overlap,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
@@ -1894,7 +1925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x32_feature_smooth": q_feature_smooth,
         "x34_backbone": q_backbone,
         # cover metrics
-        "m1_extended_modularity": q_modularity,
         "m3_overlapping_nmi": q_m3,
         # full covers
         "dmid_cover": q_dmid_cover,
@@ -1950,10 +1980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_leadership": q_g5,
         "g6_influence_filter": q_g6,
         "ann_rp_lsh": q_rp_lsh,
-        # (s10/corpus_sha/x4 parked here late round 5 — hash-green in r03 AND r04)
+        # (s10/corpus_sha/x4/m1 parked here late round 5 — hash-green in
+        # r03 AND r04)
         "s10_densify_ids": q_s10,
         "corpus_sha_invariant": q_corpus_sha,
         "x4_triangle_counts": q_triangles,
+        "m1_extended_modularity": q_modularity,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -4939,6 +4971,66 @@ r AS (
 )
 SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= 10""",
+        "sketch_hll_overlap": f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, CAST(h >> 52 AS INT) AS register,
+         CAST(CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+              ELSE instr(lpad(bin(h & ((CAST(1 AS BIGINT) << 52) - 1)), 52, '0'), '1')
+              END AS INT) AS rho
+  FROM h
+),
+regs AS MATERIALIZED (
+  SELECT event_type, register, MAX(rho) AS rho FROM r GROUP BY 1, 2
+),
+pg AS (
+  SELECT event_type AS grp,
+         SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM regs GROUP BY 1
+),
+pairs AS (
+  SELECT a.grp AS ga, a.s AS sa, a.nf AS na, b.grp AS gb, b.s AS sb, b.nf AS nb
+  FROM pg a JOIN pg b ON a.grp < b.grp
+),
+ua AS (
+  SELECT p.ga, p.gb, rr.register, rr.rho AS rho_a
+  FROM pairs p JOIN regs rr ON rr.event_type = p.ga
+),
+ub AS (
+  SELECT p.ga, p.gb, rr.register, rr.rho AS rho_b
+  FROM pairs p JOIN regs rr ON rr.event_type = p.gb
+),
+mm AS (
+  SELECT COALESCE(ua.ga, ub.ga) AS ga, COALESCE(ua.gb, ub.gb) AS gb,
+         GREATEST(COALESCE(rho_a, 0), COALESCE(rho_b, 0)) AS rho
+  FROM ua FULL OUTER JOIN ub
+    ON ua.ga = ub.ga AND ua.gb = ub.gb AND ua.register = ub.register
+),
+pp AS (
+  SELECT ga, gb, SUM(1.0 / (CAST(1 AS BIGINT) << rho)) AS su,
+         CAST(COUNT(*) AS BIGINT) AS nu
+  FROM mm GROUP BY 1, 2
+),
+est AS (
+  SELECT p.ga, p.gb,
+         {_hll_est_sql('p.sa', 'p.na')} AS est_a,
+         {_hll_est_sql('p.sb', 'p.nb')} AS est_b,
+         {_hll_est_sql('pp.su', 'pp.nu')} AS est_union
+  FROM pairs p JOIN pp ON p.ga = pp.ga AND p.gb = pp.gb
+)
+SELECT ga AS group_a, gb AS group_b,
+       ROUND(est_a, 6) + 0.0 AS est_a, ROUND(est_b, 6) + 0.0 AS est_b,
+       ROUND(est_union, 6) + 0.0 AS est_union,
+       ROUND(GREATEST(est_a + est_b - est_union, 0.0), 6) + 0.0 AS est_intersection,
+       ROUND(CASE WHEN est_union > 0.0
+                  THEN GREATEST(est_a + est_b - est_union, 0.0) / est_union
+                  ELSE 0.0 END, 6) + 0.0 AS est_jaccard
+FROM est""",
         "sketch_hll_registers": """
 WITH h AS (
   SELECT event_type,

@@ -2,6 +2,7 @@ from .hll import (  # noqa: F401
     hll_registers,
     hll_estimate,
     hll_distinct_counts,
+    hll_pairwise_overlap,
     merge_registers,
 )
 from .cms import cms_build, cms_merge, cms_estimate  # noqa: F401

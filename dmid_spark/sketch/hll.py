@@ -138,3 +138,121 @@ def hll_distinct_counts(
             key = (key,)
         out[key] = hll_estimate(list(zip(sub["register"], sub["rho"])), p=p)
     return out
+
+
+def _est_expr(s_col, nfilled_col, p: int):
+    """The hll_estimate math as column expressions (engine-portable):
+    raw = alpha*m^2 / (s + zeros), linear-counting switch below 2.5m.
+    ``s_col`` must be the sum of 1/2^rho over NON-EMPTY registers."""
+    m = 1 << p
+    if p >= 7:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif p == 6:
+        alpha = 0.709
+    elif p == 5:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    zeros = F.lit(float(m)) - nfilled_col
+    total = s_col + zeros
+    raw = F.lit(alpha * m * m) / total
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+
+
+def _inv_rho() -> F.Column:
+    """1/2^rho as an exact integer shift + power-of-two division —
+    identical IEEE result in any engine (no pow() library variance);
+    rho <= 61 fits the shift. (F.expr: the Python shiftleft wrapper
+    requires a literal shift amount; the SQL function takes a column.)"""
+    return F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), rho)")
+
+
+def hll_pairwise_overlap(
+    registers: DataFrame,
+    group_col: str,
+    p: int = 8,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Audience-overlap estimates for every unordered pair of groups from
+    one :func:`hll_registers` table: ``(group_a, group_b, est_a, est_b,
+    est_union, est_intersection, est_jaccard)``. The union sketch is the
+    register-wise max (exact HLL merge semantics); the intersection is
+    inclusion–exclusion ``est_a + est_b − est_union`` clamped at 0 (the
+    standard estimator — noisier than either input, as documented in the
+    HLL literature; for heavy inter/union analysis at tiny overlaps,
+    prefer exact set joins on the keys).
+
+    Scale: per-group scalar aggregates are O(groups); the pair expansion
+    is groups² × ≤2^p register rows — built for a BOUNDED group set
+    (event types, sources, shards), which is exactly where audience
+    overlap questions live. The estimator itself is column expressions
+    (1/2^rho via integer shift — no pow() library variance), so the whole
+    output is engine-twin verifiable at a float rounding.
+    """
+    g = F.col(group_col)
+    per_group = registers.groupBy(g.alias("grp")).agg(
+        F.sum(_inv_rho()).alias("s"), F.count("*").alias("nf")
+    )
+    ga = per_group.select(
+        F.col("grp").alias("group_a"), F.col("s").alias("sa"), F.col("nf").alias("na")
+    )
+    gb = per_group.select(
+        F.col("grp").alias("group_b"), F.col("s").alias("sb"), F.col("nf").alias("nb")
+    )
+    # deliberate small cross join: groups are a bounded dimension here
+    pairs = ga.join(gb, ga.group_a < gb.group_b)
+    ra = registers.select(
+        g.alias("group_a"), "register", F.col("rho").alias("rho_a")
+    )
+    rb = registers.select(
+        g.alias("group_b"), "register", F.col("rho").alias("rho_b")
+    )
+    ua = pairs.select("group_a", "group_b").join(ra, "group_a")
+    ub = pairs.select("group_a", "group_b").join(rb, "group_b")
+    merged = ua.join(ub, ["group_a", "group_b", "register"], "full_outer").select(
+        "group_a",
+        "group_b",
+        F.greatest(
+            F.coalesce("rho_a", F.lit(0)), F.coalesce("rho_b", F.lit(0))
+        ).alias("rho"),
+    )
+    per_pair = merged.groupBy("group_a", "group_b").agg(
+        F.sum(_inv_rho()).alias("su"), F.count("*").alias("nu")
+    )
+    est_a = _est_expr(F.col("sa"), F.col("na"), p)
+    est_b = _est_expr(F.col("sb"), F.col("nb"), p)
+    est_u = _est_expr(F.col("su"), F.col("nu"), p)
+    out = (
+        pairs.join(per_pair, ["group_a", "group_b"])
+        .select(
+            "group_a",
+            "group_b",
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+            ).alias("est_intersection"),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.when(
+                F.col("est_union") > 0.0,
+                F.col("est_intersection") / F.col("est_union"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    if round_dp is not None:
+        for c in ("est_a", "est_b", "est_union", "est_intersection", "est_jaccard"):
+            out = out.withColumn(c, F.round(c, round_dp) + F.lit(0.0))
+    return out

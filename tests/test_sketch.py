@@ -248,3 +248,53 @@ def test_group_quantiles_exact_and_sketch(spark):
         group_quantiles(d, "v", ["g"], [])
     with pytest.raises(ValueError):
         group_quantiles(d, "v", ["g"], [1.5])
+
+
+# ---------------------------------------------------------------------------
+# HLL pairwise overlap (audience overlap via inclusion-exclusion)
+# ---------------------------------------------------------------------------
+def test_hll_pairwise_overlap_accuracy(spark):
+    from dmid_spark.sketch import hll_pairwise_overlap, hll_registers
+
+    rows = (
+        [("A", u) for u in range(1000)]
+        + [("B", u) for u in range(500, 1500)]
+        + [("C", u) for u in range(10_000, 10_400)]
+    )
+    df = spark.createDataFrame(rows, "grp string, user long")
+    regs = hll_registers(df, "user", ["grp"], p=10)
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in hll_pairwise_overlap(regs, "grp", p=10).collect()
+    }
+    ab = got[("A", "B")]
+    # p=10 -> ~3.3% relative error on sizes; inclusion-exclusion compounds
+    assert ab["est_a"] == pytest.approx(1000, rel=0.1)
+    assert ab["est_union"] == pytest.approx(1500, rel=0.1)
+    assert ab["est_intersection"] == pytest.approx(500, rel=0.35)
+    assert 0.15 < ab["est_jaccard"] < 0.55  # true 1/3
+    ac = got[("A", "C")]  # disjoint
+    assert ac["est_intersection"] < 0.15 * ac["est_union"]
+    assert ac["est_union"] == pytest.approx(1400, rel=0.1)
+
+
+def test_hll_pairwise_overlap_matches_driver_estimator(spark):
+    """est_a/est_b/est_union from the relational expressions equal
+    hll_estimate() on the same (collected) registers."""
+    from dmid_spark.sketch import hll_estimate, hll_pairwise_overlap, hll_registers
+
+    rows = [("X", u) for u in range(300)] + [("Y", u * 3) for u in range(400)]
+    df = spark.createDataFrame(rows, "grp string, user long")
+    regs = hll_registers(df, "user", ["grp"], p=8)
+    row = hll_pairwise_overlap(regs, "grp", p=8).collect()[0]
+    by_grp = {}
+    for r in regs.collect():
+        by_grp.setdefault(r["grp"], []).append((r["register"], r["rho"]))
+    assert row["est_a"] == pytest.approx(hll_estimate(by_grp["X"], p=8), abs=1e-9)
+    assert row["est_b"] == pytest.approx(hll_estimate(by_grp["Y"], p=8), abs=1e-9)
+    from pyspark.sql import functions as SF
+
+    # union registers across the two groups = register-wise max ignoring grp
+    u2 = regs.groupBy("register").agg(SF.max("rho").alias("rho"))
+    est_u = hll_estimate([(r["register"], r["rho"]) for r in u2.collect()], p=8)
+    assert row["est_union"] == pytest.approx(est_u, abs=1e-9)
