@@ -1837,6 +1837,18 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_edge_betweenness(spark, sf_dir):
+    """Sampled Girvan–Newman EDGE betweenness, same sample and depth cap
+    as x16 (sources id % 100 == 0, depth 12 ≥ eccentricity)."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import edge_betweenness_sample
+
+    e = _edges(spark, sf_dir)
+    sources = G.vertices(e).filter(F.col("id") % 100 == 0)
+    out, _ = edge_betweenness_sample(e, sources, max_depth=12)
+    return out.select("src", "dst", F.round("betweenness", 9).alias("betweenness"))
+
+
 def q_hll_overlap(spark, sf_dir):
     """Pairwise audience overlap between event types from HLL registers
     (p=8, md5 mode): union sketch = register-wise max, intersection by
@@ -1909,6 +1921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HLL pairwise overlap (m1_extended_modularity parks below,
         # double-green)
         "sketch_hll_overlap": q_hll_overlap,
+        # Girvan–Newman edge betweenness (dedup_exact parks below,
+        # double-green; exact dedup's machinery is inside pipeline_clean
+        # and the in-window dedup rows)
+        "x41_edge_betweenness": q_edge_betweenness,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
@@ -1930,7 +1946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dmid_cover": q_dmid_cover,
         "slpa_cover": q_slpa,
         # text / dedup family
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "pipeline_clean_corpus": q_clean_corpus,
@@ -1986,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sha_invariant": q_corpus_sha,
         "x4_triangle_counts": q_triangles,
         "m1_extended_modularity": q_modularity,
+        "dedup_exact": q_dedup_exact,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -3569,7 +3585,7 @@ SELECT doc_id, n_tokens, start_token,
 FROM pc"""
 
 
-def _betweenness_sql(src_mod: int, levels: int = 12) -> str:
+def _betweenness_sql(src_mod: int, levels: int = 12, edge_form: bool = False) -> str:
     """Unrolled Brandes: forward σ per BFS level, backward δ from the
     deepest level — every per-level CTE AS MATERIALIZED (each is referenced
     by the next level AND the final union). A level unroll ≥ the sample's
@@ -3601,6 +3617,32 @@ d{l} AS MATERIALIZED (
     GROUP BY w.source, e.src
   ) t ON t.source = v.source AND t.id = v.id
 )""")
+    if edge_form:
+        # Girvan–Newman edge scores from the same per-level σ/δ tables: a
+        # vertex sits in exactly one s{l} (its BFS level), so tagging the
+        # unions with lvl encodes the DAG-edge condition dist_w = dist_u+1
+        unions_s = " UNION ALL ".join(
+            f"SELECT source, id, sigma, {l} AS lvl FROM s{l}"
+            for l in range(0, levels + 1)
+        )
+        unions_d = " UNION ALL ".join(
+            f"SELECT source, id, delta, {l} AS lvl FROM d{l}"
+            for l in range(0, levels + 1)
+        )
+        parts.append(f""",
+alls AS ({unions_s}),
+alldl AS ({unions_d}),
+eb AS (
+  SELECT e.src, e.dst, su.sigma * (1 + dw.delta) / sw.sigma AS c
+  FROM e
+  JOIN alls su ON su.id = e.src
+  JOIN alls sw ON sw.source = su.source AND sw.id = e.dst AND sw.lvl = su.lvl + 1
+  JOIN alldl dw ON dw.source = su.source AND dw.id = e.dst AND dw.lvl = sw.lvl
+),
+ebagg AS (SELECT src, dst, SUM(c) AS b FROM eb GROUP BY src, dst)
+SELECT e.src, e.dst, ROUND(COALESCE(ebagg.b, 0.0), 9) AS betweenness
+FROM e LEFT JOIN ebagg ON e.src = ebagg.src AND e.dst = ebagg.dst""")
+        return "".join(parts)
     unions = " UNION ALL ".join(
         f"SELECT * FROM d{l}" for l in range(0, levels + 1)
     )
@@ -3991,6 +4033,9 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         "x16_betweenness_sample": _G.replace("WITH edges", "WITH RECURSIVE edges")
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12),
+        "x41_edge_betweenness": _G.replace("WITH edges", "WITH RECURSIVE edges")
+        + _bfs_reach_sql(src_mod=100, materialized=True)
+        + _betweenness_sql(src_mod=100, levels=12, edge_form=True),
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
         "x25_louvain_round": _G + """
 , counts AS (

@@ -43,7 +43,7 @@ from .paths import (  # noqa: F401
     ranked_adjacency,
     sampled_adjacency,
 )
-from .paths import betweenness_sample  # noqa: F401
+from .paths import betweenness_sample, edge_betweenness_sample  # noqa: F401
 from .paths import sssp  # noqa: F401
 from .paths import diameter_double_sweep  # noqa: F401
 from .dag import topological_levels  # noqa: F401

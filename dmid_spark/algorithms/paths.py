@@ -275,6 +275,43 @@ def random_walks(
     return out, stats
 
 
+def _sigma_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int | None,
+    broadcast_frontier: bool,
+) -> tuple[DataFrame, list[DataFrame], BfsStats]:
+    """Brandes forward pass shared by vertex and edge betweenness: BFS
+    levels → per-level shortest-path counts ``sig[l] = (source, id,
+    sigma)``. Returns ``(distinct edge table, sig levels, BFS stats)``."""
+    dist, stats = bfs_distances(edges, sources, max_depth, broadcast_frontier)
+    dist = K.materialize(dist)
+    # BFS stats already say which levels are populated — no per-level
+    # isEmpty probe jobs: frontier_sizes[l-1] is the level-l vertex count
+    # (the final 0 entry marks convergence)
+    n_levels = sum(1 for n in stats.frontier_sizes if n > 0)
+    e = edges.select("src", "dst").distinct()
+    lvl = dist.filter(F.col("dist") == 0).select(
+        "source", "id", F.lit(1.0).alias("sigma")
+    )
+    sig_levels = [K.materialize(lvl)]
+    for l in range(1, n_levels + 1):
+        at_l = dist.filter(F.col("dist") == l).select("source", "id")
+        prev = sig_levels[-1]
+        if broadcast_frontier:
+            prev = F.broadcast(prev)
+        contrib = prev.join(e, prev.id == e.src).select(
+            "source", F.col("dst").alias("id"), "sigma"
+        )
+        lvl = K.materialize(
+            contrib.join(at_l, ["source", "id"], "left_semi")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        sig_levels.append(lvl)
+    return e, sig_levels, stats
+
+
 def betweenness_sample(
     edges: DataFrame,
     sources: DataFrame,
@@ -302,34 +339,9 @@ def betweenness_sample(
     ``(betweenness(id, betweenness), stats)`` where stats are the forward
     BFS's (levels = eccentricity+1 when converged).
     """
-    dist, stats = bfs_distances(edges, sources, max_depth, broadcast_frontier)
-    dist = K.materialize(dist)
-    # BFS stats already say which levels are populated — no per-level
-    # isEmpty probe jobs: frontier_sizes[l-1] is the level-l vertex count
-    # (the final 0 entry marks convergence)
-    n_levels = sum(1 for n in stats.frontier_sizes if n > 0)
-    e = edges.select("src", "dst").distinct()
-
-    # ---- forward: per-level shortest-path counts ------------------------
-    # sig[l] holds (source, id, sigma) for vertices at distance l
-    lvl = dist.filter(F.col("dist") == 0).select(
-        "source", "id", F.lit(1.0).alias("sigma")
+    e, sig_levels, stats = _sigma_levels(
+        edges, sources, max_depth, broadcast_frontier
     )
-    sig_levels = [K.materialize(lvl)]
-    for l in range(1, n_levels + 1):
-        at_l = dist.filter(F.col("dist") == l).select("source", "id")
-        prev = sig_levels[-1]
-        if broadcast_frontier:
-            prev = F.broadcast(prev)
-        contrib = prev.join(e, prev.id == e.src).select(
-            "source", F.col("dst").alias("id"), "sigma"
-        )
-        lvl = K.materialize(
-            contrib.join(at_l, ["source", "id"], "left_semi")
-            .groupBy("source", "id")
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        sig_levels.append(lvl)
 
     # ---- backward: dependency accumulation ------------------------------
     # walk levels deepest-first; delta of the deepest level is 0
@@ -377,6 +389,77 @@ def betweenness_sample(
         .select("id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
     )
     return full, stats
+
+
+def edge_betweenness_sample(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int | None = None,
+    broadcast_frontier: bool = True,
+) -> tuple[DataFrame, BfsStats]:
+    """Sampled EDGE betweenness (the Girvan–Newman community-detection
+    edge score, Brandes 2001 §4 edge form): for each directed edge,
+    ``betweenness(u,w) = Σ_{s ∈ S} σ_s(u)/σ_s(w) · (1 + δ_s(w))`` summed
+    over sources s whose BFS DAG contains (u, w) as a tree/DAG edge —
+    exactly the per-edge flow the vertex backward sweep already computes
+    before it aggregates by vertex. Returns ``(edge_bt(src, dst,
+    betweenness), stats)`` over the distinct directed edge table (edges on
+    no sampled shortest path score 0). Undirected consumers symmetrize by
+    summing both orientations.
+
+    Same plan family as :func:`betweenness_sample` (shared forward pass):
+    per level one broadcast-frontier join against the edge table + one
+    (source, edge)-keyed aggregate; the per-level edge contributions union
+    lazily and aggregate once at the end by (src, dst) — nothing
+    centralizes, level count bounded by the sample's eccentricity.
+    """
+    e, sig_levels, stats = _sigma_levels(
+        edges, sources, max_depth, broadcast_frontier
+    )
+    deepest = len(sig_levels) - 1
+    delta = K.materialize(
+        sig_levels[deepest].select("source", "id", F.lit(0.0).alias("delta"))
+    )
+    edge_parts = []
+    for l in range(deepest - 1, -1, -1):
+        # w_term(s, w) = (1 + δ(s,w)) / σ(s,w) for level-(l+1) vertices w
+        w_side = delta.join(
+            sig_levels[l + 1].withColumnRenamed("sigma", "sigma_w"),
+            ["source", "id"],
+        ).select(
+            "source", F.col("id").alias("w"),
+            ((1.0 + F.col("delta")) / F.col("sigma_w")).alias("w_term"),
+        )
+        if broadcast_frontier:
+            w_side = F.broadcast(w_side)
+        # keep BOTH edge endpoints: (source, u=src, w=dst, w_term)
+        contrib = w_side.join(e, w_side.w == e.dst).select(
+            "source", F.col("src").alias("id"), "w", "w_term"
+        )
+        # restrict to DAG edges (u at level l) and attach σ(s, u)
+        lvl_edges = contrib.join(sig_levels[l], ["source", "id"]).select(
+            "source", "id", "w", (F.col("w_term") * F.col("sigma")).alias("c")
+        )
+        edge_parts.append(lvl_edges)
+        sums = lvl_edges.groupBy("source", "id").agg(F.sum("c").alias("delta"))
+        delta = K.materialize(
+            sig_levels[l]
+            .join(sums.select("source", "id", "delta"), ["source", "id"], "left")
+            .select("source", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+        )
+    if edge_parts:
+        alle = edge_parts[0]
+        for p_ in edge_parts[1:]:
+            alle = alle.unionByName(p_)
+        agg = alle.groupBy(F.col("id").alias("src"), F.col("w").alias("dst")).agg(
+            F.sum("c").alias("betweenness")
+        )
+    else:
+        agg = e.select("src", "dst", F.lit(0.0).alias("betweenness")).limit(0)
+    out = e.join(agg, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )
+    return out, stats
 
 
 def sssp(

@@ -644,3 +644,101 @@ def test_neighbor_sample_validations_and_hop_chain(spark):
     for r in out:
         if r["hop"] == 2:
             assert (r["root"], r["src"]) in h1
+
+
+# ---------------------------------------------------------------------------
+# Sampled EDGE betweenness (Girvan-Newman edge scores)
+# ---------------------------------------------------------------------------
+_EB_GRAPHS = {
+    "two_cliques": two_cliques_bridge(),
+    "path": directed_path(),
+    "random": random_graph(n=100, seed=17),
+}
+
+
+def brandes_edge_oracle(rows, n, sources):
+    """Directed, unnormalized, source-sampled Brandes — edge form."""
+    nbrs = out_adj(rows, n)
+    eb = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        preds = {s: []}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in nbrs[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    preds[w] = []
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1 + delta[w])
+                eb[(v, w)] = eb.get((v, w), 0.0) + c
+                delta[v] += c
+    return eb
+
+
+@pytest.mark.parametrize(
+    "name,srcs",
+    [("two_cliques", [0, 6]), ("path", [0]), ("random", [0, 10, 50, 90])],
+)
+def test_edge_betweenness_matches_oracle(spark, name, srcs):
+    from dmid_spark.algorithms import edge_betweenness_sample
+
+    rows, n = _EB_GRAPHS[name]
+    src_df = spark.createDataFrame([(s,) for s in srcs], "id long")
+    out, _ = edge_betweenness_sample(G.edges_from_rows(spark, rows), src_df)
+    got = {(r["src"], r["dst"]): r["betweenness"] for r in out.collect()}
+    want = brandes_edge_oracle(rows, n, srcs)
+    # every distinct directed edge appears exactly once, zeros filled
+    assert len(got) == len({(s, d) for s, d, *_ in rows})
+    for k, v in got.items():
+        assert v == pytest.approx(want.get(k, 0.0), abs=1e-9), k
+
+
+def test_edge_betweenness_bridge_edge_dominates(spark):
+    """The bridge between two cliques carries every cross-clique shortest
+    path — the Girvan-Newman signal."""
+    from dmid_spark.algorithms import edge_betweenness_sample
+
+    rows, n = two_cliques_bridge()
+    src_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    out, _ = edge_betweenness_sample(G.edges_from_rows(spark, rows), src_df)
+    got = {(r["src"], r["dst"]): r["betweenness"] for r in out.collect()}
+    bridge = max(got, key=got.get)
+    # the bridge connects the two cliques (5-6 in this fixture's layout)
+    assert set(bridge) == {5, 6}
+    # and its score strictly dominates every intra-clique edge
+    intra = max(v for k, v in got.items() if set(k) != {5, 6})
+    assert got[bridge] > intra
+
+
+def test_edge_betweenness_consistent_with_vertex_version(spark):
+    """Summing a vertex's outgoing DAG-edge scores recovers its vertex
+    dependency: bc(v) = sum over edges (v, w) of eb(v, w) for non-source
+    v (Brandes' recursion), checked on the random fixture."""
+    from dmid_spark.algorithms import betweenness_sample, edge_betweenness_sample
+
+    rows, n = _EB_GRAPHS["random"]
+    srcs = [0, 30, 60]
+    src_df = spark.createDataFrame([(s,) for s in srcs], "id long")
+    e = G.edges_from_rows(spark, rows)
+    vout, _ = betweenness_sample(e, src_df)
+    eout, _ = edge_betweenness_sample(e, src_df)
+    vb = {r["id"]: r["betweenness"] for r in vout.collect()}
+    out_sum = {}
+    for r in eout.collect():
+        out_sum[r["src"]] = out_sum.get(r["src"], 0.0) + r["betweenness"]
+    for v in range(n):
+        if v in srcs:
+            continue
+        assert out_sum.get(v, 0.0) == pytest.approx(vb[v], abs=1e-9), v
