@@ -1837,6 +1837,48 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_rmat_edges(spark, sf_dir):
+    """Graph500-parameter R-MAT generation (scale 8, 5000 draws, md5
+    draws) with duplicate collapse — the deterministic synthetic-graph
+    source; bit-replayable by the twin (integer millionth thresholds,
+    no float anywhere)."""
+    from dmid_spark.io import rmat_edges
+
+    return rmat_edges(
+        spark, scale=8, n_edges=5000, seed=42, hash_mode="md5",
+        collapse_duplicates=True,
+    )
+
+
+def _rmat_sql(scale: int = 8, n_edges: int = 5000, seed: int = 42,
+              a_ppm: int = 570000, b_ppm: int = 190000, c_ppm: int = 190000) -> str:
+    """DuckDB twin of q_rmat_edges: identical per-level integer hash
+    draws and millionth thresholds, unrolled per recursion level."""
+    def h(lvl: int) -> str:
+        return ("CAST(('0x' || substr(md5('rmat:" + str(seed) + ":' || i || ':"
+                + str(lvl) + "'), 1, 15)) AS BIGINT) % 1000000")
+
+    src_terms, dst_terms = [], []
+    for lvl in range(scale):
+        bit = 1 << (scale - 1 - lvl)
+        hx = h(lvl)
+        src_terms.append(
+            f"CASE WHEN {hx} >= {a_ppm + b_ppm} THEN {bit} ELSE 0 END"
+        )
+        dst_terms.append(
+            f"CASE WHEN ({hx} >= {a_ppm} AND {hx} < {a_ppm + b_ppm}) "
+            f"OR {hx} >= {a_ppm + b_ppm + c_ppm} THEN {bit} ELSE 0 END"
+        )
+    return f"""
+WITH gen AS (SELECT i FROM range(0, {n_edges}) t(i)),
+e AS (
+  SELECT CAST({' + '.join(src_terms)} AS BIGINT) AS src,
+         CAST({' + '.join(dst_terms)} AS BIGINT) AS dst
+  FROM gen
+)
+SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight FROM e GROUP BY src, dst"""
+
+
 def q_edge_betweenness(spark, sf_dir):
     """Sampled Girvan–Newman EDGE betweenness, same sample and depth cap
     as x16 (sources id % 100 == 0, depth 12 ≥ eccentricity)."""
@@ -1925,6 +1967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # double-green; exact dedup's machinery is inside pipeline_clean
         # and the in-window dedup rows)
         "x41_edge_betweenness": q_edge_betweenness,
+        # R-MAT generator source (text_quality parks below, double-green;
+        # its column arithmetic is re-exercised by text_quality_probe's
+        # featurization in-window)
+        "gen_rmat_edges": q_rmat_edges,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
@@ -1949,7 +1995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "pipeline_clean_corpus": q_clean_corpus,
-        "text_quality": q_text_quality,
         "text_quality_probe": q_quality_probe,
         "sample_mix_epochs": q_mix_epochs,
         "text_bpe_merges": q_bpe_merges,
@@ -2002,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_triangle_counts": q_triangles,
         "m1_extended_modularity": q_modularity,
         "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -4036,6 +4082,7 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         "x41_edge_betweenness": _G.replace("WITH edges", "WITH RECURSIVE edges")
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12, edge_form=True),
+        "gen_rmat_edges": _rmat_sql(),
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
         "x25_louvain_round": _G + """
 , counts AS (

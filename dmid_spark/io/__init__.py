@@ -17,3 +17,4 @@ from .formats import (  # noqa: F401
     write_cover_json_lines,
     write_dmid_adjacency_lines,
 )
+from .generators import rmat_edges  # noqa: F401

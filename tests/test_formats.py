@@ -136,3 +136,95 @@ def test_read_ground_truth_cover_remap(spark):
     )
     # ids 10/30/99 → 0/1/2; communities 7/42 → 0/1
     assert got == [(0, 0, 1.0), (1, 0, 0.25), (1, 1, 0.75), (2, 1, 1.0)]
+
+
+
+# ---------------------------------------------------------------------------
+# R-MAT generator (io/generators.py)
+# ---------------------------------------------------------------------------
+def test_rmat_matches_transliteration(spark):
+    import hashlib
+
+    from dmid_spark.io import rmat_edges
+
+    scale, n, seed = 5, 200, 9
+    a, b, c = 0.6, 0.15, 0.15
+    a_ppm, b_ppm, c_ppm = 600000, 150000, 150000
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = []
+    for i in range(n):
+        src = dst = 0
+        for lvl in range(scale):
+            h = h60(f"rmat:{seed}:{i}:{lvl}") % 1_000_000
+            if h < a_ppm:
+                q = 0
+            elif h < a_ppm + b_ppm:
+                q = 1
+            elif h < a_ppm + b_ppm + c_ppm:
+                q = 2
+            else:
+                q = 3
+            bit = 1 << (scale - 1 - lvl)
+            if q >= 2:
+                src += bit
+            if q % 2 == 1:
+                dst += bit
+        want.append((src, dst, 1.0))
+    got = sorted(
+        map(tuple, rmat_edges(
+            spark, scale=scale, n_edges=n, a=a, b=b, c=c, seed=seed,
+            hash_mode="md5",
+        ).collect())
+    )
+    assert got == sorted(want)
+
+
+def test_rmat_parallelism_invariant(spark):
+    from dmid_spark.io import rmat_edges
+
+    one = sorted(map(tuple, rmat_edges(
+        spark, scale=8, n_edges=500, seed=3, num_partitions=1
+    ).collect()))
+    many = sorted(map(tuple, rmat_edges(
+        spark, scale=8, n_edges=500, seed=3, num_partitions=13
+    ).collect()))
+    assert one == many and len(one) == 500
+
+
+def test_rmat_skew_and_flags(spark):
+    from pyspark.sql import functions as SF
+
+    from dmid_spark.io import rmat_edges
+
+    e = rmat_edges(spark, scale=10, n_edges=20_000, seed=1)
+    degs = sorted(
+        (r["c"] for r in e.groupBy("src").agg(SF.count("*").alias("c")).collect()),
+        reverse=True,
+    )
+    n_src = len(degs)
+    # Graph500 parameters concentrate mass: the top 1% of sources hold far
+    # more than 1% of edges (uniform would give ~= 1%)
+    top = sum(degs[: max(1, n_src // 100)])
+    assert top / 20_000 > 0.05
+    # flags
+    loops = rmat_edges(spark, scale=6, n_edges=2000, seed=2)
+    no_loops = rmat_edges(spark, scale=6, n_edges=2000, seed=2, drop_self_loops=True)
+    assert no_loops.filter("src = dst").count() == 0
+    assert loops.count() == 2000 and no_loops.count() <= 2000
+    coll = rmat_edges(spark, scale=6, n_edges=2000, seed=2, collapse_duplicates=True)
+    tot = coll.agg(SF.sum("weight").alias("s")).first()["s"]
+    assert tot == 2000.0 and coll.count() < 2000  # scale 6 forces collisions
+
+
+def test_rmat_validates_args(spark):
+    import pytest as _pytest
+
+    from dmid_spark.io import rmat_edges
+
+    with _pytest.raises(ValueError):
+        rmat_edges(spark, scale=0)
+    with _pytest.raises(ValueError):
+        rmat_edges(spark, scale=5, a=0.9, b=0.2, c=0.2)
