@@ -1837,6 +1837,46 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding 600s/300s window counts — the batch twin of streaming's
+    window(ts, '10 minutes', '5 minutes'); every event lands in exactly 2
+    windows."""
+    from dmid_spark.events import sliding_window_counts
+
+    out = sliding_window_counts(_events(spark, sf_dir), 600, 300)
+    return out.select(
+        "win_start", "event_type", F.col("n").cast("long").alias("n"),
+        F.round("total", 6).alias("total"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Edge churn between two deterministic snapshots of the co-occurrence
+    graph: A = edges from lineitem rows with l_quantity <= 25 (the
+    'yesterday' proxy), B = the full edge table. Per-edge status + weight
+    delta — the daily-ingest monitoring view."""
+    from dmid_spark.graph import snapshot_diff
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sub = (
+        li.filter(F.col("l_quantity") <= 25)
+        .select(
+            (F.col("l_orderkey") % MOD).alias("src"),
+            (F.col("l_partkey") % MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    out = snapshot_diff(sub, _edges(spark, sf_dir))
+    return out.select(
+        "src", "dst", "status",
+        F.round("weight_a", 6).alias("weight_a"),
+        F.round("weight_b", 6).alias("weight_b"),
+        F.round("weight_delta", 6).alias("weight_delta"),
+    )
+
+
 def q_rmat_edges(spark, sf_dir):
     """Graph500-parameter R-MAT generation (scale 8, 5000 draws, md5
     draws) with duplicate collapse — the deterministic synthetic-graph
@@ -1971,6 +2011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its column arithmetic is re-exercised by text_quality_probe's
         # featurization in-window)
         "gen_rmat_edges": q_rmat_edges,
+        # sliding windows + snapshot churn (slpa_cover / m3_overlapping_nmi
+        # park below, both double-green in r03 AND r04)
+        "events_sliding_window": q_sliding_window,
+        "graph_snapshot_diff": q_snapshot_diff,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
@@ -1986,11 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x30_cc_incremental": q_cc_incremental,
         "x32_feature_smooth": q_feature_smooth,
         "x34_backbone": q_backbone,
-        # cover metrics
-        "m3_overlapping_nmi": q_m3,
         # full covers
         "dmid_cover": q_dmid_cover,
-        "slpa_cover": q_slpa,
         # text / dedup family
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
@@ -2048,6 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_extended_modularity": q_modularity,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
+        "slpa_cover": q_slpa,
+        "m3_overlapping_nmi": q_m3,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -4083,6 +4126,45 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12, edge_form=True),
         "gen_rmat_edges": _rmat_sql(),
+        "events_sliding_window": """
+WITH ex AS (
+  SELECT event_type, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, k.i AS k
+  FROM events, range(2) k(i)
+),
+w AS (
+  SELECT (CAST(FLOOR(t / 300.0) AS BIGINT) - k) * 300 AS win_start,
+         event_type, value, t
+  FROM ex
+)
+SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS total
+FROM w WHERE t >= win_start GROUP BY 1, 2""",
+        "graph_snapshot_diff": f"""
+WITH b AS (
+  SELECT CAST(l_orderkey % {MOD} AS BIGINT) AS src,
+         CAST(l_partkey % {MOD} AS BIGINT) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight_b
+  FROM lineitem
+  WHERE (l_orderkey % {MOD}) <> (l_partkey % {MOD})
+  GROUP BY 1, 2
+),
+a AS (
+  SELECT CAST(l_orderkey % {MOD} AS BIGINT) AS src,
+         CAST(l_partkey % {MOD} AS BIGINT) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight_a
+  FROM lineitem
+  WHERE (l_orderkey % {MOD}) <> (l_partkey % {MOD}) AND l_quantity <= 25
+  GROUP BY 1, 2
+)
+SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.dst, b.dst) AS dst,
+       CASE WHEN a.weight_a IS NULL THEN 'added'
+            WHEN b.weight_b IS NULL THEN 'removed'
+            ELSE 'kept' END AS status,
+       ROUND(COALESCE(a.weight_a, 0.0), 6) AS weight_a,
+       ROUND(COALESCE(b.weight_b, 0.0), 6) AS weight_b,
+       ROUND(COALESCE(b.weight_b, 0.0) - COALESCE(a.weight_a, 0.0), 6) AS weight_delta
+FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst""",
         "x17_sssp_sample": _G + _sssp_sql(src_mod=100, rounds=8),
         "x25_louvain_round": _G + """
 , counts AS (

@@ -107,6 +107,54 @@ def retention_cohorts(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    window_sec: int = 600,
+    slide_sec: int = 300,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlapping (sliding) window aggregates — the batch twin of
+    Structured Streaming's ``window(ts, window, slide)``: per
+    ``(win_start, event_type)`` the event count and value sum over every
+    window of length ``window_sec`` advancing by ``slide_sec``.
+    ``window_sec`` must be a multiple of ``slide_sec`` (each event then
+    belongs to exactly ``window/slide`` windows).
+
+    Scale: each event explodes into window/slide rows (a small constant)
+    followed by ONE map-side-combined aggregate — the standard sliding
+    window shape; no self-joins, no per-window scans. win_start is epoch
+    seconds (integer arithmetic, engine-portable).
+    """
+    if window_sec <= 0 or slide_sec <= 0 or window_sec % slide_sec != 0:
+        raise ValueError(
+            f"window_sec must be a positive multiple of slide_sec, got "
+            f"{window_sec}/{slide_sec}"
+        )
+    n_over = window_sec // slide_sec
+    t = F.floor(F.col(ts_col).cast("timestamp").cast("double")).cast("long")
+    exploded = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(value_col).alias("value"),
+        t.alias("_t"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_over - 1))).alias("_k"),
+    ).select(
+        "event_type",
+        "value",
+        ((F.floor(F.col("_t") / slide_sec) - F.col("_k")) * slide_sec).alias(
+            "win_start"
+        ),
+        "_t",
+    ).filter(
+        # guard for events near the epoch origin (negative window ids)
+        F.col("_t") >= F.col("win_start")
+    )
+    return exploded.groupBy("win_start", "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+
+
 def burst_windows(
     events: DataFrame,
     bucket_sec: int = 3600,

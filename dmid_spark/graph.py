@@ -498,6 +498,51 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_diff(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
+    """Edge-level diff between two graph snapshots (A = before, B =
+    after): ``(src, dst, status, weight_a, weight_b, weight_delta)`` with
+    status ∈ {'added', 'removed', 'kept'} — the daily-ingest churn view
+    that pairs with incremental_components (X30): the 'added' slice IS
+    the delta batch. Parallel edge rows collapse by weight sum first, so
+    the diff is over the canonical weighted edge relation.
+
+    Scale: two map-side-combined collapses + one full-outer hash join on
+    the edge key. One shuffle family, no driver state."""
+    a = edges_a.groupBy("src", "dst").agg(F.sum("weight").alias("weight_a"))
+    b = edges_b.groupBy("src", "dst").agg(F.sum("weight").alias("weight_b"))
+    j = a.join(b, ["src", "dst"], "full_outer")
+    return j.select(
+        "src",
+        "dst",
+        F.when(F.col("weight_a").isNull(), "added")
+        .when(F.col("weight_b").isNull(), "removed")
+        .otherwise("kept")
+        .alias("status"),
+        F.coalesce("weight_a", F.lit(0.0)).alias("weight_a"),
+        F.coalesce("weight_b", F.lit(0.0)).alias("weight_b"),
+        (
+            F.coalesce("weight_b", F.lit(0.0)) - F.coalesce("weight_a", F.lit(0.0))
+        ).alias("weight_delta"),
+    )
+
+
+def snapshot_churn_summary(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
+    """One-row churn summary over :func:`snapshot_diff`: counts per
+    status, total |weight delta|, and the edge-set Jaccard between the
+    snapshots — the monitoring row a scheduled ingest job emits."""
+    d = snapshot_diff(edges_a, edges_b)
+    kept = F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+    added = F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+    removed = F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+    return d.agg(
+        added.cast("long").alias("n_added"),
+        removed.cast("long").alias("n_removed"),
+        kept.cast("long").alias("n_kept"),
+        F.sum(F.abs(F.col("weight_delta"))).alias("abs_weight_delta"),
+        (kept / F.count("*")).alias("edge_jaccard"),
+    )
+
+
 def attribute_mixing(
     edges: DataFrame,
     attrs: DataFrame,

@@ -378,3 +378,28 @@ def test_attribute_assortativity_extremes(spark):
     )
     r4 = attribute_assortativity(G.edges_from_rows(spark, rows), attrs_partial).first()
     assert r4["n_categories"] == 1 and r4["trace"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / churn
+# ---------------------------------------------------------------------------
+def test_snapshot_diff_and_summary(spark):
+    from dmid_spark.graph import snapshot_churn_summary, snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 2, 2.0), (2, 3, 1.0), (3, 4, 5.0)],
+        "src long, dst long, weight double",
+    )
+    b = spark.createDataFrame(
+        [(1, 2, 4.0), (2, 3, 1.0), (5, 6, 1.0)],
+        "src long, dst long, weight double",
+    )
+    d = {(r["src"], r["dst"]): r for r in snapshot_diff(a, b).collect()}
+    assert d[(1, 2)]["status"] == "kept" and d[(1, 2)]["weight_delta"] == 1.0
+    assert d[(2, 3)]["status"] == "kept" and d[(2, 3)]["weight_delta"] == 0.0
+    assert d[(3, 4)]["status"] == "removed" and d[(3, 4)]["weight_b"] == 0.0
+    assert d[(5, 6)]["status"] == "added" and d[(5, 6)]["weight_a"] == 0.0
+    s = snapshot_churn_summary(a, b).first()
+    assert (s["n_added"], s["n_removed"], s["n_kept"]) == (1, 1, 2)
+    assert s["abs_weight_delta"] == 1.0 + 0.0 + 5.0 + 1.0
+    assert s["edge_jaccard"] == pytest.approx(2 / 4)

@@ -495,3 +495,50 @@ def test_burst_windows_flags_spike_and_densifies_gaps(spark):
     assert not got[("a", lo + 11)].is_burst
     assert got[("a", lo)].z is None and not got[("a", lo)].is_burst
     assert got[("a", lo + 3)].z is None  # constant history -> stddev 0
+
+
+def test_sliding_window_counts_matches_bruteforce(spark):
+    from datetime import datetime, timedelta
+
+    from dmid_spark.events import sliding_window_counts
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (base + timedelta(seconds=s), typ, float(v))
+        for s, typ, v in [
+            (0, "a", 1), (100, "a", 2), (301, "a", 4), (650, "b", 8),
+            (899, "a", 16), (900, "b", 32), (1199, "a", 64),
+        ]
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total"])
+        for r in sliding_window_counts(ev, window_sec=600, slide_sec=300).collect()
+    }
+    # brute force: every 300s-aligned window [w, w+600) containing the event
+    import math
+
+    want = {}
+    for ts, typ, v in rows:
+        t = int(ts.timestamp())
+        for k in range(2):
+            w = (math.floor(t / 300) - k) * 300
+            if w <= t < w + 600:
+                key = (w, typ)
+                n, tot = want.get(key, (0, 0.0))
+                want[key] = (n + 1, tot + v)
+    assert got == want
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(n for n, _ in got.values()) == 2 * len(rows)
+
+
+def test_sliding_window_validates_args(spark):
+    import pytest as _pytest
+
+    from dmid_spark.events import sliding_window_counts
+
+    ev = spark.createDataFrame([], "ts timestamp, event_type string, value double")
+    with _pytest.raises(ValueError):
+        sliding_window_counts(ev, window_sec=500, slide_sec=300)
+    with _pytest.raises(ValueError):
+        sliding_window_counts(ev, window_sec=0, slide_sec=0)
