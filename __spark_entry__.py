@@ -1837,6 +1837,50 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_matching(spark, sf_dir):
+    """Locally-heaviest maximal matching (Hoepman/Preis) — the heavy-edge
+    coarsening primitive. 17 rounds at sf0.01; the twin unrolls 24 (no-op
+    rounds past the fixpoint are empty in both engines)."""
+    from dmid_spark.algorithms import maximal_matching
+
+    out, _ = maximal_matching(_edges(spark, sf_dir))
+    return out.select("u", "v", F.round("weight", 6).alias("weight"))
+
+
+def _matching_sql(rounds: int = 24) -> str:
+    """Unrolled locally-heaviest matching: per round the per-vertex best
+    incident edge (w DESC, neighbor ASC), the mutual-pair join, and the
+    endpoint retirement anti-filter. Matched unions accumulate at the
+    end; rounds past the fixpoint are empty no-ops."""
+    parts = ["""live0 AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(weight) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+bh{r} AS MATERIALIZED (
+  SELECT u, v, w FROM (
+    SELECT u, v, w, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+    FROM (SELECT u, v, w FROM live{r - 1}
+          UNION ALL SELECT v AS u, u AS v, w FROM live{r - 1})
+  ) WHERE rn = 1
+),
+mu{r} AS MATERIALIZED (
+  SELECT a.u, a.v, a.w FROM bh{r} a JOIN bh{r} b ON a.u = b.v AND a.v = b.u
+  WHERE a.u < a.v
+),
+mv{r} AS (SELECT u AS id FROM mu{r} UNION SELECT v AS id FROM mu{r}),
+live{r} AS MATERIALIZED (
+  SELECT l.u, l.v, l.w FROM live{r - 1} l
+  WHERE l.u NOT IN (SELECT id FROM mv{r})
+    AND l.v NOT IN (SELECT id FROM mv{r})
+)""")
+    unions = " UNION ALL ".join(f"SELECT * FROM mu{r}" for r in range(1, rounds + 1))
+    parts.append(f"""
+SELECT u, v, ROUND(w, 6) AS weight FROM ({unions})""")
+    return "".join(parts)
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding 600s/300s window counts — the batch twin of streaming's
     window(ts, '10 minutes', '5 minutes'); every event lands in exactly 2
@@ -2015,6 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # park below, both double-green in r03 AND r04)
         "events_sliding_window": q_sliding_window,
         "graph_snapshot_diff": q_snapshot_diff,
+        # heavy-edge matching (ann_ivf_topk parks below, double-green; the
+        # IVF machinery keeps emb_ivfpq_codes/emb_pq_* rows in-window)
+        "x42_matching": q_matching,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
@@ -2041,10 +2088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": q_bpe_merges,
         "text_lm_perplexity": q_lm_perplexity,
         "text_dsir_weights": q_dsir_weights,
-        # ANN family (ann_rp_lsh rotates past the cutoff late round 5 —
-        # hash-green in BOTH CORRECTNESS_r03 and r04 — so the IVF-PQ index
-        # build gates in-window)
-        "ann_ivf_topk": q_ann_ivf,
+        # (ann_rp_lsh and then ann_ivf_topk rotated past the cutoff late
+        # round 5 — both hash-green in CORRECTNESS_r03 AND r04 — so the
+        # IVF-PQ index build and the matching primitive gate in-window)
         # late round-5 additions rotated into the window (g7/g8/s11/
         # dedup_ngram_jaccard rotate out — each hash-green in BOTH
         # CORRECTNESS_r03 and r04, parked below)
@@ -2091,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "slpa_cover": q_slpa,
         "m3_overlapping_nmi": q_m3,
+        "ann_ivf_topk": q_ann_ivf,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -4126,6 +4173,7 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _bfs_reach_sql(src_mod=100, materialized=True)
         + _betweenness_sql(src_mod=100, levels=12, edge_form=True),
         "gen_rmat_edges": _rmat_sql(),
+        "x42_matching": _G + ", " + _matching_sql(),
         "events_sliding_window": """
 WITH ex AS (
   SELECT event_type, value,

@@ -61,3 +61,4 @@ from .propagation import (  # noqa: F401
     smooth_features,
     spread_labels,
 )
+from .matching import coarsen_graph, maximal_matching  # noqa: F401

@@ -459,3 +459,96 @@ def test_label_spreading_validates_args(spark):
         label_spreading(G.edges_from_rows(spark, rows), sdf, iterations=-1)
     with pytest.raises(ValueError):
         label_spreading(G.edges_from_rows(spark, rows), sdf, alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# locally-heaviest matching + coarsening
+# ---------------------------------------------------------------------------
+def _matching_oracle(rows, max_rounds=100):
+    """Round-by-round transliteration of maximal_matching."""
+    live = {}
+    for s, d, w in rows:
+        if s == d:
+            continue
+        k = (min(s, d), max(s, d))
+        live[k] = live.get(k, 0.0) + w
+    matched = {}
+    for _ in range(max_rounds):
+        if not live:
+            break
+        best = {}
+        for (u, v), w in live.items():
+            for a, b in ((u, v), (v, u)):
+                cur = best.get(a)
+                if cur is None or (w, -b) > (cur[1], -cur[0]):
+                    best[a] = (b, w)
+        mutual = []
+        for u, (v, w) in best.items():
+            if u < v and best.get(v, (None,))[0] == u:
+                mutual.append((u, v, w))
+        assert mutual, "chain argument violated"
+        retire = set()
+        for u, v, w in mutual:
+            matched[(u, v)] = w
+            retire.add(u)
+            retire.add(v)
+        live = {
+            k: w for k, w in live.items() if k[0] not in retire and k[1] not in retire
+        }
+    return matched
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_maximal_matching_matches_transliteration(spark, seed):
+    from fixtures import random_graph
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import maximal_matching
+
+    rows, n = random_graph(n=80, seed=seed)
+    out, stats = maximal_matching(G.edges_from_rows(spark, rows))
+    got = {(r["u"], r["v"]): r["weight"] for r in out.collect()}
+    assert got == _matching_oracle(rows)
+    # a matching: every vertex at most once
+    seen = [x for k in got for x in k]
+    assert len(seen) == len(set(seen))
+    # maximal: no undirected edge has both endpoints unmatched
+    und = {(min(s, d), max(s, d)) for s, d, _ in rows if s != d}
+    unmatched = set(range(n)) - set(seen)
+    assert not any(u in unmatched and v in unmatched for u, v in und)
+    assert stats.matched_edges == len(got) and stats.rounds >= 1
+
+
+def test_maximal_matching_prefers_heavy_edges(spark):
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import maximal_matching
+
+    # path 0-1-2-3 with the middle edge dominant: matching takes {1,2}
+    rows = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 9.0), (2, 1, 9.0), (2, 3, 1.0), (3, 2, 1.0)]
+    out, _ = maximal_matching(G.edges_from_rows(spark, rows))
+    got = {(r["u"], r["v"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_coarsen_graph_conserves_mass_and_composes(spark):
+    from pyspark.sql import functions as SF
+
+    from fixtures import random_graph
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import coarsen_graph
+
+    rows, n = random_graph(n=60, seed=4)
+    e = G.edges_from_rows(spark, rows)
+    coarse, labels, stats = coarsen_graph(e, levels=2)
+    total_in = e.agg(SF.sum("weight")).first()[0]
+    total_out = coarse.agg(SF.sum("weight")).first()[0]
+    assert total_out == pytest.approx(total_in, abs=1e-9)
+    lab = {r["id"]: r["label"] for r in labels.collect()}
+    assert set(lab) == set(range(n))
+    # representatives are fixed points and coarse vertex count shrank
+    assert all(lab[l] == l for l in set(lab.values()))
+    n_coarse = coarse.select(SF.col("src").alias("id")).union(
+        coarse.select("dst")
+    ).distinct().count()
+    assert n_coarse == len(set(lab.values())) < n
+    # two levels of ~halving
+    assert len(stats) == 2 and all(s.matched_edges > 0 for s in stats)
