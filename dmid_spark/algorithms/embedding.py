@@ -150,6 +150,9 @@ def spectral_embedding(
     iterations: int = 12,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    ckpt=None,
+    ckpt_every: int = 5,
+    resume: bool = False,
 ) -> tuple[DataFrame, SpectralStats]:
     """Top-k (algebraic) eigenvector block of ``S = D^-1/2 W D^-1/2`` by
     orthogonal iteration on the shifted operator ``S + I`` (see the inline
@@ -163,6 +166,14 @@ def spectral_embedding(
     cluster structure ~10–20 iterations suffice. All reductions are
     integer-quantized (bit-identical at any parallelism, NumPy-oracle
     transliteratable); the only driver-side work is k×k linear algebra.
+
+    ``ckpt`` (a checkpoint.CheckpointManager) saves the orthonormalized
+    block every ``ckpt_every`` iterations under name ``spectral_x`` with
+    per-partition lineage; ``resume=True`` continues from the latest
+    committed iteration. Because every reduction is order-free
+    integer-quantized, a resumed run is BIT-IDENTICAL to an uninterrupted
+    one — no layout-proof summation tricks needed (unlike pagerank's
+    float dangling mass).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -186,10 +197,20 @@ def spectral_embedding(
     )
     n = verts.count()
     init_scale = 1.0 / float(np.sqrt(max(n, 1)))
-    x = K.materialize(_init_state(verts, k, seed, hash_mode, init_scale))
-    x = K.materialize(_orthonormalize(x, k))
-    for _ in range(iterations):
+    start_iter = 0
+    x = None
+    if ckpt is not None and resume:
+        latest = ckpt.latest("spectral_x")
+        if latest is not None:
+            start_iter, state_df, _m = latest
+            x = K.materialize(state_df)
+    if x is None:
+        x = K.materialize(_init_state(verts, k, seed, hash_mode, init_scale))
+        x = K.materialize(_orthonormalize(x, k))
+    for i in range(start_iter + 1, iterations + 1):
         x = K.materialize(_orthonormalize(_spmv_block(arcs, x), k))
+        if ckpt is not None and (i % ckpt_every == 0 or i == iterations):
+            x = ckpt.save(x, "spectral_x", i, metrics={"k": k, "seed": seed})
     # Rayleigh–Ritz extraction: individual columns rotate slowly INSIDE the
     # (fast-converging) block subspace, so per-column Rayleigh quotients lag
     # badly. Project the operator onto the block — H = Xᵀ(S+I)X, k×k on the

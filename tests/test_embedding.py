@@ -179,3 +179,30 @@ def test_spectral_embedding_validates_args(spark):
         spectral_embedding(e, k=0)
     with pytest.raises(ValueError):
         spectral_embedding(e, iterations=0)
+
+
+def test_spectral_embedding_checkpoint_resume_bit_identical(spark, tmp_ckpt_dir):
+    from dmid_spark.checkpoint import CheckpointManager
+
+    rows, n = random_graph(n=50, seed=21)
+    e = G.edges_from_rows(spark, rows)
+    # uninterrupted run
+    full, fs = spectral_embedding(e, k=3, iterations=6, seed=5)
+    want = sorted(map(tuple, full.collect()))
+    # interrupted run: checkpoint every 2 iterations, stop after 4
+    ck1 = CheckpointManager(spark, tmp_ckpt_dir, run_id="spec")
+    part, _ = spectral_embedding(
+        e, k=3, iterations=4, seed=5, ckpt=ck1, ckpt_every=2
+    )
+    part.count()
+    # "new process": a fresh manager over the same dir, resume to 6
+    ck2 = CheckpointManager(spark, tmp_ckpt_dir, run_id="spec")
+    res, rs = spectral_embedding(
+        e, k=3, iterations=6, seed=5, ckpt=ck2, ckpt_every=2, resume=True
+    )
+    got = sorted(map(tuple, res.collect()))
+    assert got == want  # bit-identical, through the parquet round-trip
+    assert rs.eigenvalues == fs.eigenvalues
+    # lineage shows the resumed run only computed iterations 5 and 6
+    its = [r["iteration"] for r in ck2.lineage("spectral_x") if r["committed"]]
+    assert sorted(set(its)) == [2, 4, 6]
