@@ -180,3 +180,78 @@ def test_spark_submit_hyperball_job(spark, tmp_path):
     assert report["converged"] is True and report["rounds"] <= 4
     assert 0 < report["effective_diameter_90"] <= 4
     assert spark.read.parquet(out_path).count() > 0
+
+
+def test_spark_submit_spectral_and_matching_jobs(spark, tmp_path):
+    """Round-5 job dispatch through a real spark-submit: spectral-embed
+    (with eigenvalue report) and matching on the same edge table, plus the
+    rmat generator writing straight to parquet."""
+    from fixtures import ring_of_cliques
+    from dmid_spark import graph as G
+
+    rows, n = ring_of_cliques(k=3, size=4)
+    edges_path = str(tmp_path / "edges")
+    G.edges_from_rows(spark, rows).write.parquet(edges_path)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip().splitlines()[-1]
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.modules["pyspark"].__file__)),
+        "pyspark", "bin", "spark-submit",
+    )
+
+    emb_path = str(tmp_path / "emb")
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_job.py"),
+            "spectral-embed", "--edges", edges_path, "--output", emb_path,
+            "--k-dims", "3", "--iterations", "8",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["k"] == 3 and len(report["eigenvalues"].split(",")) == 3
+    assert spark.read.parquet(emb_path).count() == n * 3
+
+    m_path = str(tmp_path / "matching")
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_job.py"),
+            "matching", "--edges", edges_path, "--output", m_path,
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["matched_edges"] >= n // 2 - 2
+    matched = spark.read.parquet(m_path).collect()
+    seen = [x for row in matched for x in (row["u"], row["v"])]
+    assert len(seen) == len(set(seen))
+
+    g_path = str(tmp_path / "rmat")
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_job.py"),
+            "rmat", "--output", g_path, "--scale", "8", "--n-edges", "3000",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    g = spark.read.parquet(g_path)
+    assert report["edges"] == g.count() > 0
+    from pyspark.sql import functions as SF
+
+    assert g.agg(SF.sum("weight")).first()[0] == 3000.0

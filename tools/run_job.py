@@ -29,6 +29,7 @@ def main(argv=None):
         "scc", "kcore", "coreness", "hits", "ppr", "bfs", "harmonic", "walks",
         "betweenness", "sssp", "ktruss", "hyperball",
         "clean-corpus", "chunk-dedup", "decontaminate", "node2vec",
+        "spectral-embed", "matching", "simjoin", "rmat",
     ])
     p.add_argument("--edges", help="parquet path of (src, dst, weight)")
     p.add_argument("--corpus", help="parquet/iceberg path of (repo, path, commit, lang, content)")
@@ -51,6 +52,12 @@ def main(argv=None):
     p.add_argument("--p", type=float, default=1.0, help="node2vec return bias")
     p.add_argument("--q", type=float, default=1.0, help="node2vec in-out bias")
     p.add_argument("--dim", type=int, default=32, help="node2vec embedding size")
+    p.add_argument("--k-dims", type=int, default=8, help="spectral-embed block width")
+    p.add_argument("--iterations", type=int, default=12, help="spectral-embed rounds")
+    p.add_argument("--threshold", type=float, default=0.5, help="simjoin Jaccard t")
+    p.add_argument("--shingle-n", type=int, default=3, help="simjoin shingle width")
+    p.add_argument("--scale", type=int, default=20, help="rmat: log2 vertex count")
+    p.add_argument("--n-edges", type=int, default=1_000_000, help="rmat edge draws")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,7 +71,23 @@ def main(argv=None):
     )
     stats: dict = {}
 
-    if args.job in ("clean-corpus", "chunk-dedup", "decontaminate"):
+    if args.job == "rmat":
+        from dmid_spark.io import rmat_edges
+
+        out = rmat_edges(
+            spark, scale=args.scale, n_edges=args.n_edges, seed=args.seed,
+            collapse_duplicates=True,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        stats = {"scale": args.scale, "edges": spark.read.parquet(args.output).count()}
+    elif args.job == "simjoin":
+        from dmid_spark.text import similarity_join
+
+        docs = spark.read.parquet(args.docs)
+        out = similarity_join(docs, threshold=args.threshold, n=args.shingle_n)
+        out.write.mode("overwrite").parquet(args.output)
+        stats = {"pairs": spark.read.parquet(args.output).count()}
+    elif args.job in ("clean-corpus", "chunk-dedup", "decontaminate"):
         docs = spark.read.parquet(args.docs)
         if args.job == "clean-corpus":
             from dmid_spark.text import CleanCorpusParams, clean_corpus
@@ -208,6 +231,25 @@ def main(argv=None):
             emb.write.mode("overwrite").parquet(args.output)
             stats = {"walkers": st.walkers, "steps": st.steps,
                      "vocab": spark.read.parquet(args.output).count()}
+        elif args.job == "spectral-embed":
+            from dmid_spark.algorithms import spectral_embedding
+
+            emb, st = spectral_embedding(
+                edges, k=args.k_dims, iterations=args.iterations,
+                seed=args.seed, ckpt=ckpt, resume=args.resume,
+            )
+            emb.write.mode("overwrite").parquet(args.output)
+            stats = {
+                "k": st.k, "iterations": st.iterations,
+                # comma string: the report printer drops list values
+                "eigenvalues": ",".join(str(round(v, 6)) for v in st.eigenvalues),
+            }
+        elif args.job == "matching":
+            from dmid_spark.algorithms import maximal_matching
+
+            m, st = maximal_matching(edges)
+            m.write.mode("overwrite").parquet(args.output)
+            stats = {"rounds": st.rounds, "matched_edges": st.matched_edges}
         elif args.job == "ppr":
             from dmid_spark.algorithms import personalized_pagerank
 
