@@ -837,7 +837,9 @@ def main():
     from dmid_spark.algorithms import label_spreading, salsa, spectral_embedding
 
     def run_spectral():
-        emb, st = spectral_embedding(edges, k=4, iterations=6)
+        # 4 iterations: the row measures the machinery (SpMV block + Gram +
+        # driver Cholesky + Ritz extraction), not convergence depth
+        emb, st = spectral_embedding(edges, k=4, iterations=4)
         return emb.count(), st
 
     (n_emb, spec_stats) = timed("spectral_embed_k4", run_spectral)
@@ -847,12 +849,12 @@ def main():
     }
 
     def run_salsa():
-        # 8 fixed iterations (tol-driven counts would drift run-to-run);
+        # 6 fixed iterations (tol-driven counts would drift run-to-run);
         # each is four spmv_join_step passes + two L1 scalar rows
-        out, _ = salsa(edges, tol=-1.0, max_iter=8)
+        out, _ = salsa(edges, tol=-1.0, max_iter=6)
         return out.count()
 
-    timed("salsa_8iter", run_salsa)
+    timed("salsa_6iter", run_salsa)
 
     def run_spreading():
         # (id % 500) div 100: five genuinely distinct classes (id % 5 would
