@@ -1837,6 +1837,46 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_hitting_time(spark, sf_dir):
+    """Truncated expected hitting time to the seed set id % 100 == 0,
+    horizon 8 (unrolled twin)."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import truncated_hitting_time
+
+    e = _edges(spark, sf_dir)
+    seeds = G.vertices(e).filter(F.col("id") % 100 == 0)
+    out = truncated_hitting_time(e, seeds, horizon=8, round_dp=9)
+    return out
+
+
+def _hitting_sql(src_mod: int = 100, horizon: int = 8) -> str:
+    """Unrolled Sarkar–Moore truncated hitting time: per step one
+    normalized-walk SpMV + the seed clamp; dangling non-seeds follow
+    1 + own previous value."""
+    parts = [f"""hseeds AS (SELECT id FROM verts WHERE id % {src_mod} = 0),
+howt AS (SELECT src, SUM(weight) AS ow FROM edges GROUP BY src),
+harcs AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight / o.ow AS p FROM edges e JOIN howt o ON e.src = o.src
+),
+ht0 AS MATERIALIZED (SELECT id, CAST(0 AS DOUBLE) AS h FROM verts)"""]
+    for t in range(1, horizon + 1):
+        parts.append(f""",
+ht{t} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id IN (SELECT id FROM hseeds) THEN 0.0
+              ELSE COALESCE(nx.nh, hp.h + 1.0) END AS h
+  FROM verts v
+  LEFT JOIN (
+    SELECT a.src AS id, 1.0 + SUM(a.p * p.h) AS nh
+    FROM harcs a JOIN ht{t - 1} p ON a.dst = p.id GROUP BY a.src
+  ) nx ON v.id = nx.id
+  JOIN ht{t - 1} hp ON v.id = hp.id
+)""")
+    parts.append(f"""
+SELECT id, ROUND(h, 9) + 0.0 AS hitting_time FROM ht{horizon}""")
+    return "".join(parts)
+
+
 def q_matching(spark, sf_dir):
     """Locally-heaviest maximal matching (Hoepman/Preis) — the heavy-edge
     coarsening primitive. 17 rounds at sf0.01; the twin unrolls 24 (no-op
@@ -2062,6 +2102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heavy-edge matching (ann_ivf_topk parks below, double-green; the
         # IVF machinery keeps emb_ivfpq_codes/emb_pq_* rows in-window)
         "x42_matching": q_matching,
+        # truncated hitting time (dedup_minhash_lsh parks below,
+        # double-green; the dedup family keeps incremental/simjoin/
+        # containment/spans rows in-window)
+        "x43_hitting_time": q_hitting_time,
         # sources / corpus
         "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
@@ -2080,7 +2124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full covers
         "dmid_cover": q_dmid_cover,
         # text / dedup family
-        "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "pipeline_clean_corpus": q_clean_corpus,
         "text_quality_probe": q_quality_probe,
@@ -2138,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slpa_cover": q_slpa,
         "m3_overlapping_nmi": q_m3,
         "ann_ivf_topk": q_ann_ivf,
+        "dedup_minhash_lsh": q_minhash_lsh,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -4174,6 +4218,7 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         + _betweenness_sql(src_mod=100, levels=12, edge_form=True),
         "gen_rmat_edges": _rmat_sql(),
         "x42_matching": _G + ", " + _matching_sql(),
+        "x43_hitting_time": _G + ", " + _hitting_sql(),
         "events_sliding_window": """
 WITH ex AS (
   SELECT event_type, value,

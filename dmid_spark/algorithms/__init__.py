@@ -60,5 +60,6 @@ from .propagation import (  # noqa: F401
     label_spreading,
     smooth_features,
     spread_labels,
+    truncated_hitting_time,
 )
 from .matching import coarsen_graph, maximal_matching  # noqa: F401

@@ -204,6 +204,71 @@ def spread_labels(scores: DataFrame, round_dp: int = 9) -> DataFrame:
     )
 
 
+def truncated_hitting_time(
+    edges: DataFrame,
+    seeds: DataFrame,
+    horizon: int = 10,
+    id_col: str = "id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """T-step truncated expected hitting time to a seed set (Sarkar &
+    Moore, "A tractable approach to finding closest truncated-commute-time
+    neighbors", UAI 2007): ``h_T(v) = E[min(τ_seed, T)]`` — 0 for seeds,
+    else ``h_t(v) = 1 + Σ_u P(v,u) · h_{t-1}(u)`` from ``h_0 ≡ 0`` — the
+    random-walk proximity behind link-prediction and who-to-recommend
+    rankings. ``P`` is the out-degree-normalized walk on the directed
+    weighted edge table; a non-seed vertex with NO out-edges is stuck, so
+    it follows ``h_t = 1 + h_{t-1}(itself)`` and lands exactly at the
+    ``horizon`` ceiling (h_t ∈ [0, t] by induction — the truncation makes
+    the quantity finite everywhere). Returns ``(id, hitting_time)`` for
+    every vertex.
+
+    Scale: one out-degree normalization pass, then ``horizon`` iterations
+    of one arcs⋈state join + map-side-combined vertex aggregate (the
+    engine's SpMV family); seeds re-clamp each step via a broadcast-size
+    join. The twin unrolls exactly.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    sdf = K.materialize(seeds.select(F.col(id_col).alias("id")).distinct())
+    verts = K.materialize(G.vertices(edges))
+    e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    outw = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("ow"))
+    arcs = K.materialize(
+        e.join(outw.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+    )
+    is_seed = F.col("_s").isNotNull()
+    tagged = K.materialize(
+        verts.join(sdf.select(F.col("id"), F.lit(1).alias("_s")), "id", "left")
+    )
+    # h_0 = E[min(tau, 0)] = 0 everywhere
+    h = K.materialize(tagged.select("id", F.lit(0.0).alias("h")))
+    for _ in range(horizon):
+        nxt = (
+            arcs.join(h.select(F.col("id").alias("dst"), "h"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg((F.lit(1.0) + F.sum(F.col("p") * F.col("h"))).alias("nh"))
+        )
+        h = K.materialize(
+            tagged.join(nxt, "id", "left")
+            .join(h.select("id", F.col("h").alias("hp")), "id")
+            .select(
+                "id",
+                F.when(is_seed, F.lit(0.0))
+                # dangling non-seed: stuck on itself, 1 + previous value
+                .otherwise(F.coalesce("nh", F.col("hp") + 1.0))
+                .alias("h"),
+            )
+        )
+    out = h.select("id", F.col("h").alias("hitting_time"))
+    if round_dp is not None:
+        out = out.select(
+            "id", (F.round("hitting_time", round_dp) + F.lit(0.0)).alias("hitting_time")
+        )
+    return out
+
+
 def smooth_features(
     edges: DataFrame,
     features: DataFrame,

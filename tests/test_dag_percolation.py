@@ -552,3 +552,65 @@ def test_coarsen_graph_conserves_mass_and_composes(spark):
     assert n_coarse == len(set(lab.values())) < n
     # two levels of ~halving
     assert len(stats) == 2 and all(s.matched_edges > 0 for s in stats)
+
+
+# ---------------------------------------------------------------------------
+# truncated hitting time (Sarkar-Moore)
+# ---------------------------------------------------------------------------
+def _hitting_oracle(rows, n, seeds, horizon):
+    import numpy as np
+
+    W = np.zeros((n, n))
+    for s, d, w in rows:
+        W[s, d] += w
+    ow = W.sum(axis=1)
+    P = np.divide(W, ow[:, None], out=np.zeros_like(W), where=ow[:, None] > 0)
+    h = np.zeros(n)
+    seeds = set(seeds)
+    for _ in range(horizon):
+        nh = 1.0 + P @ h
+        # dangling non-seed: stuck, 1 + own previous value
+        nh[ow == 0] = h[ow == 0] + 1.0
+        nh[list(seeds)] = 0.0
+        h = nh
+    return h
+
+
+def test_truncated_hitting_time_matches_numpy(spark):
+    import numpy as np
+
+    from fixtures import random_graph
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import truncated_hitting_time
+
+    rows, n = random_graph(n=70, seed=13)
+    seeds = [0, 7, 33]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    out = truncated_hitting_time(
+        G.edges_from_rows(spark, rows), sdf, horizon=8
+    )
+    got = np.zeros(n)
+    for r in out.collect():
+        got[r["id"]] = r["hitting_time"]
+    want = _hitting_oracle(rows, n, seeds, 8)
+    assert np.allclose(got, want, atol=1e-9)
+    assert np.all(got >= 0) and np.all(got <= 8)
+
+
+def test_truncated_hitting_time_structure(spark):
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import truncated_hitting_time
+
+    # path 0->1->2->3 with seed 3; plus isolated-ish dangling vertex 9 (4->9)
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (4, 9, 1.0)]
+    sdf = spark.createDataFrame([(3,)], "id long")
+    out = truncated_hitting_time(G.edges_from_rows(spark, rows), sdf, horizon=10)
+    got = {r["id"]: r["hitting_time"] for r in out.collect()}
+    assert got[3] == 0.0
+    assert got[2] == 1.0 and got[1] == 2.0 and got[0] == 3.0
+    # 9 is dangling non-seed: pinned at the ceiling; 4 walks into it
+    assert got[9] == 10.0 and got[4] == 10.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        truncated_hitting_time(G.edges_from_rows(spark, rows), sdf, horizon=0)
