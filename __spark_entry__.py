@@ -2596,10 +2596,12 @@ grams AS (
 dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
 hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)),
 flg AS (
+  -- ranges [p, p+n-1] overlap-or-touch while pos <= prev_max + n:
+  -- adjacent covered ranges merge (maximal spans)
   SELECT doc_id, pos,
     CASE WHEN pos > COALESCE(MAX(pos) OVER (
            PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {n - 1}, -1)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {n}, -1)
          THEN 1 ELSE 0 END AS brk
   FROM hits
 ),
@@ -4226,13 +4228,14 @@ WITH ex AS (
   FROM events, range(2) k(i)
 ),
 w AS (
+  -- win_start <= t holds for every k >= 0: no boundary filter needed
   SELECT (CAST(FLOOR(t / 300.0) AS BIGINT) - k) * 300 AS win_start,
-         event_type, value, t
+         event_type, value
   FROM ex
 )
 SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 6) AS total
-FROM w WHERE t >= win_start GROUP BY 1, 2""",
+FROM w GROUP BY 1, 2""",
         "graph_snapshot_diff": f"""
 WITH b AS (
   SELECT CAST(l_orderkey % {MOD} AS BIGINT) AS src,

@@ -202,7 +202,16 @@ def spectral_embedding(
     if ckpt is not None and resume:
         latest = ckpt.latest("spectral_x")
         if latest is not None:
-            start_iter, state_df, _m = latest
+            start_iter, state_df, saved = latest
+            # a checkpoint from different (k, seed) is a different
+            # computation — resuming it would crash on the k×k Gram or
+            # silently return wrong eigenvectors
+            if saved.get("k") != k or saved.get("seed") != seed:
+                raise ValueError(
+                    f"spectral_x checkpoint was written with "
+                    f"k={saved.get('k')}, seed={saved.get('seed')} — "
+                    f"cannot resume with k={k}, seed={seed}"
+                )
             x = K.materialize(state_df)
     if x is None:
         x = K.materialize(_init_state(verts, k, seed, hash_mode, init_scale))

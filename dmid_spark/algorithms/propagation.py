@@ -71,12 +71,16 @@ def _hop(arcs: DataFrame, x: DataFrame) -> DataFrame:
     )
 
 
-def _sym_norm_arcs(edges: DataFrame, self_loop: bool) -> DataFrame:
+def _sym_norm_arcs(
+    edges: DataFrame, self_loop: bool, verts: DataFrame | None = None
+) -> DataFrame:
     """Symmetric-normalized arc list ``(u, v, nw = w / sqrt(d_u d_v))``
     over the undirected weight-summed view of ``edges``. ``self_loop=True``
-    adds the +I loop of A_hat = A + I (SGC smoothing); ``False`` is the
-    plain S = D^-1/2 W D^-1/2 of label spreading (isolated vertices get
-    no arcs — their S row is zero)."""
+    adds the +I loop of A_hat = A + I (SGC smoothing — every vertex of
+    ``verts`` gets a 1/d self-arc); ``False`` is the plain
+    S = D^-1/2 W D^-1/2 of label spreading (isolated vertices get no arcs
+    — their S row is zero). ``verts`` overrides the degree/self-loop
+    vertex set (smooth_features passes graph ∪ feature ids)."""
     sym = (
         G.drop_self_loops(edges)
         .select(
@@ -91,8 +95,10 @@ def _sym_norm_arcs(edges: DataFrame, self_loop: bool) -> DataFrame:
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
     bonus = 1.0 if self_loop else 0.0
+    if verts is None:
+        verts = G.vertices(edges)
     deg = (
-        G.vertices(edges)
+        verts
         .join(both.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("d")), "id", "left")
         .select("id", (F.coalesce("d", F.lit(0.0)) + F.lit(bonus)).alias("d"))
     )
@@ -291,44 +297,13 @@ def smooth_features(
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
-    sym = (
-        G.drop_self_loops(edges)
-        .select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("v"),
-            F.col("weight").cast("double").alias("w"),
-        )
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
-    )
-    both = sym.select("u", "v", "w").unionByName(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
     verts = G.vertices(edges).unionByName(
         features.select(F.col(id_col).alias("id"))
     ).distinct()
-    deg = (
-        verts.join(
-            both.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("d")),
-            "id",
-            "left",
-        )
-        # +1 for the self loop of A_hat = A + I
-        .select("id", (F.coalesce("d", F.lit(0.0)) + 1.0).alias("d"))
-    )
-    # normalized arc list including self loops: w / sqrt(d_u d_v)
-    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
-    arcs = K.materialize(
-        both.join(du, "u").join(dv, "v")
-        .select("u", "v", (F.col("w") / F.sqrt(F.col("du") * F.col("dv"))).alias("nw"))
-        .unionByName(
-            deg.select(
-                F.col("id").alias("u"), F.col("id").alias("v"),
-                (F.lit(1.0) / F.col("d")).alias("nw"),
-            )
-        )
-    )
+    # A_hat = A + I normalized arcs over graph ∪ feature ids (the shared
+    # helper; the +I self-loops make isolated/featureless vertices fixed
+    # points)
+    arcs = K.materialize(_sym_norm_arcs(edges, self_loop=True, verts=verts))
     x = K.materialize(
         verts.join(features_long(features, id_col, vec_col), "id", "left").select(
             "id", F.coalesce("dim", F.lit(0)).alias("dim"),

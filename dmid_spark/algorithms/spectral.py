@@ -143,8 +143,8 @@ def salsa(
     high-out-degree spammer cannot concentrate authority the way it can
     under HITS (each hub's vote mass is split by its out-degree).
 
-    Power iteration on the authority chain ``a ← W_cᵀ (W_r a)`` and hub
-    chain ``h ← W_r (W_cᵀ h)``, where ``W_r(u,v) = w(u,v)/outdeg(u)`` and
+    Power iteration on the authority chain ``a ← W_rᵀ (W_c a)`` and hub
+    chain ``h ← W_c (W_rᵀ h)``, where ``W_r(u,v) = w(u,v)/outdeg(u)`` and
     ``W_c(u,v) = w(u,v)/indeg(v)``; both vectors L1-normalized per
     iteration (walk distributions). Stops on summed L1 delta < ``tol``.
     Vertices with no in-edges get authority 0, no out-edges → hub 0.
@@ -176,6 +176,16 @@ def salsa(
     )
     verts = K.materialize(G.vertices(edges))
     n = verts.count()
+    if n == 0:
+        # empty graph: return empty gracefully (the hits/pagerank family
+        # convention) instead of a driver-side ZeroDivisionError
+        stats.wall_sec = time.time() - t0
+        return (
+            edges.sparkSession.createDataFrame(
+                [], "id long, hub double, authority double"
+            ),
+            stats,
+        )
     auth = K.materialize(verts.select("id", F.lit(1.0 / n).alias("value")))
     hub = K.materialize(verts.select("id", F.lit(1.0 / n).alias("value")))
 

@@ -142,13 +142,12 @@ def sliding_window_counts(
     ).select(
         "event_type",
         "value",
+        # win_start = (floor(t/slide) - k) * slide <= t for every k >= 0,
+        # so each event lands in exactly window/slide valid windows —
+        # no boundary filter is needed (pre-epoch timestamps included)
         ((F.floor(F.col("_t") / slide_sec) - F.col("_k")) * slide_sec).alias(
             "win_start"
         ),
-        "_t",
-    ).filter(
-        # guard for events near the epoch origin (negative window ids)
-        F.col("_t") >= F.col("win_start")
     )
     return exploded.groupBy("win_start", "event_type").agg(
         F.count("*").alias("n"), F.sum("value").alias("total")

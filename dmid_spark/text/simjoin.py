@@ -28,6 +28,27 @@ from .. import kernel as K
 from .dedup import _shingles
 
 
+def _prefix_table(
+    docs: DataFrame, t: float, n: int, id_col: str, text_col: str, hash_mode: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared prefix-filter scaffolding: returns ``(g, sizes, prefix)``
+    where ``g`` is the MATERIALIZED distinct shingle table, ``sizes`` the
+    per-doc set sizes, and ``prefix`` each doc's ``|x| − ⌈t|x|⌉ + 1``
+    rarest shingles under the (df, sh) total order with columns
+    ``(doc_id, sh, sz, df)``. The shared total order is (df, sh) itself —
+    no global rank column exists, so there is no range exchange anywhere;
+    the per-doc window is doc-partitioned and bounded by doc length."""
+    g = K.materialize(_shingles(docs, text_col, id_col, n, hash_mode))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = g.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = g.join(freq, "sh").join(sizes, "doc_id")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = ranked.withColumn("_p", F.row_number().over(wdoc)).filter(
+        F.col("_p") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "sh", "sz", "df")
+    return g, sizes, prefix
+
+
 def similarity_join(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -62,18 +83,8 @@ def similarity_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
-    g = K.materialize(_shingles(docs, text_col, id_col, n, hash_mode))
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = g.groupBy("sh").agg(F.count("*").alias("df"))
-    # the shared total order is (df, sh) itself — no global rank needs to
-    # exist as a column, so there is no range exchange anywhere
-    ranked = g.join(freq, "sh").join(sizes, "doc_id")
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    prefix = K.materialize(
-        ranked.withColumn("_p", F.row_number().over(wdoc)).filter(
-            F.col("_p") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-        ).select("doc_id", "sh", "sz")
-    )
+    g, _sizes, prefix = _prefix_table(docs, t, n, id_col, text_col, hash_mode)
+    prefix = K.materialize(prefix.select("doc_id", "sh", "sz"))
     if max_prefix_bucket is not None:
         bsz = prefix.groupBy("sh").agg(F.count("*").alias("_bsz"))
         prefix = prefix.join(
@@ -153,14 +164,7 @@ def containment_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
-    g = K.materialize(_shingles(docs, text_col, id_col, n, hash_mode))
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = g.groupBy("sh").agg(F.count("*").alias("df"))
-    ranked = g.join(freq, "sh").join(sizes, "doc_id")
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    prefix = ranked.withColumn("_p", F.row_number().over(wdoc)).filter(
-        F.col("_p") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).select("doc_id", "sh", "sz", "df")
+    g, sizes, prefix = _prefix_table(docs, t, n, id_col, text_col, hash_mode)
     if max_gram_df is not None:
         prefix = prefix.filter(F.col("df") <= max_gram_df)
     pa = prefix.select(
@@ -208,14 +212,7 @@ def prefix_bucket_report(
     :func:`similarity_join` operating point — the audit view for choosing
     ``max_prefix_bucket`` (what would be dropped at each cap)."""
     t = float(threshold)
-    g = _shingles(docs, text_col, id_col, n, hash_mode)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = g.groupBy("sh").agg(F.count("*").alias("df"))
-    ranked = g.join(freq, "sh").join(sizes, "doc_id")
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    prefix = ranked.withColumn("_p", F.row_number().over(wdoc)).filter(
-        F.col("_p") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    )
+    _g, _sizes, prefix = _prefix_table(docs, t, n, id_col, text_col, hash_mode)
     return (
         prefix.groupBy("sh")
         .agg(F.count("*").alias("bucket_size"))

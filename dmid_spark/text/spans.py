@@ -90,7 +90,9 @@ def duplicate_ngram_spans(
     hits = grams.join(dup, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_max = F.max("pos").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    brk = F.when(prev_max.isNull() | (F.col("pos") > prev_max + (n - 1)), 1).otherwise(0)
+    # ranges [p, p+n-1] overlap-or-touch while pos <= prev_max + n: a new
+    # span starts only past that (adjacent covered ranges DO merge)
+    brk = F.when(prev_max.isNull() | (F.col("pos") > prev_max + n), 1).otherwise(0)
     flagged = hits.withColumn("brk", brk).withColumn(
         "span_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -127,6 +129,11 @@ def remove_spans(
             F.posexplode(F.split(F.lower(F.trim(t)), r"\s+")).alias("pos", "tok"),
         )
     )
+    # totals over ALL docs (null/empty → 0 tokens) so empty documents pass
+    # through with clean_text '' instead of dropping out of the result
+    n_total = F.when(t.isNull() | (F.trim(t) == ""), F.lit(0)).otherwise(
+        F.size(F.split(F.lower(F.trim(t)), r"\s+"))
+    )
     masked = spans.select(
         "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
     ).distinct()
@@ -141,7 +148,9 @@ def remove_spans(
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = toks.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"), n_total.cast("long").alias("n_total")
+    )
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(

@@ -206,3 +206,17 @@ def test_spectral_embedding_checkpoint_resume_bit_identical(spark, tmp_ckpt_dir)
     # lineage shows the resumed run only computed iterations 5 and 6
     its = [r["iteration"] for r in ck2.lineage("spectral_x") if r["committed"]]
     assert sorted(set(its)) == [2, 4, 6]
+
+
+def test_spectral_resume_rejects_mismatched_params(spark, tmp_ckpt_dir):
+    from dmid_spark.checkpoint import CheckpointManager
+
+    rows, _ = two_cliques_bridge()
+    e = G.edges_from_rows(spark, rows)
+    ck = CheckpointManager(spark, tmp_ckpt_dir, run_id="specmm")
+    spectral_embedding(e, k=3, iterations=2, seed=5, ckpt=ck, ckpt_every=1)
+    ck2 = CheckpointManager(spark, tmp_ckpt_dir, run_id="specmm")
+    with pytest.raises(ValueError, match="cannot resume"):
+        spectral_embedding(e, k=4, iterations=4, seed=5, ckpt=ck2, resume=True)
+    with pytest.raises(ValueError, match="cannot resume"):
+        spectral_embedding(e, k=3, iterations=4, seed=6, ckpt=ck2, resume=True)

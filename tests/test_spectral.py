@@ -558,3 +558,11 @@ def test_salsa_weighted_differs_from_unweighted(spark):
     assert not np.allclose(au, aw, atol=1e-9)
     eh, ea = salsa_oracle(rows, 4, iters=300, tol=1e-9, weighted=True)
     assert np.allclose(aw, ea, atol=1e-6)
+
+
+def test_salsa_empty_graph_returns_empty(spark):
+    from dmid_spark.algorithms import salsa
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    out, stats = salsa(empty, tol=1e-6, max_iter=5)
+    assert out.count() == 0 and stats.iterations == 0

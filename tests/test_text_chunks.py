@@ -311,8 +311,9 @@ def _spans_oracle(texts, n, min_docs):
         marked = [i for i in range(len(ts) - n + 1) if " ".join(ts[i : i + n]) in dup]
         spans = []
         for p in marked:
-            if spans and p <= spans[-1][1] - n + 1 + (n - 1):
-                # overlaps-or-adjacent: p <= prev_max_pos + n - 1
+            # covered ranges [p, p+n-1] overlap-or-touch while
+            # p <= prev_max_pos + n (adjacent ranges merge)
+            if spans and p <= spans[-1][1] + 1:
                 spans[-1] = (spans[-1][0], max(spans[-1][1], p + n - 1), spans[-1][2] + 1)
             else:
                 spans.append((p, p + n - 1, 1))
@@ -561,3 +562,37 @@ def test_containment_join_gram_df_cap(spark):
     full = containment_join(docs, threshold=0.5, n=2).count()
     capped = containment_join(docs, threshold=0.5, n=2, max_gram_df=1).count()
     assert full == 12 and capped == 0  # 4*3 ordered pairs
+
+
+def test_duplicate_spans_adjacent_ranges_merge(spark):
+    """Covered ranges that touch exactly end-to-end form ONE maximal span
+    (the documented contract): doc 1's marked grams at positions 0 and 3
+    (n=3) cover [0,2] and [3,5] -> single span (0,5) with 2 grams."""
+    from dmid_spark.text import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x x x"),  # shares gram 'a b c'
+            (3, "y y y d e f"),  # shares gram 'd e f'
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r) for r in duplicate_ngram_spans(docs, n=3, min_docs=2).collect()
+    )
+    assert (1, 0, 5, 2) in got
+    assert not any(r[0] == 1 and r != (1, 0, 5, 2) for r in got)
+
+
+def test_remove_spans_keeps_empty_documents(spark):
+    from dmid_spark.text import duplicate_ngram_spans, remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    spans = duplicate_ngram_spans(docs, n=2, min_docs=2)
+    out = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in remove_spans(docs, spans).collect()}
+    assert out[1] == ("a b c", 0)
+    assert out[2] == ("", 0) and out[3] == ("", 0)
