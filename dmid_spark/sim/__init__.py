@@ -39,3 +39,4 @@ from .rplsh import (  # noqa: F401
     rp_near_duplicates,
     rp_signatures,
 )
+from .fuse import rank_by, rrf_fuse  # noqa: F401

@@ -973,3 +973,42 @@ def test_ivfpq_topk_rerank_beats_adc_and_is_partition_invariant(spark):
     b = sorted((r["vec_id"], r["cluster"], tuple(r["codes"])) for r in idx2.collect())
     assert a == b
     idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# reciprocal rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+def test_rrf_fuse_matches_hand_computation(spark):
+    from dmid_spark.sim import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "id long, rank int")
+    got = {r["id"]: (r["n_lists"], r["rrf_score"])
+           for r in rrf_fuse([a, b], k=60).collect()}
+    import pytest as _pt
+
+    assert got[1] == (2, _pt.approx(1 / 61 + 1 / 62))
+    assert got[3] == (2, _pt.approx(1 / 63 + 1 / 61))
+    assert got[2] == (1, _pt.approx(1 / 62))
+    assert got[9] == (1, _pt.approx(1 / 63))
+    # consensus doc 1 (ranks 1+2) outscores single-list rank-1 doc 9
+    assert got[1][1] > got[9][1]
+    with _pt.raises(ValueError):
+        rrf_fuse([], k=60)
+    with _pt.raises(ValueError):
+        rrf_fuse([a], k=0)
+
+
+def test_rank_by_deterministic_ties_and_topk(spark):
+    from dmid_spark.sim import rank_by
+
+    df = spark.createDataFrame(
+        [(10, 5.0), (11, 5.0), (12, 7.0), (13, 1.0)], "id long, score double"
+    )
+    got = {r["id"]: r["rank"] for r in rank_by(df, "score").collect()}
+    # 12 first; tie 10/11 breaks by id asc
+    assert got == {12: 1, 10: 2, 11: 3, 13: 4}
+    top2 = {r["id"] for r in rank_by(df, "score", top_k=2).collect()}
+    assert top2 == {12, 10}
+    asc = {r["id"]: r["rank"] for r in rank_by(df, "score", descending=False).collect()}
+    assert asc[13] == 1
