@@ -1837,6 +1837,21 @@ def q_containment_join(spark, sf_dir):
     )
 
 
+def q_spread_labels(spark, sf_dir):
+    """Argmax decision over the x39 label-spreading scores: per vertex
+    the max-score class, ties toward the smaller label, on 9dp-quantized
+    scores (engine-portable tie classes)."""
+    from dmid_spark import graph as G
+    from dmid_spark.algorithms import label_spreading, spread_labels
+
+    e = _edges(spark, sf_dir)
+    seeds = G.vertices(e).filter(F.col("id") % 10 == 0).select(
+        "id", F.expr("(id % 100) div 20").alias("label")
+    )
+    scores = label_spreading(e, seeds, alpha=0.75, iterations=3)
+    return spread_labels(scores, round_dp=9)
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval by reciprocal rank fusion (Cormack et al. SIGIR'09):
     BM25 top-10 for the fixed query 'spark join agg' fused with cosine
@@ -2132,6 +2147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid retrieval RRF (corpus_edge_build parks below, double-green;
         # the corpus machinery remains judge-checkable via the parked rows)
         "retrieval_hybrid_rrf": q_hybrid_rrf,
+        # x39's argmax decision layer (pipeline_clean_corpus parks below,
+        # double-green; the cleaning stages stay exercised in-window via
+        # text_quality_probe and the dedup rows)
+        "x39_spread_labels": q_spread_labels,
         # sources / corpus
         # standard + extended graph algorithms
         "x1_pagerank_5iter": q_pagerank5,
@@ -2150,7 +2169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dmid_cover": q_dmid_cover,
         # text / dedup family
         "dedup_incremental": q_dedup_incremental,
-        "pipeline_clean_corpus": q_clean_corpus,
         "text_quality_probe": q_quality_probe,
         "sample_mix_epochs": q_mix_epochs,
         "text_bpe_merges": q_bpe_merges,
@@ -2208,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "dedup_minhash_lsh": q_minhash_lsh,
         "corpus_edge_build": q_corpus_edges,
+        "pipeline_clean_corpus": q_clean_corpus,
         "sketch_hll_registers": q_hll_registers,
         "sketch_bloom_bits": q_bloom_bits,
         "events_sessionize": q_sessionize,
@@ -2603,6 +2622,22 @@ lsp{i} AS MATERIALIZED (
 )""")
     return ",\n".join(steps) + f"""
 SELECT id, label, ROUND(v, 9) + 0.0 AS score FROM lsp{iters}"""
+
+
+def _spread_labels_sql(iters: int = 3, alpha: float = 0.75) -> str:
+    """x39's twin + the argmax decision: per id the max quantized score,
+    ties toward the smaller label (row_number over the C-bounded group)."""
+    steps = _label_spreading_sql(iters, alpha)
+    # strip the final SELECT; keep the CTE chain
+    chain = steps[: steps.rindex("\nSELECT id, label")]
+    return chain + f""",
+lsq AS (
+  SELECT id, label, ROUND(v, 9) + 0.0 AS q,
+         ROW_NUMBER() OVER (PARTITION BY id
+                            ORDER BY ROUND(v, 9) + 0.0 DESC, label ASC) AS rn
+  FROM lsp{iters}
+)
+SELECT id, label, q AS score FROM lsq WHERE rn = 1"""
 
 
 def _duplicate_spans_sql(n: int = 8, min_docs: int = 2) -> str:
@@ -4199,6 +4234,7 @@ GROUP BY 1, 2""",
         "x37_eigenvector_5iter": _G + ", " + _eigen5_sql(),
         "x38_salsa_5iter": _G + ", " + _salsa5_sql(),
         "x39_label_spreading": _G + ", " + _label_spreading_sql(),
+        "x39_spread_labels": _G + ", " + _spread_labels_sql(),
         "text_duplicate_spans": _duplicate_spans_sql(),
         "graph_attr_assortativity": _G + ", " + _attr_assortativity_sql(),
         # brute-force oracle for the prefix-filtered exact similarity join:
